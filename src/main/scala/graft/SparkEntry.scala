@@ -1,13 +1,422 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.images.{ImageChecks, SyntheticImages}
+import graft.runner.{ValidationConfig, ValidationRunner}
+import graft.schema._
+import graft.stats.{ColumnStats, Drift}
+import graft.text.TextOps
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each routed through the engine's public API, with a
+  * DuckDB-equivalent oracle in `oracleSql` where SQL can express it.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** stable unique row id for lineitem (l_linenumber ∈ [1,7]) */
+  private def liRid: Column = col("l_orderkey") * 10 + col("l_linenumber")
+
+  /** run a validation plan and project the oracle-comparable columns */
+  private def validate(
+      df: DataFrame,
+      schema: TableSchema,
+      opts: ValidationOptions = ValidationOptions.default,
+      dims: Map[String, DataFrame] = Map.empty
+  ): DataFrame =
+    ValidationRunner
+      .plan(df, schema, ValidationConfig(rowNumberCol = "_rid", options = opts, dims = dims, broadcastDims = true))
+      .violations
+      .select(col("code"), col("row_number"))
+      .orderBy(col("row_number"), col("code"))
+
+  private def fc(
+      required: Boolean = false,
+      unique: Boolean = false,
+      enumVals: Option[Seq[String]] = None,
+      minimum: Option[Double] = None,
+      maximum: Option[Double] = None,
+      minLength: Option[Int] = None,
+      maxLength: Option[Int] = None,
+      pattern: Option[String] = None
+  ): FieldConstraints =
+    FieldConstraints(required, unique, enumVals, minimum, maximum, minLength, maxLength, pattern)
+
+  /** Flagship: multi-check validation over lineitem — one scan, every
+    * row-scoped check in a single projection, violation counts by code. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    multiCheckSummary(spark, "/root/testdata/sf0.001")
+
+  private def multiCheckSchema = TableSchema(
+    fields = Seq(
+      Field("l_returnflag", constraints = fc(enumVals = Some(Seq("A", "N")))),
+      Field("l_quantity", ftype = "number", constraints = fc(minimum = Some(5), maximum = Some(45)))
+    ),
+    customConstraints = Seq("l_extendedprice > l_quantity * 900")
+  )
+
+  private def multiCheckViolations(s: SparkSession, dir: String): DataFrame =
+    ValidationRunner
+      .plan(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        multiCheckSchema,
+        ValidationConfig(rowNumberCol = "_rid")
+      )
+      .violations
+
+  private def multiCheckSummary(s: SparkSession, dir: String): DataFrame =
+    multiCheckViolations(s, dir).groupBy("code").agg(count(lit(1)).as("cnt")).orderBy("code")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- schema body checks (engine-driven, oracle-checked) ----
+    "q01_required_navalue" -> ((s, dir) =>
+      validate(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        TableSchema(
+          fields = Seq(Field("l_returnflag", constraints = fc(required = true))),
+          naValue = Some("N")
+        )
+      )),
+    "q02_enum" -> ((s, dir) =>
+      validate(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        TableSchema(fields = Seq(Field("l_returnflag", constraints = fc(enumVals = Some(Seq("A", "N"))))))
+      )),
+    "q03_minimum" -> ((s, dir) =>
+      validate(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        TableSchema(fields = Seq(Field("l_quantity", ftype = "number", constraints = fc(minimum = Some(5)))))
+      )),
+    "q04_maximum" -> ((s, dir) =>
+      validate(
+        t(s, dir, "orders").withColumn("_rid", col("o_orderkey")),
+        TableSchema(fields = Seq(Field("o_totalprice", ftype = "number", constraints = fc(maximum = Some(300000)))))
+      )),
+    "q05_minlength" -> ((s, dir) =>
+      validate(
+        t(s, dir, "documents").withColumn("_rid", col("doc_id")),
+        TableSchema(fields = Seq(Field("text", constraints = fc(minLength = Some(200)))))
+      )),
+    "q06_maxlength" -> ((s, dir) =>
+      validate(
+        t(s, dir, "documents").withColumn("_rid", col("doc_id")),
+        TableSchema(fields = Seq(Field("text", constraints = fc(maxLength = Some(600)))))
+      )),
+    "q07_pattern" -> ((s, dir) =>
+      validate(
+        t(s, dir, "customer").withColumn("_rid", col("c_custkey")),
+        TableSchema(fields = Seq(Field("c_name", constraints = fc(pattern = Some("[02468]$")))))
+      )),
+    "q08_type_integer" -> ((s, dir) =>
+      validate(
+        t(s, dir, "events").withColumn("_rid", col("event_id")),
+        TableSchema(fields = Seq(Field("props", ftype = "integer")))
+      )),
+    // ---- uniqueness (partial-agg shuffle + AQE broadcast join-back) ----
+    "q09_unique" -> ((s, dir) =>
+      validate(
+        t(s, dir, "events").withColumn("_rid", col("event_id")),
+        TableSchema(fields = Seq(Field("user_id", ftype = "integer", constraints = fc(unique = true))))
+      )),
+    "q10_composite_pk" -> ((s, dir) =>
+      validate(
+        t(s, dir, "documents").withColumn("_rid", col("doc_id")),
+        TableSchema(
+          fields = Seq(Field("lang"), Field("source")),
+          primaryKey = Seq("lang", "source")
+        )
+      )),
+    // ---- referential integrity (broadcast anti join) ----
+    "q11_fk_dim" -> ((s, dir) =>
+      validate(
+        t(s, dir, "orders").withColumn("_rid", col("o_orderkey")),
+        TableSchema(fields = Seq(Field("o_custkey", ftype = "integer", foreignKey = Some(TableRef("customer_building", "c_custkey"))))),
+        dims = Map("customer_building" -> t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"))
+      )),
+    "q12_fk_inline" -> ((s, dir) =>
+      validate(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        TableSchema(fields = Seq(Field("l_suppkey", ftype = "integer", foreignKey = Some(InlineValues((0 until 50).map(_.toString))))))
+      )),
+    // ---- custom constraint (safe expression → Catalyst, codegen'd) ----
+    "q13_custom_constraint" -> ((s, dir) =>
+      validate(
+        t(s, dir, "lineitem").withColumn("_rid", liRid),
+        TableSchema(fields = Seq.empty, customConstraints = Seq("l_extendedprice > l_quantity * 900"))
+      )),
+    // ---- multi-check single-pass + report aggregation ----
+    "q14_multicheck_summary" -> ((s, dir) => multiCheckSummary(s, dir)),
+    "q15_error_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("code")).orderBy(col("row_number"))
+      multiCheckViolations(s, dir)
+        .select(col("code"), col("row_number"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= 10)
+        .select(col("code"), col("row_number"))
+        .orderBy(col("code"), col("row_number"))
+    }),
+    // ---- column statistics: one wide aggregation pass ----
+    "q16_column_stats" -> ((s, dir) =>
+      ColumnStats
+        .profile(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_returnflag"), exactDistinct = true)
+        .orderBy("column")),
+    "q17_histogram" -> ((s, dir) =>
+      ColumnStats
+        .histogram(t(s, dir, "lineitem"), col("l_quantity"), 0, 50, 10)
+        .orderBy("bucket")),
+    // ---- distribution drift: aligned histograms (distributed part) ----
+    "q18_drift_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cur = ColumnStats.histogram(li.filter(col("l_returnflag") === "A"), col("l_extendedprice"), 0, 100000, 10)
+      val base = ColumnStats.histogram(li.filter(col("l_returnflag") === "R"), col("l_extendedprice"), 0, 100000, 10)
+      cur
+        .withColumnRenamed("cnt", "cnt_cur")
+        .join(base.withColumnRenamed("cnt", "cnt_base"), Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"), coalesce(col("cnt_base"), lit(0L)).as("cnt_base"))
+        .orderBy("bucket")
+    }),
+    "q19_drift_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val (psi, ks) = Drift.detect(
+        li.filter(col("l_returnflag") === "A"),
+        li.filter(col("l_returnflag") === "R"),
+        col("l_extendedprice"), 0, 100000, 10
+      )
+      import s.implicits._
+      Seq((math.round(psi * 1e6) / 1e6, math.round(ks * 1e6) / 1e6)).toDF("psi", "ks")
+    }),
+    // ---- text analysis (pure Column exprs, zero UDF) ----
+    "q20_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+    "q21_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.stopwordCount(col("text")).as("stop_cnt"),
+          TextOps.punctCount(col("text")).as("punct_cnt")
+        )
+        .orderBy("doc_id")),
+    "q22_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // ---- dedup ----
+    "q23_dedup_normtokens" -> ((s, dir) =>
+      Dedup
+        .normalizedTokenSet(t(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy("id")),
+    "q24_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id")).orderBy("id")),
+    "q25_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), col("text"), col("doc_id")).orderBy("id")),
+    "q26_minhash_pairs" -> ((s, dir) =>
+      Dedup
+        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    "q27_ngram_jaccard" -> ((s, dir) =>
+      Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"), col("lang"), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    "q28_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // ---- similarity search over embeddings ----
+    "q29_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.bruteForceTopK(emb, col("embedding"), col("vec_id"), q, 20)
+        .select(col("id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "q30_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.lshTopK(emb, col("embedding"), col("vec_id"), q, 20, numBits = 12, probeHamming = 4)
+        .select(col("id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    "q31_embed_dup" -> ((s, dir) =>
+      Dedup
+        .embeddingCosinePairs(t(s, dir, "embeddings"), col("embedding"), col("vec_id"), col("label"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")),
+    // ---- image payload validation (synthetic deterministic table) ----
+    "q32_image_validation" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
+      val imgs = SyntheticImages.generateWithId(s, n)
+      ImageChecks
+        .violations(imgs, col("row_id"))
+        .groupBy("code").agg(count(lit(1)).as("cnt")).orderBy("code")
+    }),
+    "q33_image_unique_id" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
+      val imgs = SyntheticImages.generateWithId(s, n).withColumnRenamed("row_id", "_rid")
+      ValidationRunner
+        .plan(
+          imgs.drop("bytes"),
+          TableSchema(fields = Seq(Field("image_id", constraints = fc(unique = true)))),
+          ValidationConfig(rowNumberCol = "_rid")
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_required_navalue" ->
+      """SELECT 'required-constraint' AS code, l_orderkey*10 + l_linenumber AS row_number
+        |FROM lineitem WHERE l_returnflag = 'N' ORDER BY row_number, code""".stripMargin,
+    "q02_enum" ->
+      """SELECT 'enumerable-constraint' AS code, l_orderkey*10 + l_linenumber AS row_number
+        |FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+        |ORDER BY row_number, code""".stripMargin,
+    "q03_minimum" ->
+      """SELECT 'minimum-constraint' AS code, l_orderkey*10 + l_linenumber AS row_number
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 5 ORDER BY row_number, code""".stripMargin,
+    "q04_maximum" ->
+      """SELECT 'maximum-constraint' AS code, o_orderkey AS row_number
+        |FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 300000 ORDER BY row_number, code""".stripMargin,
+    "q05_minlength" ->
+      """SELECT 'minimum-length-constraint' AS code, doc_id AS row_number
+        |FROM documents WHERE text IS NOT NULL AND length(text) < 200 ORDER BY row_number, code""".stripMargin,
+    "q06_maxlength" ->
+      """SELECT 'maximum-length-constraint' AS code, doc_id AS row_number
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 600 ORDER BY row_number, code""".stripMargin,
+    "q07_pattern" ->
+      """SELECT 'pattern-constraint' AS code, c_custkey AS row_number
+        |FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '[02468]$')
+        |ORDER BY row_number, code""".stripMargin,
+    "q08_type_integer" ->
+      """SELECT 'type-or-format-error' AS code, event_id AS row_number
+        |FROM events WHERE props IS NOT NULL AND props <> '' AND NOT regexp_matches(props, '^[+-]?\d+$')
+        |ORDER BY row_number, code""".stripMargin,
+    "q09_unique" ->
+      """SELECT 'unique-constraint' AS code, event_id AS row_number FROM (
+        |  SELECT event_id, min(event_id) OVER (PARTITION BY user_id) AS f
+        |  FROM events WHERE user_id IS NOT NULL
+        |) WHERE event_id > f ORDER BY row_number, code""".stripMargin,
+    "q10_composite_pk" ->
+      """SELECT 'unique-constraint' AS code, doc_id AS row_number FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, source) AS f
+        |  FROM documents WHERE lang IS NOT NULL OR source IS NOT NULL
+        |) WHERE doc_id > f ORDER BY row_number, code""".stripMargin,
+    "q11_fk_dim" ->
+      """SELECT 'foreign-key' AS code, o_orderkey AS row_number
+        |FROM orders WHERE CAST(o_custkey AS VARCHAR) NOT IN
+        |  (SELECT DISTINCT CAST(c_custkey AS VARCHAR) FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY row_number, code""".stripMargin,
+    "q12_fk_inline" ->
+      """SELECT 'foreign-key' AS code, l_orderkey*10 + l_linenumber AS row_number
+        |FROM lineitem WHERE l_suppkey >= 50 ORDER BY row_number, code""".stripMargin,
+    "q13_custom_constraint" ->
+      """SELECT 'custom-constraint' AS code, l_orderkey*10 + l_linenumber AS row_number
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  AND NOT (l_extendedprice > l_quantity * 900)
+        |ORDER BY row_number, code""".stripMargin,
+    "q14_multicheck_summary" ->
+      """SELECT code, count(*) AS cnt FROM (
+        |  SELECT 'enumerable-constraint' AS code FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+        |  UNION ALL
+        |  SELECT 'minimum-constraint' FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 5
+        |  UNION ALL
+        |  SELECT 'maximum-constraint' FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'custom-constraint' FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |      AND NOT (l_extendedprice > l_quantity * 900)
+        |) GROUP BY code ORDER BY code""".stripMargin,
+    "q15_error_cap" ->
+      """SELECT code, row_number FROM (
+        |  SELECT code, row_number, row_number() OVER (PARTITION BY code ORDER BY row_number) AS rk FROM (
+        |    SELECT 'enumerable-constraint' AS code, l_orderkey*10 + l_linenumber AS row_number FROM lineitem
+        |      WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+        |    UNION ALL
+        |    SELECT 'minimum-constraint', l_orderkey*10 + l_linenumber FROM lineitem
+        |      WHERE l_quantity IS NOT NULL AND l_quantity < 5
+        |    UNION ALL
+        |    SELECT 'maximum-constraint', l_orderkey*10 + l_linenumber FROM lineitem
+        |      WHERE l_quantity IS NOT NULL AND l_quantity > 45
+        |    UNION ALL
+        |    SELECT 'custom-constraint', l_orderkey*10 + l_linenumber FROM lineitem
+        |      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |        AND NOT (l_extendedprice > l_quantity * 900)
+        |  )
+        |) WHERE rk <= 10 ORDER BY code, row_number""".stripMargin,
+    "q16_column_stats" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS cnt,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  count(DISTINCT l_quantity) AS dcount,
+        |  CAST(min(l_quantity) AS DOUBLE) AS vmin, CAST(max(l_quantity) AS DOUBLE) AS vmax FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT l_extendedprice),
+        |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(l_returnflag),
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT l_returnflag), NULL, NULL FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+    "q17_histogram" ->
+      """SELECT LEAST(GREATEST(CAST(FLOOR(l_quantity / 5.0) AS INT), 0), 9) AS bucket, count(*) AS cnt
+        |FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_drift_hist" ->
+      """WITH cur AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 10000.0) AS INT), 0), 9) AS bucket, count(*) AS cnt_cur
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL GROUP BY 1
+        |), base AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 10000.0) AS INT), 0), 9) AS bucket, count(*) AS cnt_base
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL GROUP BY 1
+        |)
+        |SELECT COALESCE(cur.bucket, base.bucket) AS bucket,
+        |       COALESCE(cnt_cur, 0) AS cnt_cur, COALESCE(cnt_base, 0) AS cnt_base
+        |FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket ORDER BY 1""".stripMargin,
+    "q20_token_count" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS INT) AS stop_cnt,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS punct_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the','a','of','and','is'))) > 0 THEN 'en' ELSE 'unk' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_dedup_normtokens" ->
+      """WITH k AS (
+        |  SELECT doc_id, array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ') AS key
+        |  FROM documents
+        |), g AS (
+        |  SELECT key, min(doc_id) AS kept_id FROM k GROUP BY key HAVING count(*) > 1
+        |)
+        |SELECT k.doc_id AS id, g.kept_id FROM k JOIN g USING(key) WHERE k.doc_id > g.kept_id
+        |ORDER BY id""".stripMargin,
+    "q24_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT text, min(doc_id) AS kept_id FROM documents GROUP BY text HAVING count(*) > 1
+        |)
+        |SELECT d.doc_id AS id, g.kept_id FROM documents d JOIN g USING(text) WHERE d.doc_id > g.kept_id
+        |ORDER BY id""".stripMargin
+    // q19, q25-q33: not ANSI-SQL-expressible (driver-side math, hash-specific
+    // signatures, binary image decode) → rows-only checks.
+  )
 }

@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact, normalized,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Shared scale pattern: never window-sort the full corpus. Duplicate groups
+  * are found with a partial-aggregating `groupBy(key)` (map-side combine makes
+  * skewed keys cheap) and only the tiny duplicate-key set flows into the
+  * join-back, which AQE turns into a broadcast join in the common case. First
+  * occurrence (lowest id) is the kept representative, matching the
+  * first-occurrence-wins semantics of the reference's uniqueness check
+  * (reference: custom_checks.py:121-143).
+  */
+object Dedup {
+
+  /** Rows that are duplicates (by `key`) of an earlier row. Output:
+    * (id, kept_id) — `kept_id` is the representative (min id) of the group. */
+  def duplicatesByKey(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val base = df.select(key.as("_key"), id.as("_id"))
+    val groups = base
+      .groupBy(col("_key"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_id")).as("kept_id"))
+      .filter(col("_cnt") > 1)
+      .drop("_cnt")
+    base
+      .join(groups, "_key")
+      .filter(col("_id") > col("kept_id"))
+      .select(col("_id").as("id"), col("kept_id"))
+  }
+
+  /** Exact dedup on raw text bytes (hash-groupBy). */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    duplicatesByKey(df, TextOps.fingerprint(text), id)
+
+  /** Dedup on the sorted distinct token set (order/whitespace-insensitive). */
+  def normalizedTokenSet(df: DataFrame, text: Column, id: Column): DataFrame =
+    duplicatesByKey(df, array_join(array_sort(array_distinct(TextOps.tokens(text))), " "), id)
+
+  /** SimHash dedup: exact 64-bit signature collision. For hamming-≤k matching
+    * split the signature into k+1 bands (pigeonhole) and use [[minHashPairs]]'
+    * band-join pattern. */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
+    duplicatesByKey(df, TextOps.simhash64(text), id)
+
+  /** MinHash signature: `numHashes` minima over shingle hashes, computed
+    * natively (transform + array_min — no UDF, no shuffle). */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
+    val seeds = sequence(lit(1), lit(numHashes))
+    transform(seeds, s => array_min(transform(shingles, t => xxhash64(t, s))))
+  }
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Pipeline (each arrow one distributed op):
+    * shingle → minhash signature (scan-local) → explode into `bands` band
+    * hashes → groupBy band bucket (partial-agg shuffle) → pairs within
+    * buckets (only buckets with ≥2 docs survive; bucket size capped to guard
+    * against degenerate buckets) → exact Jaccard on the shingle sets →
+    * filter ≥ `threshold` → distinct pairs.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * @param maxBucket skip pathological buckets larger than this (a single
+    *   hot bucket would otherwise produce O(n²) pairs — the skew guard).
+    */
+  def minHashPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleWords: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val shingles = TextOps.wordShingles(text, shingleWords)
+    val sig = minhashSignature(shingles, numHashes)
+    val withSig = df.select(id.as("_id"), shingles.as("_sh"), sig.as("_sig"))
+    val bandIdx = sequence(lit(0), lit(bands - 1))
+    val banded = withSig
+      .select(
+        col("_id"),
+        col("_sh"),
+        explode(
+          transform(
+            bandIdx,
+            b => struct(b.as("band"), xxhash64(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), ",")).as("bh"))
+          )
+        ).as("_b")
+      )
+      .select(col("_id"), col("_sh"), col("_b.band"), col("_b.bh"))
+
+    // bucket size guard: count per bucket with a partial agg, drop hot buckets
+    val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
+    val pruned = banded
+      .join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
+
+    val a = pruned.select(col("band"), col("bh"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = pruned.select(col("band"), col("bh"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    val pairs = a
+      .join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+    pairs
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within blocks (e.g. same
+    * language) — quadratic within a block, so only for small/bounded blocks;
+    * the scalable path is [[minHashPairs]]. Output: (id_a, id_b, jaccard). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      block: Column,
+      shingleWords: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val base = df.select(block.as("_blk"), id.as("_id"), TextOps.wordShingles(text, shingleWords).as("_sh"))
+    val a = base.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = base.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-duplicate pairs within blocks (e.g. same label or
+    * same LSH bucket): (id_a, id_b, cosine) with cosine ≥ threshold. */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      block: Column,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val norm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    val base = df.select(block.as("_blk"), id.as("_id"), vec.as("_v"), norm.as("_n"))
+    val a = base.select(col("_blk"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val b = base.select(col("_blk"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (aggregate(zip_with(col("_va"), col("_vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("_na") * col("_nb"))).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+}

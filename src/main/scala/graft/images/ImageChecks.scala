@@ -1,0 +1,176 @@
+package graft.images
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-row image payload validation — the engine's analogue of the
+  * reference's synthesized-payload-validity pattern (reference: the
+  * GeoJSON/SHP readers synthesize an `adr_geometry_check` column from payload
+  * decodability, jobs.py:297-387, and `geometry_check` fails falsy rows,
+  * custom_checks.py:177-203). Here the payload is the image `bytes` column:
+  * decode it once per row, compare decoded width/height/format against the
+  * declared `w`/`h`/`fmt` columns, and verify the caption against the
+  * deterministic reference captioner.
+  *
+  * Execution design: the decode UDF is isolated in its OWN projection so the
+  * opaque-bytes call doesn't poison whole-stage codegen for the cheap scalar
+  * checks; everything downstream of the decoded struct is native Catalyst.
+  * Decode cost dominates (~10³× the scalar checks) — it is skippable via
+  * ValidationOptions.skipChecks("missing-geometry") by simply not calling
+  * this transform.
+  */
+object ImageChecks {
+
+  final case class Decoded(ok: Boolean, w: Int, h: Int, fmt: String)
+
+  /** Decode bytes → (ok, width, height, format). Format name comes from the
+    * matching ImageReader (normalised to lowercase; JPEG readers report
+    * "JPEG"). Any decode failure → ok=false. */
+  def decode(bytes: Array[Byte]): Decoded = {
+    if (bytes == null || bytes.length == 0) return Decoded(ok = false, 0, 0, "")
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Decoded(ok = false, 0, 0, "")
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase match {
+            case "jpg" => "jpeg"
+            case f     => f
+          }
+          val img = reader.read(0)
+          reader.dispose()
+          if (img == null) Decoded(ok = false, 0, 0, fmt)
+          else Decoded(ok = true, img.getWidth, img.getHeight, fmt)
+        }
+      } finally iis.close()
+    } catch { case _: Exception => Decoded(ok = false, 0, 0, "") }
+  }
+
+  private val decodeUdf = udf((b: Array[Byte]) => decode(b))
+
+  /** Add a `_decoded` struct column (one decode per row). */
+  def withDecoded(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("_decoded", decodeUdf(col(bytesCol)))
+
+  /** Synthesize the payload-validity boolean column (the reference's
+    * `adr_geometry_check` pattern): true ⇔ bytes decode AND the decoded
+    * width/height/format equal the declared columns. */
+  def withValidityColumn(df: DataFrame): DataFrame =
+    withDecoded(df).withColumn(
+      "adr_geometry_check",
+      col("_decoded.ok") &&
+        col("_decoded.w") === col("w") &&
+        col("_decoded.h") === col("h") &&
+        col("_decoded.fmt") === col("fmt")
+    ).drop("_decoded")
+
+  /** Full image-table validation: violations frame with the engine's
+    * canonical schema (code, row_number, column_number, message, row).
+    *
+    * Codes emitted (reference vocabulary):
+    *  - missing-geometry   : bytes fail to decode (payload invalid);
+    *  - type-or-format-error: decoded w/h/fmt disagree with declared columns
+    *    (column_number points at the offending column);
+    *  - required-constraint : caption null/empty;
+    *  - custom-constraint   : caption differs from the deterministic
+    *    reference captioner (caption-equality invariant).
+    *
+    * `rowNumber` must be a stable per-row id (e.g. dense rank of image_id).
+    */
+  def violations(df: DataFrame, rowNumber: Column, checkCaption: Boolean = true): DataFrame = {
+    val cols = Seq("image_id", "w", "h", "fmt", "caption", "phash")
+    val dec = withDecoded(df).withColumn("_rn", rowNumber.cast(LongType))
+    val rowArr = array(
+      (Seq(col("image_id")) ++ Seq(col("w"), col("h")).map(_.cast(StringType)) ++
+        Seq(col("fmt"), col("caption")) :+ col("phash").cast(StringType)).map(c => coalesce(c, lit(""))): _*
+    )
+    val colIdx = Map("image_id" -> 1, "bytes" -> 2, "w" -> 3, "h" -> 4, "fmt" -> 5, "caption" -> 6, "phash" -> 7)
+    def viol(cond: Column, code: String, cn: Option[Int], msg: Column): Column =
+      when(cond, struct(
+        lit(code).as("code"),
+        col("_rn").as("row_number"),
+        cn.map(n => lit(n)).getOrElse(lit(null)).cast(IntegerType).as("column_number"),
+        msg.as("message")
+      ))
+
+    val expectedCaption = expectedCaptionCol(col("image_id"))
+    val entries = Seq(
+      viol(
+        !col("_decoded.ok"),
+        "missing-geometry",
+        None,
+        concat(lit("There is no geometry specified for row "), col("_rn").cast(StringType), lit("."))
+      ),
+      viol(
+        col("_decoded.ok") && col("_decoded.w") =!= col("w"),
+        "type-or-format-error",
+        Some(colIdx("w")),
+        concat(lit("The value \""), col("w").cast(StringType),
+          lit("\" in row "), col("_rn").cast(StringType),
+          lit(" and column 3 is not type integer and format default"))
+      ),
+      viol(
+        col("_decoded.ok") && col("_decoded.h") =!= col("h"),
+        "type-or-format-error",
+        Some(colIdx("h")),
+        concat(lit("The value \""), col("h").cast(StringType),
+          lit("\" in row "), col("_rn").cast(StringType),
+          lit(" and column 4 is not type integer and format default"))
+      ),
+      viol(
+        col("_decoded.ok") && col("_decoded.fmt") =!= col("fmt"),
+        "type-or-format-error",
+        Some(colIdx("fmt")),
+        concat(lit("The value \""), col("fmt"),
+          lit("\" in row "), col("_rn").cast(StringType),
+          lit(" and column 5 is not type string and format default"))
+      ),
+      viol(
+        col("caption").isNull || col("caption") === "",
+        "required-constraint",
+        Some(colIdx("caption")),
+        concat(lit("Column 6 is a required field, but row "), col("_rn").cast(StringType), lit(" has no value"))
+      )
+    ) ++ (if (checkCaption)
+            Seq(
+              viol(
+                col("caption").isNotNull && col("caption") =!= "" && col("caption") =!= expectedCaption,
+                "custom-constraint",
+                Some(colIdx("caption")),
+                concat(lit("Custom constraint \"caption-equality\" fails for row "), col("_rn").cast(StringType))
+              )
+            )
+          else Nil)
+
+    dec
+      .select(filter(array(entries: _*), _.isNotNull).as("_viols"), rowArr.as("row"))
+      .filter(size(col("_viols")) > 0)
+      .select(explode(col("_viols")).as("_v"), col("row"))
+      .select(col("_v.code"), col("_v.row_number"), col("_v.column_number"), col("_v.message"), col("row"))
+  }
+
+  /** The deterministic reference captioner as a Column (must mirror
+    * SyntheticImages.caption). image_id format: img_%012d. */
+  def expectedCaptionCol(imageId: Column): Column = {
+    val id = substring(imageId, 5, 12).cast(LongType)
+    val subjects = Seq("gradient", "pattern", "texture", "field", "grid")
+    val colors = Seq("amber", "teal", "crimson", "violet", "olive")
+    val colorArr = array(colors.map(lit): _*)
+    val subjArr = array(subjects.map(lit): _*)
+    concat(
+      lit("synthetic "),
+      element_at(colorArr, (id % 5).cast("int") + 1),
+      lit(" "),
+      element_at(subjArr, (id % 7 % 5).cast("int") + 1),
+      lit(" image number "),
+      id.cast(StringType)
+    )
+  }
+}

@@ -1,0 +1,271 @@
+package graft.runner
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.checks.{ForeignKeyCheck, HeaderChecks, RowChecks, UniquenessCheck}
+import graft.report.{ErrorSpec, TableReport, ValidationReport, Violation, RunStatus}
+import graft.schema._
+
+/** End-to-end validation lifecycle over one table — the Spark-native
+  * re-imagining of the reference's job pipeline (reference: jobs.py:53-222:
+  * prepare → execute → post-process → commit).
+  *
+  * Execution shape (designed for the 1000-executor / 100 TB case):
+  *  - header checks: driver-side metadata diffs, zero jobs;
+  *  - every row-scoped check: ONE projection over ONE scan (whole-stage
+  *    codegen), producing a violations frame via array+filter+explode;
+  *  - uniqueness / duplicate-row: partial-agg shuffle + (AQE-broadcast) join
+  *    back — skew-robust, see [[UniquenessCheck]];
+  *  - foreign keys: left anti joins, broadcast for small dims;
+  *  - the violations of all checks are unioned lazily — nothing materialises
+  *    until the caller aggregates or collects, so Catalyst can share the scan.
+  *
+  * Row numbers: the engine needs a stable 1-based row identity for report
+  * parity (reference rows are file-ordered, header = row 1). The caller
+  * supplies `rowNumberCol`; for headered fixture parity use values starting
+  * at 2. At 10^12-row scale the identity column is a table column
+  * (e.g. rank by image_id), never `monotonically_increasing_id`.
+  */
+final case class ValidationConfig(
+    rowNumberCol: String,
+    /** source label used in the report (reference hides local paths,
+      * jobs.py:155-160) */
+    source: String = "table",
+    /** header row present in original source ⇒ rowCount includes it */
+    headerInRowCount: Boolean = false,
+    options: ValidationOptions = ValidationOptions.default,
+    /** dimension tables for TableRef foreign keys, keyed by table name */
+    dims: Map[String, DataFrame] = Map.empty,
+    /** force-broadcast FK dimensions (reference's ≤3000-value cache) */
+    broadcastDims: Boolean = false
+)
+
+final case class ValidationResult(
+    /** lazy union of every check's violations:
+      * (code, row_number, column_number, message, row) */
+    violations: DataFrame,
+    headerViolations: Seq[Violation],
+    headers: Seq[String]
+)
+
+object ValidationRunner {
+
+  /** NA ingestion (jobs.py:132-133, 437-438): replace the naValue token with
+    * null in every column. */
+  def replaceNa(df: DataFrame, naValue: Option[String]): DataFrame = naValue match {
+    case None => df
+    case Some(na) =>
+      df.select(df.columns.map { c =>
+        val sc = col(c)
+        when(sc.cast(StringType) === lit(na), lit(null)).otherwise(sc).as(c)
+      }.toIndexedSeq: _*)
+  }
+
+  /** Build the full lazy validation plan. Does not trigger any job. */
+  def plan(df0: DataFrame, schema: TableSchema, cfg: ValidationConfig): ValidationResult = {
+    val opts = cfg.options
+    // row limit (goodtables row_limit; warning handled in report())
+    val limited = cfg.options.rowLimit.fold(df0)(n => df0.limit(n.toInt))
+    val df = replaceNa(limited, schema.naValue)
+    val dataCols = df.columns.toSeq.filterNot(_ == cfg.rowNumberCol)
+    val rowNum: Column = col(cfg.rowNumberCol)
+    val payloadSchema =
+      org.apache.spark.sql.types.StructType(dataCols.map(c => df.schema(c)))
+
+    // 1. header checks (driver-side)
+    val headerViols = HeaderChecks.violations(dataCols, schema, opts)
+
+    // 2. single-pass row checks, with the full source row carried as payload
+    val compiled = RowChecks.compile(schema, payloadSchema, rowNum, opts)
+    val entriesDf = violationsWithPayload(df, dataCols, compiled, rowNum)
+
+    var parts = Seq(entriesDf)
+
+    // 3. uniqueness: single-column unique constraints
+    if (opts.enabled("unique-constraint", "schema")) {
+      schema.fields.zipWithIndex.foreach { case (f, _) =>
+        val cn = dataCols.indexOf(f.name) + 1
+        if (f.constraints.unique && cn > 0 && !schema.primaryKey.contains(f.name))
+          parts :+= UniquenessCheck.violations(
+            dropRowNum(df, dataCols, cfg), dataCols, Seq(f.name), rowNum, cn
+          )
+      }
+      // composite / single primary key
+      if (schema.primaryKey.nonEmpty && schema.primaryKey.forall(dataCols.contains)) {
+        val cn = dataCols.indexOf(schema.primaryKey.head) + 1
+        parts :+= UniquenessCheck.violations(
+          dropRowNum(df, dataCols, cfg),
+          dataCols,
+          schema.primaryKey,
+          rowNum,
+          cn,
+          primaryKeyFields = if (schema.primaryKey.size > 1) schema.primaryKey else Nil
+        )
+      }
+    }
+
+    // 4. duplicate-row — opt-in by explicit code: full-row dedup at 10^12
+    // rows is a deliberate choice, so "structure" alone does not enable it
+    if (opts.checks.contains("duplicate-row") && !opts.skipChecks.contains("duplicate-row"))
+      parts :+= UniquenessCheck.duplicateRows(dropRowNum(df, dataCols, cfg), dataCols, rowNum)
+
+    // 5. foreign keys (TableRef → anti join; NotFound → single violation)
+    if (opts.enabled("foreign-key", "schema"))
+      schema.fields.foreach { f =>
+        val cn = dataCols.indexOf(f.name) + 1
+        if (cn > 0) f.foreignKey match {
+          case Some(TableRef(table, refField)) =>
+            cfg.dims.get(table) match {
+              case Some(dim) =>
+                parts :+= ForeignKeyCheck.violations(
+                  dropRowNum(df, dataCols, cfg), dataCols, f.name, cn, rowNum, dim,
+                  refField, resourceId = table, broadcastDim = cfg.broadcastDims
+                )
+              case None =>
+                parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum)
+            }
+          case Some(NotFoundRef) =>
+            parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum)
+          case _ => () // InlineValues handled in RowChecks; None = no FK
+        }
+      }
+
+    ValidationResult(parts.reduce(_ unionAll _), headerViols, dataCols)
+  }
+
+  /** keep payload columns + row number available to shuffle checks, with the
+    * row-number column positioned last so rowPayload(dataCols) excludes it */
+  private def dropRowNum(df: DataFrame, dataCols: Seq[String], cfg: ValidationConfig): DataFrame = {
+    // UniquenessCheck/ForeignKeyCheck build the payload from df.columns minus
+    // nothing — so pass a frame whose columns are exactly the data columns
+    // plus we must keep the row number accessible via the rowNumber Column.
+    df.select((dataCols :+ cfg.rowNumberCol).map(col): _*)
+  }
+
+  private def violationsWithPayload(
+      df: DataFrame,
+      dataCols: Seq[String],
+      compiled: Seq[graft.checks.CompiledCheck],
+      rowNum: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val vSchema = StructType(
+      Seq(
+        StructField("code", StringType),
+        StructField("row_number", LongType),
+        StructField("column_number", IntegerType),
+        StructField("message", StringType),
+        StructField("row", ArrayType(StringType))
+      )
+    )
+    if (compiled.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
+    val entries = compiled.map { ck =>
+      when(
+        ck.cond,
+        struct(
+          lit(ck.code).as("code"),
+          rowNum.cast(LongType).as("row_number"),
+          ck.columnNumber.map(n => lit(n)).getOrElse(lit(null)).cast(IntegerType).as("column_number"),
+          ck.message.as("message")
+        )
+      )
+    }
+    df.select(
+        filter(array(entries: _*), _.isNotNull).as("_viols"),
+        RowChecks.rowPayload(dataCols).as("row")
+      )
+      .filter(size(col("_viols")) > 0)
+      .select(explode(col("_viols")).as("_v"), col("row"))
+      .select(col("_v.code"), col("_v.row_number"), col("_v.column_number"), col("_v.message"), col("row"))
+  }
+
+  /** Execute the plan and assemble the reference-shaped report (driver-side
+    * post-processing per jobs.py:155-200: misleading-uniqueness filter, error
+    * caps, row/header injection, status assignment). */
+  def run(df: DataFrame, schema: TableSchema, cfg: ValidationConfig): (ValidationReport, String) = {
+    val t0 = System.nanoTime()
+    val result = plan(df, schema, cfg)
+    val rawCount = df.count()
+    val scanned = cfg.options.rowLimit.fold(rawCount)(math.min(_, rawCount))
+
+    import org.apache.spark.sql.Row
+    val collected: Seq[Violation] = {
+      val capped = cfg.options.errorLimitPerCode match {
+        case Some(cap) =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("code")).orderBy(col("row_number").asc_nulls_first)
+          result.violations
+            .withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= cap)
+            .drop("_rk")
+        case None => result.violations
+      }
+      capped
+        .orderBy(col("row_number").asc_nulls_first, col("column_number").asc_nulls_first, col("code"))
+        .collect()
+        .toSeq
+        .map { r: Row =>
+          Violation(
+            code = r.getString(0),
+            rowNumber = if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            columnNumber = if (r.isNullAt(2)) None else Some(r.getInt(2)),
+            message = r.getString(3),
+            row = if (r.isNullAt(4)) Nil else r.getSeq[String](4)
+          )
+        }
+    }
+
+    // misleading-uniqueness filter (jobs.py:174-176, 545-569): if a PK column
+    // also has required-constraint errors, unique-constraint errors are noise
+    val pkCols = schema.primaryKey.flatMap(n => Option(result.headers.indexOf(n) + 1).filter(_ > 0))
+    val pkHasRequiredErrors = collected.exists(v =>
+      v.code == "required-constraint" && v.columnNumber.exists(pkCols.contains)
+    )
+    val filtered =
+      if (pkHasRequiredErrors) collected.filterNot(_.code == "unique-constraint")
+      else collected
+
+    val all = result.headerViolations ++ filtered
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val warnings =
+      cfg.options.rowLimit.toSeq.collect {
+        case n if rawCount > n => s"Table inspection has reached $n row(s) limit"
+      }
+    val table = TableReport(
+      source = cfg.source,
+      headers = result.headers,
+      rowCount = scanned + (if (cfg.headerInRowCount) 1 else 0),
+      errorCount = all.size.toLong,
+      time = math.round(elapsed * 1000.0) / 1000.0,
+      valid = all.isEmpty,
+      errors = all
+    )
+    val report = ValidationReport(
+      valid = all.isEmpty,
+      errorCount = all.size.toLong,
+      tableCount = 1,
+      time = table.time,
+      warnings = warnings,
+      tables = Seq(table)
+    )
+    val status = if (report.valid) RunStatus.Success else RunStatus.Failure
+    (report, status)
+  }
+
+  /** Fail-closed admission gate (reference `_run_sync_validation`,
+    * logic.py:653-708): invalid ⇒ reject the whole table unless
+    * allowInvalidData. */
+  def validateOrReject(
+      df: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      allowInvalidData: Boolean = false
+  ): Either[ValidationReport, DataFrame] = {
+    val (report, _) = run(df, schema, cfg)
+    if (report.valid || allowInvalidData) Right(df) else Left(report)
+  }
+}
