@@ -27,13 +27,16 @@ object SyntheticImages {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val o1 = (id * 37 % 251).toInt
     val o2 = (id * 101 % 241).toInt
+    // triangle wave: continuous (no modulo wrap discontinuity), so JPEG
+    // round-trips comfortably above the 40 dB PSNR invariant
+    def tri(v: Int): Int = { val m = v % 510; if (m < 255) m else 510 - m }
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = (o1 + x * 255 / w) % 256
-        val g = (o2 + y * 255 / h) % 256
-        val b = (o1 + o2 + (x + y) * 127 / (w + h)) % 256
+        val r = tri(o1 + x * 255 / w)
+        val g = tri(o2 + y * 255 / h)
+        val b = tri(o1 + o2 + (x + y) * 127 / (w + h))
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

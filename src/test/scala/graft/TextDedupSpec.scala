@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.stats.{ColumnStats, Drift}
+import graft.text.TextOps
+
+/** Text analysis, dedup, ANN, stats and drift operators. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a completely different sentence about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "dog lazy the over jumps fox brown quick the"), // same token multiset as 1
+    (5L, "the quick brown fox jumps over the lazy cat and more words here")
+  ).toDF("doc_id", "text")
+
+  test("token count / stopword count / punct count") {
+    val r = docs
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n"),
+        TextOps.stopwordCount(col("text")).as("s"),
+        TextOps.punctCount(col("text")).as("p")
+      )
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+      .sortBy(_._1)
+    assert(r(0) == (1L, 9, 2, 0)) // two 'the'
+    assert(r(1)._2 == 7)
+    assert(r(1)._3 == 1) // 'a'
+  }
+
+  test("language ID heuristic picks marker language or unk") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "le chat et la maison est grande"),
+      (4L, "xyz qwerty asdf")
+    ).toDF("id", "text")
+    val r = df.select(col("id"), TextOps.langId(col("text"))).collect().map(x => (x.getLong(0), x.getString(1))).sortBy(_._1)
+    assert(r(0)._2 == "en")
+    assert(r(1)._2 == "de")
+    assert(r(2)._2 == "fr")
+    assert(r(3)._2 == "unk")
+  }
+
+  test("exact dedup finds byte-identical texts, first occurrence kept") {
+    val d = Dedup.exact(docs, col("text"), col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq == Seq((3L, 1L)))
+  }
+
+  test("normalized token-set dedup also catches reordered duplicates") {
+    val d = Dedup
+      .normalizedTokenSet(docs, col("text"), col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(d.toSeq == Seq((3L, 1L), (4L, 1L)))
+  }
+
+  test("simhash identical for identical texts, near for near-duplicates") {
+    val sigs = docs
+      .select(col("doc_id"), TextOps.simhash64(col("text")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sigs(1L) == sigs(3L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("minhash LSH finds the exact duplicate pair with jaccard 1.0") {
+    val pairs = Dedup
+      .minHashPairs(docs, col("text"), col("doc_id"), threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+  }
+
+  test("ngram jaccard within blocks") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup
+      .ngramJaccardPairs(blocked, col("text"), col("doc_id"), col("blk"), threshold = 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 3L)))
+  }
+
+  test("fingerprint is whitespace/case-insensitive-normalised and stable") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
+    val f = df.select(col("id"), TextOps.fingerprint(col("t"))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+
+  test("brute-force ANN: identical vector is its own top-1 with cosine 1.0") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, col("embedding"), col("vec_id"), Seq(1.0, 0.0, 0.0), 2).collect()
+    assert(top(0).getLong(0) == 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+    assert(top(1).getLong(0) == 2L)
+  }
+
+  test("LSH ANN recalls the exact-match neighbor") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 3 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = (0 until 8).map(d => math.sin(0 * 3 + d))
+    val top = Ann.lshTopK(vecs, col("embedding"), col("vec_id"), q, 3, numBits = 8, probeHamming = 2).collect()
+    assert(top.head.getLong(0) == 0L)
+  }
+
+  test("column stats single-pass profile") {
+    val df = Seq((1, Some(2.0)), (2, None), (3, Some(8.0))).toDF("id", "v")
+    val r = ColumnStats.profile(df, Seq("id", "v"), exactDistinct = true).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("v").getLong(1) == 2) // non-null count
+    assert(r("v").getLong(2) == 1) // nulls
+    assert(r("v").getLong(3) == 2) // distinct
+    assert(r("v").getDouble(4) == 2.0 && r("v").getDouble(5) == 8.0)
+    assert(r("id").getLong(1) == 3)
+  }
+
+  test("drift: identical distributions give PSI~0 and KS~0, shifted ones do not") {
+    val a = (1 to 1000).map(i => i % 100).toDF("x")
+    val b = (1 to 1000).map(i => i % 100).toDF("x")
+    val c = (1 to 1000).map(i => (i % 100) + 50).toDF("x")
+    val (psiSame, ksSame) = Drift.detect(a, b, col("x"), 0, 150, 10)
+    val (psiShift, ksShift) = Drift.detect(a, c, col("x"), 0, 150, 10)
+    assert(math.abs(psiSame) < 1e-9 && ksSame < 1e-9)
+    assert(psiShift > 0.5 && ksShift > 0.2)
+  }
+
+  test("histogram clamps out-of-range values to edge buckets") {
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 49.9, 60.0).toDF("x")
+    val h = ColumnStats.histogram(df, col("x"), 0, 50, 10).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(0) == 3)  // -5 clamped, 0, 4.9
+    assert(h(1) == 1)  // 5.0
+    assert(h(9) == 2)  // 49.9 and 60 clamped
+  }
+}
