@@ -222,12 +222,14 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), col("text"), col("doc_id")).orderBy("id")),
     "q26_minhash_pairs" -> ((s, dir) =>
       Dedup
-        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), threshold = 0.3)
+        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
     "q27_ngram_jaccard" -> ((s, dir) =>
       Dedup
-        .ngramJaccardPairs(t(s, dir, "documents"), col("text"), col("doc_id"), col("lang"), threshold = 0.2)
+        .ngramJaccardPairs(
+          t(s, dir, "documents"), col("text"), col("doc_id"),
+          concat_ws("|", col("lang"), col("source")), threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
     "q28_fingerprint" -> ((s, dir) =>
@@ -262,10 +264,12 @@ object SparkEntry {
     }),
     "q33_image_unique_id" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
-      val imgs = SyntheticImages.generateWithId(s, n).withColumnRenamed("row_id", "_rid")
+      // metadata-only generation: the uniqueness check never reads bytes —
+      // the column-pruned path a stored table gives for free
+      val imgs = SyntheticImages.generateMeta(s, n).withColumnRenamed("row_id", "_rid")
       ValidationRunner
         .plan(
-          imgs.drop("bytes"),
+          imgs,
           TableSchema(fields = Seq(Field("image_id", constraints = fc(unique = true)))),
           ValidationConfig(rowNumberCol = "_rid")
         )

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      // local proxy for many-block tables at scale: without this the ~10MB
+      // test parquet files become ONE scan partition and nothing parallelises
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(2 * 1024 * 1024))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,21 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Dot product of two float/double array columns — native, codegen'd. */
+  /** Row-local vector kernels. Implemented as tight Scala UDFs over primitive
+    * loops: Catalyst's zip_with/aggregate higher-order functions are
+    * CodegenFallback (interpreted per element) — measured ~10× slower for
+    * dot products. The UDF is the whole per-row cost; everything around it
+    * (scan, top-k, joins) stays native. */
+  private[ann] def dotK(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private[ann] def normK(a: Seq[Double]): Double = math.sqrt(dotK(a, a))
+
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => dotK(a, b))
+  private val normUdf = udf((a: Seq[Double]) => normK(a))
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    dotK(a, b) / (normK(a) * normK(b))
+  }
+
+  /** Dot product of two numeric array columns. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
 
-  def l2norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(v: Column): Column = normUdf(v.cast("array<double>"))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Brute-force cosine top-k against a constant query vector. Output:
     * (id, cosine) ordered descending, k rows. Executes as
-    * TakeOrderedAndProject (per-partition heaps, no shuffle). */
+    * TakeOrderedAndProject (per-partition heaps, no shuffle of vectors). */
   def bruteForceTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
     val qn = math.sqrt(query.map(x => x * x).sum)
-    df.select(id.as("id"), (dot(vec, q) / (l2norm(vec) * lit(qn))).as("cosine"))
+    val q = query.toIndexedSeq
+    val scoreUdf = udf((v: Seq[Double]) => if (v == null) Double.NaN else dotK(v, q) / (normK(v) * qn))
+    df.select(id.as("id"), scoreUdf(vec.cast("array<double>")).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

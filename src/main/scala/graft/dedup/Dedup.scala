@@ -46,11 +46,54 @@ object Dedup {
   def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
     duplicatesByKey(df, TextOps.simhash64(text), id)
 
-  /** MinHash signature: `numHashes` minima over shingle hashes, computed
-    * natively (transform + array_min — no UDF, no shuffle). */
-  def minhashSignature(shingles: Column, numHashes: Int = 32): Column = {
-    val seeds = sequence(lit(1), lit(numHashes))
-    transform(seeds, s => array_min(transform(shingles, t => xxhash64(t, s))))
+  /** splitmix64 scramble (public-domain bit mixer) — remixes one shingle
+    * hash into the i-th hash family without re-hashing the string. */
+  @inline private def scramble(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays — primitive merge. */
+  private[dedup] def jaccardLong(a: Seq[Long], b: Seq[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    val na = a.length; val nb = b.length
+    while (i < na && j < nb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLong(a, b))
+
+  /** MinHash signature over shingle hashes: `numHashes` minima of splitmix
+    * remixes. Per-row compute kernel as a Scala UDF (Catalyst higher-order
+    * functions are CodegenFallback/interpreted — measured ~40× slower). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 32): Column = {
+    val k = numHashes
+    val u = udf { (sh: Seq[Long]) =>
+      val out = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        val seed = (i + 1).toLong * 0xff51afd7ed558ccdL
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < sh.length) {
+          val h = scramble(sh(j) ^ seed)
+          if (h < mn) mn = h
+          j += 1
+        }
+        out(i) = mn
+        i += 1
+      }
+      out
+    }
+    u(shingleHashes)
   }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
@@ -79,21 +122,19 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val shingles = TextOps.wordShingles(text, shingleWords)
-    val sig = minhashSignature(shingles, numHashes)
-    val withSig = df.select(id.as("_id"), shingles.as("_sh"), sig.as("_sig"))
-    val bandIdx = sequence(lit(0), lit(bands - 1))
-    val banded = withSig
-      .select(
-        col("_id"),
-        col("_sh"),
-        explode(
-          transform(
-            bandIdx,
-            b => struct(b.as("band"), xxhash64(array_join(slice(col("_sig"), b * rows + 1, lit(rows)), ",")).as("bh"))
-          )
-        ).as("_b")
+    val shingles = TextOps.wordShingleHashes(text, shingleWords)
+    val withSh = df.select(id.as("_id"), shingles.as("_sh"))
+    val withSig = withSh.select(col("_id"), col("_sh"), minhashSignature(col("_sh"), numHashes).as("_sig"))
+    // band structs built at plan time (Scala loop, not an interpreted HOF);
+    // slice/cast/xxhash64 are all codegen'd expressions
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("_sig"), b * rows + 1, rows).cast("string")).as("bh")
       )
+    }
+    val banded = withSig
+      .select(col("_id"), col("_sh"), explode(array(bandCols: _*)).as("_b"))
       .select(col("_id"), col("_sh"), col("_b.band"), col("_b.bh"))
 
     // bucket size guard: count per bucket with a partial agg, drop hot buckets
@@ -106,12 +147,7 @@ object Dedup {
     val pairs = a
       .join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard")
-      )
+      .select(col("id_a"), col("id_b"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
@@ -129,17 +165,13 @@ object Dedup {
       shingleWords: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val base = df.select(block.as("_blk"), id.as("_id"), TextOps.wordShingles(text, shingleWords).as("_sh"))
+    val base =
+      df.select(block.as("_blk"), id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
     val a = base.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = base.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b")))).as("jaccard")
-      )
+      .select(col("id_a"), col("id_b"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -152,8 +184,14 @@ object Dedup {
       block: Column,
       threshold: Double = 0.95
   ): DataFrame = {
-    val norm = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
-    val base = df.select(block.as("_blk"), id.as("_id"), vec.as("_v"), norm.as("_n"))
+    import graft.ann.Ann
+    // pre-normalise once per row (UDF kernel), pair score is then a pure dot
+    val base = df.select(
+      block.as("_blk"),
+      id.as("_id"),
+      vec.cast("array<double>").as("_v"),
+      Ann.l2norm(vec).as("_n")
+    )
     val a = base.select(col("_blk"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
     val b = base.select(col("_blk"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
     a.join(b, Seq("_blk"))
@@ -161,8 +199,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        (aggregate(zip_with(col("_va"), col("_vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("_na") * col("_nb"))).as("cosine")
+        (Ann.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine")
       )
       .filter(col("cosine") >= threshold)
   }

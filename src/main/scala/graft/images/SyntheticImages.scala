@@ -132,12 +132,15 @@ object SyntheticImages {
       phash: Long
   )
 
-  def row(id: Long): ImageRow = {
+  def row(id: Long): ImageRow = row(id, withBytes = true)
+
+  /** withBytes=false skips the codec round-trip (for metadata-only checks). */
+  def row(id: Long, withBytes: Boolean): ImageRow = {
     val w = 24 + (id % 5).toInt * 8
     val h = 24 + (id % 3).toInt * 8
     val fmt = Formats((id % 2).toInt)
     val img = renderPattern(id, w, h)
-    val bytes = encode(img, fmt)
+    val bytes = if (withBytes) encode(img, fmt) else Array.empty[Byte]
     val ph = averageHash(img)
     val base = ImageRow(f"img_$id%012d", bytes, w, h, fmt, caption(id), ph)
     if (id % 100 != 7) base
@@ -146,7 +149,8 @@ object SyntheticImages {
         case 0 => base.copy(w = w + 3) // declared width wrong
         case 1 => base.copy(h = h + 2) // declared height wrong
         case 2 => base.copy(fmt = if (fmt == "png") "jpeg" else "png") // fmt label wrong
-        case 3 => base.copy(bytes = bytes.take(math.max(bytes.length / 4, 8))) // truncated payload
+        case 3 => // truncated (undecodable) payload
+          base.copy(bytes = if (withBytes) bytes.take(math.max(bytes.length / 4, 8)) else bytes)
         case 4 => base.copy(caption = "") // empty caption (required violation)
         case 5 => base.copy(caption = caption(id) + " CORRUPTED") // caption mismatch
         case _ => base.copy(image_id = f"img_${math.max(id - 100, 0)}%012d") // duplicate id
@@ -157,6 +161,22 @@ object SyntheticImages {
     * partitions (defaults to the session's shuffle partition count). */
   def generate(spark: SparkSession, n: Long, parallelism: Int = 0): DataFrame =
     generateWithId(spark, n, parallelism).drop("row_id")
+
+  /** Metadata-only variant: same rows minus `bytes` (skips the expensive
+    * encode). Use for checks that never touch the payload (uniqueness,
+    * caption, stats) — the column-pruned path a real stored table would give
+    * for free. */
+  def generateMeta(spark: SparkSession, n: Long, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val p = if (parallelism > 0) parallelism else spark.sessionState.conf.numShufflePartitions
+    spark
+      .range(0, n, 1, p)
+      .map { id =>
+        val r = row(id, withBytes = false)
+        (id + 1, r.image_id, r.w, r.h, r.fmt, r.caption, r.phash)
+      }
+      .toDF("row_id", "image_id", "w", "h", "fmt", "caption", "phash")
+  }
 
   /** Like [[generate]] but with a leading `row_id` column (1-based generation
     * index) — a stable per-row identity that survives the injected

@@ -75,49 +75,115 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Character n-gram shingles (for MinHash / Jaccard). */
+  /** Character n-gram shingles (for MinHash / Jaccard). Per-row kernel UDF
+    * (see simhash64 note on interpreted higher-order functions). */
   def charShingles(text: Column, n: Int = 5): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    val idx = sequence(lit(0), greatest(length(norm) - n, lit(0)))
-    array_distinct(transform(idx, i => norm.substr(i + 1, lit(n))))
+    val nn = n
+    val u = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val norm = s.trim.replaceAll("\\s+", " ").toLowerCase
+        if (norm.length <= nn) Seq(norm)
+        else norm.sliding(nn).distinct.toSeq
+      }
+    }
+    u(text)
   }
 
-  /** Word n-gram shingles. */
+  /** Word n-gram shingle HASHES: sorted distinct 64-bit hashes of the
+    * n-gram shingles. The representation of choice for set-similarity at
+    * scale — pair Jaccard over two sorted long arrays is a primitive merge
+    * (see Dedup.jaccardLong), ~50× cheaper than string-array intersection. */
+  def wordShingleHashes(text: Column, n: Int = 3): Column = {
+    val nn = n
+    val u = udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val toks = s.trim.split("\\s+")
+        val out =
+          if (toks.length <= nn) Array(fnv1a64(toks.mkString(" ")))
+          else {
+            val sb = new StringBuilder
+            val arr = new Array[Long](toks.length - nn + 1)
+            var i = 0
+            while (i + nn <= toks.length) {
+              sb.clear()
+              var j = 0
+              while (j < nn) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+              arr(i) = fnv1a64(sb.toString)
+              i += 1
+            }
+            arr
+          }
+        java.util.Arrays.sort(out)
+        // dedupe in place (sorted)
+        var w = 0
+        var r = 0
+        while (r < out.length) {
+          if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(out, w)
+      }
+    }
+    u(text)
+  }
+
+  /** Word n-gram shingles. Per-row kernel UDF. */
   def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    )
+    val nn = n
+    val u = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else {
+        val toks = s.trim.split("\\s+").toSeq
+        if (toks.length <= nn) Seq(toks.mkString(" "))
+        else toks.sliding(nn).map(_.mkString(" ")).distinct.toSeq
+      }
+    }
+    u(text)
   }
 
-  /** SimHash-64 over token hashes, computed natively (no UDF): per bit b,
-    * sum +1/-1 votes of each token's xxhash64 bit b, then pack the sign bits.
-    * Stays inside codegen; cost is 64 aggregate ops per row over the token
-    * array — fine for profiling passes, and fully distributed. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    // one aggregate pass accumulating all 64 bit-vote counters in an array,
-    // then pack sign bits; bit positions are Scala Ints so the shifts are
-    // constant-folded
-    val counters = aggregate(
-      hashes,
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, h) =>
-        array((0 until 64).map { b =>
-          element_at(acc, b + 1) +
-            when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)
-        }: _*)
-    )
-    // pack MSB-first with acc*2+bit so `counters` appears exactly ONCE in the
-    // expression tree (no 64× recomputation of the aggregate)
-    aggregate(
-      sequence(lit(64), lit(1), lit(-1)),
-      lit(0L),
-      // shiftleft (not *2): no signed-overflow at the MSB under ANSI mode
-      (acc, b) => shiftleft(acc, 1).bitwiseOR(when(element_at(counters, b) > 0, 1L).otherwise(0L))
-    )
+  /** FNV-1a 64-bit string hash (public-domain algorithm) — the engine's
+    * row-local hash kernel for signature ops. Deterministic, seedable. */
+  def fnv1a64(s: String, seed: Long = 0L): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    h
   }
+
+  private[graft] def simhashOf(text: String): Long = {
+    if (text == null) return 0L
+    val toks = text.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv1a64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((s: String) => simhashOf(s))
+
+  /** SimHash-64 over token hashes. Per-row compute kernel (like image
+    * decode): implemented as a tight Scala UDF rather than Catalyst
+    * higher-order functions, which are CodegenFallback (interpreted) and ~50×
+    * slower for this access pattern. Row-local, no shuffle, fully
+    * distributed; the UDF is isolated to the signature projection so the
+    * surrounding plan stays codegen'd. */
+  def simhash64(text: Column): Column = simhashUdf(text)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
