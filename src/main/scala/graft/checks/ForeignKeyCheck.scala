@@ -42,12 +42,15 @@ object ForeignKeyCheck {
       dim: DataFrame,
       refField: String,
       resourceId: String = "",
-      broadcastDim: Boolean = false
+      broadcastDim: Boolean = false,
+      partitionId: Option[Column] = None
   ): DataFrame = {
     val rn = rowNumber.cast(LongType).as("_rn")
+    val pid = partitionId.getOrElse(lit(null)).cast(IntegerType).as("_pid")
     val base = df.select(
       col(fieldName).cast(StringType).as("_fk_val"),
       rn,
+      pid,
       RowChecks.rowPayload(payloadCols).as("row")
     )
     val dimVals0 = dim.select(col(refField).cast(StringType).as("_dim_val")).distinct()
@@ -70,16 +73,24 @@ object ForeignKeyCheck {
             )
           )
           .as("message"),
-        col("row")
+        col("row"),
+        col("_pid").as("partition_id")
       )
   }
 
   /** The single missing-reference violation (NOTFOUND sentinel,
     * custom_checks.py:244-252): emitted once, carrying the first row's
     * number and payload. */
-  def missingReference(df: DataFrame, payloadCols: Seq[String], columnNumber: Int, rowNumber: Column): DataFrame = {
+  def missingReference(
+      df: DataFrame,
+      payloadCols: Seq[String],
+      columnNumber: Int,
+      rowNumber: Column,
+      partitionId: Option[Column] = None
+  ): DataFrame = {
     val rn = rowNumber.cast(LongType).as("_rn")
-    df.select(rn, RowChecks.rowPayload(payloadCols).as("row"))
+    val pid = partitionId.getOrElse(lit(null)).cast(IntegerType).as("_pid")
+    df.select(rn, pid, RowChecks.rowPayload(payloadCols).as("row"))
       .orderBy(col("_rn"))
       .limit(1)
       .select(
@@ -87,7 +98,8 @@ object ForeignKeyCheck {
         col("_rn").as("row_number"),
         lit(columnNumber).cast(IntegerType).as("column_number"),
         lit(ErrorSpec.template("foreign-key-notfound")).as("message"),
-        col("row")
+        col("row"),
+        col("_pid").as("partition_id")
       )
   }
 }

@@ -44,13 +44,15 @@ object UniquenessCheck {
       keyCols: Seq[String],
       rowNumber: Column,
       columnNumber: Int,
-      primaryKeyFields: Seq[String] = Nil
+      primaryKeyFields: Seq[String] = Nil,
+      partitionId: Option[Column] = None
   ): DataFrame = {
     val rn = rowNumber.cast(LongType).as("_rn")
+    val pid = partitionId.getOrElse(lit(null)).cast(IntegerType).as("_pid")
     val notAllNull = keyCols.map(col(_).isNotNull).reduce(_ || _)
     val base = df
       .filter(notAllNull)
-      .select((keyCols.map(col) :+ rn :+ RowChecks.rowPayload(payloadCols).as("row")): _*)
+      .select((keyCols.map(col) :+ rn :+ pid :+ RowChecks.rowPayload(payloadCols).as("row")): _*)
 
     // partial-agg shuffle: skew-robust thanks to map-side combine
     val firsts = base
@@ -88,7 +90,8 @@ object UniquenessCheck {
       col("_rn").as("row_number"),
       lit(columnNumber).cast(IntegerType).as("column_number"),
       msg.as("message"),
-      col("row")
+      col("row"),
+      col("_pid").as("partition_id")
     )
   }
 
@@ -97,10 +100,16 @@ object UniquenessCheck {
     * at scale Spark's hash aggregate keys on all columns; pre-hashing with
     * xxhash64 only adds a collision-checking join, so we group directly and
     * let the partial agg absorb duplicates map-side. */
-  def duplicateRows(df: DataFrame, payloadCols: Seq[String], rowNumber: Column): DataFrame = {
+  def duplicateRows(
+      df: DataFrame,
+      payloadCols: Seq[String],
+      rowNumber: Column,
+      partitionId: Option[Column] = None
+  ): DataFrame = {
     val cols = payloadCols
     val rn = rowNumber.cast(LongType).as("_rn")
-    val base = df.select(cols.map(col) :+ rn: _*)
+    val pid = partitionId.getOrElse(lit(null)).cast(IntegerType).as("_pid")
+    val base = df.select(cols.map(col) :+ rn :+ pid: _*)
     val firsts = base
       .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("_cnt"), min(col("_rn")).as("_first"))
@@ -123,7 +132,8 @@ object UniquenessCheck {
             )
           )
           .as("message"),
-        RowChecks.rowPayload(cols).as("row")
+        RowChecks.rowPayload(cols).as("row"),
+        col("_pid").as("partition_id")
       )
   }
 }

@@ -1,0 +1,108 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.runner.{Lineage, ValidationConfig, ValidationRunner}
+import graft.schema.{TableSchema, ValidationOptions}
+
+/** spark-submit entrypoint — the engine's equivalent of the reference's
+  * validation job + CLI (logic.py:69-144 action, commands.py:116-177 CLI).
+  *
+  * Usage:
+  *   spark-submit --class graft.cli.Main <jar> run \
+  *     --input <parquet path> --schema <descriptor.json> \
+  *     --row-number-col <col> [--key <col> --partitions N --batch B \
+  *     --lineage <dir> --run-id <id> --violations <dir>] \
+  *     [--report <out.json>] [--allow-invalid] [--row-limit N] \
+  *     [--checks a,b,c] [--skip-checks x,y]
+  *
+  * Exit code: 0 on success, 1 on validation failure (the fail-closed
+  * admission gate, logic.py:689-708), 2 on usage/schema errors.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case flag if flag.startsWith("--") =>
+          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+            m(flag.drop(2)) = args(i + 1); i += 2
+          } else { m(flag.drop(2)) = "true"; i += 1 }
+        case _ => i += 1
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args(0) != "run") {
+      System.err.println("usage: Main run --input <parquet> --schema <json> --row-number-col <col> [...]")
+      sys.exit(2)
+    }
+    val a = parseArgs(args.drop(1))
+    val input = a.getOrElse("input", { System.err.println("--input required"); sys.exit(2); "" })
+    val schemaArg = a.getOrElse("schema", { System.err.println("--schema required"); sys.exit(2); "" })
+    val rowCol = a.getOrElse("row-number-col", { System.err.println("--row-number-col required"); sys.exit(2); "" })
+
+    val schemaJson =
+      if (schemaArg.trim.startsWith("{")) schemaArg
+      else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(schemaArg)), "UTF-8")
+
+    val schema = TableSchema.parse(schemaJson) match {
+      case Right(s) => s
+      case Left(err) =>
+        // schema-error path: invalid descriptor fails before any job runs
+        System.err.println(s"Table Schema error: ${err.message}")
+        sys.exit(2); null
+    }
+
+    val builder = SparkSession
+      .builder()
+      .appName("graft-validation")
+      .config("spark.sql.ansi.enabled", "false")
+    // spark-submit injects spark.master; default to local[*] when launched
+    // directly (sbt runMain, tests)
+    val spark =
+      (if (sys.props.contains("spark.master")) builder else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.read.parquet(input)
+    val opts = ValidationOptions(
+      checks = a.get("checks").map(_.split(",").toSeq).getOrElse(ValidationOptions.default.checks),
+      skipChecks = a.get("skip-checks").map(_.split(",").toSeq).getOrElse(Nil),
+      rowLimit = a.get("row-limit").map(_.toLong),
+      errorLimitPerCode = a.get("error-limit").map(_.toInt)
+    )
+    val cfg = ValidationConfig(rowNumberCol = rowCol, source = input, options = opts)
+
+    val exitCode = a.get("lineage") match {
+      case Some(lineageDir) =>
+        val key = col(a.getOrElse("key", rowCol))
+        val runId = a.getOrElse("run-id", java.util.UUID.randomUUID().toString)
+        val res = Lineage.runResumable(
+          df, schema, cfg, key,
+          numPartitions = a.getOrElse("partitions", "64").toInt,
+          batchSize = a.getOrElse("batch", "16").toInt,
+          lineageDir = lineageDir,
+          runId = runId,
+          violationsDir = a.get("violations")
+        )
+        println(
+          s"""{"run_id":"$runId","partitions":${res.verdicts.size},"resumed":${res.resumedPartitions.size},"violations":${res.totalViolations},"valid":${res.valid}}"""
+        )
+        if (res.valid || a.contains("allow-invalid")) 0 else 1
+      case None =>
+        val (report, status) = ValidationRunner.run(df, schema, cfg)
+        a.get("report").foreach { out =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out), report.toJson)
+        }
+        println(s"""{"status":"$status","error_count":${report.errorCount},"valid":${report.valid}}""")
+        if (report.valid || a.contains("allow-invalid")) 0 else 1
+    }
+    spark.stop()
+    sys.exit(exitCode)
+  }
+}

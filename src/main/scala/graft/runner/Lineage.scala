@@ -1,0 +1,153 @@
+package graft.runner
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.TableSchema
+
+/** Per-partition lineage, metrics, and checkpoint/resume.
+  *
+  * The reference keeps ONE mutable validation record per resource
+  * (model.py:27-46, upserted in jobs.py:30-41). At 10^12 rows a single
+  * verdict is useless for restarts, so the engine generalises it: the run is
+  * split into `numPartitions` STABLE buckets (`pmod(xxhash64(key), P)` — a
+  * table-content property, NOT `spark_partition_id()`, which changes with
+  * parallelism), processed in driver-side batches; each finished batch
+  * atomically appends its per-partition verdict rows (pass/fail, row count,
+  * violation count) to a lineage table. A crashed run re-reads the lineage
+  * table and processes only the partitions with no verdict — resume is a
+  * metadata filter, the engine never re-validates finished buckets.
+  *
+  * Storage is Parquet-append behind this API (no Iceberg runtime jar in the
+  * sandbox — see BASELINE.md); swapping in an Iceberg table is a MERGE/append
+  * through the same call surface.
+  */
+object Lineage {
+
+  /** Stable content-derived partition id: survives cluster resizes,
+    * repartitioning, and input-split changes. */
+  def stablePartitionId(key: Column, numPartitions: Int): Column =
+    pmod(xxhash64(key), lit(numPartitions)).cast("int")
+
+  final case class Verdict(
+      run_id: String,
+      partition_id: Int,
+      row_count: Long,
+      violation_count: Long,
+      valid: Boolean,
+      finished_at: Long
+  )
+
+  def completedPartitions(spark: SparkSession, lineageDir: String, runId: String): Set[Int] = {
+    if (!new java.io.File(lineageDir).exists()) return Set.empty
+    spark.read
+      .parquet(lineageDir)
+      .filter(col("run_id") === runId)
+      .select("partition_id")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+  }
+
+  def appendVerdicts(spark: SparkSession, lineageDir: String, verdicts: Seq[Verdict]): Unit = {
+    import spark.implicits._
+    verdicts.toDF().write.mode(SaveMode.Append).parquet(lineageDir)
+  }
+
+  final case class ResumableResult(
+      runId: String,
+      verdicts: Seq[Verdict],
+      /** partitions skipped because an earlier run already committed them */
+      resumedPartitions: Set[Int]
+  ) {
+    def valid: Boolean = verdicts.forall(_.valid)
+    def totalViolations: Long = verdicts.map(_.violation_count).sum
+  }
+
+  /** Resumable validation run.
+    *
+    * @param key           stable-bucket key (e.g. image_id)
+    * @param numPartitions lineage buckets (metadata granularity, independent
+    *                      of Spark task parallelism)
+    * @param batchSize     buckets per driver commit — the unit of progress a
+    *                      crash can lose
+    * @param violationsDir when set, each batch also appends its violation
+    *                      rows (partitioned by partition_id for pruned
+    *                      re-reads)
+    */
+  def runResumable(
+      df: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      key: Column,
+      numPartitions: Int,
+      batchSize: Int,
+      lineageDir: String,
+      runId: String,
+      violationsDir: Option[String] = None
+  ): ResumableResult = {
+    val spark = df.sparkSession
+    val done = completedPartitions(spark, lineageDir, runId)
+    val pending = (0 until numPartitions).filterNot(done.contains)
+    val withPid = df.withColumn("_pid", stablePartitionId(key, numPartitions))
+    val cfgPid = cfg.copy(partitionIdCol = Some("_pid"))
+
+    val verdicts = Seq.newBuilder[Verdict]
+    pending.grouped(batchSize).foreach { batch =>
+      val sub = withPid.filter(col("_pid").isin(batch: _*))
+      val result = ValidationRunner.plan(sub, schema, cfgPid)
+
+      // per-partition row counts and violation counts in two bounded aggs
+      val rowCounts = sub
+        .groupBy(col("_pid"))
+        .agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      // cache: the violation plan feeds both the optional sink write and the
+      // per-partition counts — don't re-run the scan+checks twice
+      val violDf = result.violations.persist()
+      violationsDir.foreach { dir =>
+        violDf
+          .withColumn("run_id", lit(runId))
+          .write
+          .mode(SaveMode.Append)
+          .partitionBy("partition_id")
+          .parquet(dir)
+      }
+      val violCounts = violDf
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("viols"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      violDf.unpersist()
+
+      val now = System.currentTimeMillis()
+      val batchVerdicts = batch.map { p =>
+        val v = violCounts.getOrElse(p, 0L)
+        Verdict(runId, p, rowCounts.getOrElse(p, 0L), v, v == 0, now)
+      }
+      // atomic commit point: verdicts appear only after the batch finished
+      appendVerdicts(spark, lineageDir, batchVerdicts)
+      verdicts ++= batchVerdicts
+    }
+    ResumableResult(runId, verdicts.result(), done)
+  }
+
+  /** Run-summary aggregations over the lineage table — the engine's
+    * equivalent of the reference's status-overview report
+    * (commands.py:254-383). */
+  def statusOverview(spark: SparkSession, lineageDir: String): DataFrame =
+    spark.read
+      .parquet(lineageDir)
+      .groupBy(col("run_id"))
+      .agg(
+        count(lit(1)).as("partitions"),
+        sum(when(col("valid"), 1).otherwise(0)).as("valid_partitions"),
+        sum(col("row_count")).as("rows"),
+        sum(col("violation_count")).as("violations"),
+        max(col("finished_at")).as("last_update")
+      )
+}

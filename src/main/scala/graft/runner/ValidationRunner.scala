@@ -39,7 +39,10 @@ final case class ValidationConfig(
     /** dimension tables for TableRef foreign keys, keyed by table name */
     dims: Map[String, DataFrame] = Map.empty,
     /** force-broadcast FK dimensions (reference's ≤3000-value cache) */
-    broadcastDims: Boolean = false
+    broadcastDims: Boolean = false,
+    /** stable partition-id column carried into every violation row (for
+      * per-partition lineage/checkpointing — see Lineage) */
+    partitionIdCol: Option[String] = None
 )
 
 final case class ValidationResult(
@@ -69,8 +72,10 @@ object ValidationRunner {
     // row limit (goodtables row_limit; warning handled in report())
     val limited = cfg.options.rowLimit.fold(df0)(n => df0.limit(n.toInt))
     val df = replaceNa(limited, schema.naValue)
-    val dataCols = df.columns.toSeq.filterNot(_ == cfg.rowNumberCol)
+    val dataCols =
+      df.columns.toSeq.filterNot(c => c == cfg.rowNumberCol || cfg.partitionIdCol.contains(c))
     val rowNum: Column = col(cfg.rowNumberCol)
+    val pidCol: Option[Column] = cfg.partitionIdCol.map(col)
     val payloadSchema =
       org.apache.spark.sql.types.StructType(dataCols.map(c => df.schema(c)))
 
@@ -79,7 +84,7 @@ object ValidationRunner {
 
     // 2. single-pass row checks, with the full source row carried as payload
     val compiled = RowChecks.compile(schema, payloadSchema, rowNum, opts)
-    val entriesDf = violationsWithPayload(df, dataCols, compiled, rowNum)
+    val entriesDf = violationsWithPayload(df, dataCols, compiled, rowNum, pidCol)
 
     var parts = Seq(entriesDf)
 
@@ -89,7 +94,8 @@ object ValidationRunner {
         val cn = dataCols.indexOf(f.name) + 1
         if (f.constraints.unique && cn > 0 && !schema.primaryKey.contains(f.name))
           parts :+= UniquenessCheck.violations(
-            dropRowNum(df, dataCols, cfg), dataCols, Seq(f.name), rowNum, cn
+            dropRowNum(df, dataCols, cfg), dataCols, Seq(f.name), rowNum, cn,
+            partitionId = pidCol
           )
       }
       // composite / single primary key
@@ -101,7 +107,8 @@ object ValidationRunner {
           schema.primaryKey,
           rowNum,
           cn,
-          primaryKeyFields = if (schema.primaryKey.size > 1) schema.primaryKey else Nil
+          primaryKeyFields = if (schema.primaryKey.size > 1) schema.primaryKey else Nil,
+          partitionId = pidCol
         )
       }
     }
@@ -109,7 +116,7 @@ object ValidationRunner {
     // 4. duplicate-row — opt-in by explicit code: full-row dedup at 10^12
     // rows is a deliberate choice, so "structure" alone does not enable it
     if (opts.checks.contains("duplicate-row") && !opts.skipChecks.contains("duplicate-row"))
-      parts :+= UniquenessCheck.duplicateRows(dropRowNum(df, dataCols, cfg), dataCols, rowNum)
+      parts :+= UniquenessCheck.duplicateRows(dropRowNum(df, dataCols, cfg), dataCols, rowNum, partitionId = pidCol)
 
     // 5. foreign keys (TableRef → anti join; NotFound → single violation)
     if (opts.enabled("foreign-key", "schema"))
@@ -121,13 +128,14 @@ object ValidationRunner {
               case Some(dim) =>
                 parts :+= ForeignKeyCheck.violations(
                   dropRowNum(df, dataCols, cfg), dataCols, f.name, cn, rowNum, dim,
-                  refField, resourceId = table, broadcastDim = cfg.broadcastDims
+                  refField, resourceId = table, broadcastDim = cfg.broadcastDims,
+                  partitionId = pidCol
                 )
               case None =>
-                parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum)
+                parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum, partitionId = pidCol)
             }
           case Some(NotFoundRef) =>
-            parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum)
+            parts :+= ForeignKeyCheck.missingReference(dropRowNum(df, dataCols, cfg), dataCols, cn, rowNum, partitionId = pidCol)
           case _ => () // InlineValues handled in RowChecks; None = no FK
         }
       }
@@ -137,18 +145,15 @@ object ValidationRunner {
 
   /** keep payload columns + row number available to shuffle checks, with the
     * row-number column positioned last so rowPayload(dataCols) excludes it */
-  private def dropRowNum(df: DataFrame, dataCols: Seq[String], cfg: ValidationConfig): DataFrame = {
-    // UniquenessCheck/ForeignKeyCheck build the payload from df.columns minus
-    // nothing — so pass a frame whose columns are exactly the data columns
-    // plus we must keep the row number accessible via the rowNumber Column.
-    df.select((dataCols :+ cfg.rowNumberCol).map(col): _*)
-  }
+  private def dropRowNum(df: DataFrame, dataCols: Seq[String], cfg: ValidationConfig): DataFrame =
+    df.select((dataCols ++ Seq(cfg.rowNumberCol) ++ cfg.partitionIdCol.toSeq).map(col): _*)
 
   private def violationsWithPayload(
       df: DataFrame,
       dataCols: Seq[String],
       compiled: Seq[graft.checks.CompiledCheck],
-      rowNum: Column
+      rowNum: Column,
+      pidCol: Option[Column]
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -158,7 +163,8 @@ object ValidationRunner {
         StructField("row_number", LongType),
         StructField("column_number", IntegerType),
         StructField("message", StringType),
-        StructField("row", ArrayType(StringType))
+        StructField("row", ArrayType(StringType)),
+        StructField("partition_id", IntegerType)
       )
     )
     if (compiled.isEmpty)
@@ -176,11 +182,19 @@ object ValidationRunner {
     }
     df.select(
         filter(array(entries: _*), _.isNotNull).as("_viols"),
-        RowChecks.rowPayload(dataCols).as("row")
+        RowChecks.rowPayload(dataCols).as("row"),
+        pidCol.getOrElse(lit(null)).cast(IntegerType).as("partition_id")
       )
       .filter(size(col("_viols")) > 0)
-      .select(explode(col("_viols")).as("_v"), col("row"))
-      .select(col("_v.code"), col("_v.row_number"), col("_v.column_number"), col("_v.message"), col("row"))
+      .select(explode(col("_viols")).as("_v"), col("row"), col("partition_id"))
+      .select(
+        col("_v.code"),
+        col("_v.row_number"),
+        col("_v.column_number"),
+        col("_v.message"),
+        col("row"),
+        col("partition_id")
+      )
   }
 
   /** Execute the plan and assemble the reference-shaped report (driver-side

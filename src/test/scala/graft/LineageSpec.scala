@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.runner.{Lineage, ValidationConfig, ValidationRunner}
+import graft.schema._
+
+/** Per-partition lineage/checkpoint semantics: stable bucket ids, batch
+  * commits, resume-by-metadata-filter. */
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fc = FieldConstraints()
+  private def tmp(): String = Files.createTempDirectory("graft_lineage").toString
+
+  test("stable partition id is a content property, invariant to parallelism") {
+    val df1 = (1L to 1000L).map(i => (i, s"k$i")).toDF("_rid", "k").repartition(2)
+    val df2 = (1L to 1000L).map(i => (i, s"k$i")).toDF("_rid", "k").repartition(13)
+    val p1 = df1.select(col("k"), Lineage.stablePartitionId(col("k"), 16)).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val p2 = df2.select(col("k"), Lineage.stablePartitionId(col("k"), 16)).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(p1 == p2)
+    assert(p1.values.toSet.subsetOf((0 until 16).toSet))
+  }
+
+  test("resumable run: verdicts per partition, violations attributed to buckets") {
+    val lineageDir = tmp() + "/lineage"
+    val df = (1L to 500L).map(i => (i, if (i % 50 == 0) "" else s"v$i")).toDF("_rid", "a")
+    val schema = TableSchema(Seq(Field("a", constraints = fc.copy(required = true))))
+    val cfg = ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema")))
+    val res = Lineage.runResumable(df, schema, cfg, col("_rid"), numPartitions = 8, batchSize = 3, lineageDir, "run1")
+    assert(res.verdicts.size == 8)
+    assert(res.resumedPartitions.isEmpty)
+    assert(res.verdicts.map(_.row_count).sum == 500)
+    assert(res.totalViolations == 10) // every 50th row
+    assert(!res.valid)
+    // violations live in the buckets their rows hash to
+    val badPids = (1L to 500L)
+      .filter(_ % 50 == 0)
+      .map(i => i) // key is _rid
+    assert(res.verdicts.count(!_.valid) > 0)
+  }
+
+  test("resume: completed partitions are skipped, totals match a fresh run") {
+    val lineageDir = tmp() + "/lineage"
+    val df = (1L to 400L).map(i => (i, if (i % 40 == 0) "" else s"v$i")).toDF("_rid", "a")
+    val schema = TableSchema(Seq(Field("a", constraints = fc.copy(required = true))))
+    val cfg = ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema")))
+
+    // first (interrupted) run: pretend only partitions 0-4 committed by
+    // seeding the lineage table with their verdicts from a full dry run
+    val dry = Lineage.runResumable(df, schema, cfg, col("_rid"), 10, 10, tmp() + "/dry", "run1")
+    val firstFive = dry.verdicts.filter(_.partition_id < 5)
+    Lineage.appendVerdicts(spark, lineageDir, firstFive)
+
+    // resumed run processes ONLY partitions 5-9
+    val resumed = Lineage.runResumable(df, schema, cfg, col("_rid"), 10, 2, lineageDir, "run1")
+    assert(resumed.resumedPartitions == Set(0, 1, 2, 3, 4))
+    assert(resumed.verdicts.map(_.partition_id).toSet == Set(5, 6, 7, 8, 9))
+    // lineage table now has all 10 partitions, totals equal the dry run
+    val all = spark.read.parquet(lineageDir)
+    assert(all.count() == 10)
+    val totalViols = all.agg(sum("violation_count")).head().getLong(0)
+    assert(totalViols == dry.totalViolations)
+    val totalRows = all.agg(sum("row_count")).head().getLong(0)
+    assert(totalRows == 400)
+  }
+
+  test("a different run id starts fresh in the same lineage table") {
+    val lineageDir = tmp() + "/lineage"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("_rid", "a")
+    val schema = TableSchema(Seq(Field("a")))
+    val cfg = ValidationConfig(rowNumberCol = "_rid")
+    val r1 = Lineage.runResumable(df, schema, cfg, col("_rid"), 4, 4, lineageDir, "runA")
+    val r2 = Lineage.runResumable(df, schema, cfg, col("_rid"), 4, 4, lineageDir, "runB")
+    assert(r1.verdicts.size == 4 && r2.verdicts.size == 4)
+    assert(r2.resumedPartitions.isEmpty)
+    val overview = Lineage.statusOverview(spark, lineageDir).collect()
+    assert(overview.length == 2)
+    assert(overview.forall(_.getLong(1) == 4)) // partitions per run
+  }
+
+  test("violations sink: appended per batch, partitioned by bucket") {
+    val lineageDir = tmp() + "/lineage"
+    val violDir = tmp() + "/violations"
+    val df = (1L to 200L).map(i => (i, if (i <= 20) "" else s"v$i")).toDF("_rid", "a")
+    val schema = TableSchema(Seq(Field("a", constraints = fc.copy(required = true))))
+    val cfg = ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema")))
+    val res = Lineage.runResumable(df, schema, cfg, col("_rid"), 4, 2, lineageDir, "run1", Some(violDir))
+    val written = spark.read.parquet(violDir)
+    assert(written.count() == 20)
+    assert(written.columns.contains("partition_id"))
+    assert(written.filter(col("code") =!= "required-constraint").count() == 0)
+  }
+}
