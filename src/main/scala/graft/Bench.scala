@@ -17,6 +17,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      // AQE's default 64MB coalesce target strangles reduce-side parallelism
+      // at local data sizes; 4MB keeps all cores busy (no-op at real scale)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // local proxy for many-block tables at scale: without this the ~10MB
       // test parquet files become ONE scan partition and nothing parallelises
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(2 * 1024 * 1024))
@@ -77,9 +80,69 @@ object Bench {
     val imgTime = (System.nanoTime() - t0) / 1e9
     val imgRps = imgN / imgTime
 
+    // scale throughput: a 20M-row synthetic image+caption METADATA table
+    // (pure Catalyst expressions, ~1% injected violations — the north-metric
+    // workload shape at a locally-feasible size) validated through the
+    // engine: single-pass row checks + image_id uniqueness shuffle. This is
+    // the number to compare across SPARK_GRAFT_CPUS=8 vs 32 for the N→4N
+    // scaling-efficiency criterion.
+    val (scaleRows, scaleSec, scaleViol) = scaleThroughput(spark, 20000000L, cpus.toInt)
+    val scaleRps = scaleRows / scaleSec
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","rows_per_sec_multicheck":$rps,"image_rows":$imgN,"image_validation_sec":$imgTime,"image_rows_per_sec":$imgRps,"image_violations":${imgViol + metaViol},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rows_per_sec_multicheck":$rps,"image_rows":$imgN,"image_validation_sec":$imgTime,"image_rows_per_sec":$imgRps,"image_violations":${imgViol + metaViol},"scale_rows":$scaleRows,"scale_sec":$scaleSec,"scale_rows_per_sec":$scaleRps,"scale_violations":$scaleViol,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     )
     spark.stop()
+  }
+
+  /** Validate an expression-generated image-metadata table of `n` rows with
+    * ~1% injected violations (wrong dims, bad fmt, empty caption, duplicate
+    * image_id) through the full engine. Returns (rows, seconds, violations).
+    * `slices` fixes the input partitioning INDEPENDENT of thread count so
+    * scaling runs compare identical plans (like a cluster: same splits, more
+    * executors). */
+  def scaleThroughput(
+      spark: SparkSession,
+      n: Long,
+      cpus: Int,
+      slices: Int = 64,
+      withUniqueness: Boolean = true
+  ): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.runner.{ValidationConfig, ValidationRunner}
+    import graft.schema.{Field, FieldConstraints, TableSchema}
+
+    val fcU = FieldConstraints(unique = true)
+    val df = spark
+      .range(0, n, 1, slices)
+      .select(
+        (col("id") + 1).as("_rid"),
+        concat(
+          lit("img_"),
+          lpad(when(col("id") % 1000 === 7, greatest(col("id") - 1000, lit(0))).otherwise(col("id")).cast("string"), 12, "0")
+        ).as("image_id"),
+        when(col("id") % 100 === 13, lit(-1)).otherwise(lit(24) + (col("id") % 5) * 8).cast("int").as("w"),
+        (lit(24) + (col("id") % 3) * 8).cast("int").as("h"),
+        when(col("id") % 100 === 41, lit("bmp"))
+          .otherwise(when(col("id") % 2 === 0, "png").otherwise("jpeg")).as("fmt"),
+        when(col("id") % 100 === 29, lit(""))
+          .otherwise(concat(lit("caption for image "), col("id").cast("string"))).as("caption"),
+        xxhash64(col("id")).as("phash")
+      )
+    val schema = TableSchema(
+      fields = Seq(
+        Field("image_id", constraints = if (withUniqueness) fcU else FieldConstraints()),
+        Field("w", "integer", constraints = FieldConstraints(minimum = Some(1), maximum = Some(16384))),
+        Field("h", "integer", constraints = FieldConstraints(minimum = Some(1), maximum = Some(16384))),
+        Field("fmt", constraints = FieldConstraints(enumVals = Some(Seq("png", "jpeg")))),
+        Field("caption", constraints = FieldConstraints(required = true, maxLength = Some(200)))
+      )
+    )
+    val t0 = System.nanoTime()
+    val viol = ValidationRunner
+      .plan(df, schema, ValidationConfig(rowNumberCol = "_rid"))
+      .violations
+      .count()
+    ((n, (System.nanoTime() - t0) / 1e9, viol))
   }
 }

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      // AQE's default 64MB coalesce target strangles reduce-side parallelism
+      // at local data sizes; 4MB keeps all cores busy (no-op at real scale)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // local proxy for many-block tables at scale: without this the ~10MB
       // test parquet files become ONE scan partition and nothing parallelises
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(2 * 1024 * 1024))

@@ -337,7 +337,10 @@ object RowChecks {
       )
     }
     val rowArr = rowPayload(df.columns.toSeq)
-    df.select(
+    // codegen'd pre-filter: interpreted array assembly only sees violators
+    val anyViolation = checks.map(ck => coalesce(ck.cond, lit(false))).reduce(_ || _)
+    df.filter(anyViolation)
+      .select(
         filter(array(entries: _*), _.isNotNull).as("_viols"),
         rowArr.as("row")
       )

@@ -19,6 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SyntheticImages {
 
+  // memory-cached ImageIO streams: the default disk-backed cache creates a
+  // temp file per encode and serialises all threads on filesystem calls
+  ImageIO.setUseCache(false)
+
   val Formats: Seq[String] = Seq("png", "jpeg")
 
   /** Smooth deterministic RGB gradient — smooth so that JPEG round-trips at
@@ -53,7 +57,7 @@ object SyntheticImages {
       val params = writer.getDefaultWriteParam
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.92f)
-      val ios = ImageIO.createImageOutputStream(bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
       ios.close(); writer.dispose()
