@@ -278,6 +278,46 @@ object ValidationRunner {
     (report, status)
   }
 
+  /** End-to-end CSV validation (fixture path): read → structural
+    * (ragged-row) violations from the parser → header checks → schema body
+    * checks — assembled into one reference-shaped report. A source-level
+    * failure produces the zero-table ERROR_REPORT with status `error`
+    * (jobs.py:196-200). */
+  def runCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: TableSchema,
+      options: ValidationOptions = ValidationOptions.default,
+      sep: String = ",",
+      sourceLabel: Option[String] = None
+  ): (graft.report.ValidationReport, String) = {
+    import graft.report.PostProcess
+    import graft.sources.TableSource
+    TableSource.readCsv(spark, path, sep) match {
+      case Left(err) => PostProcess.errorReport(Seq(err.message))
+      case Right(csv) =>
+        val cfg = ValidationConfig(
+          rowNumberCol = "_row_number",
+          source = sourceLabel.getOrElse(path),
+          headerInRowCount = true,
+          options = options
+        )
+        val (report, status) = run(csv.df, schema, cfg)
+        val structural = csv.structureViolations.filter(v =>
+          options.enabled(v.code, graft.report.ErrorSpec.group(v.code))
+        )
+        val t = report.tables.head
+        val merged = (structural ++ t.errors).sortBy(v => (v.rowNumber.getOrElse(0L), v.columnNumber.getOrElse(0)))
+        val table = t.copy(errors = merged, errorCount = merged.size.toLong, valid = merged.isEmpty)
+        val rep = report.copy(
+          valid = table.valid,
+          errorCount = table.errorCount,
+          tables = Seq(table)
+        )
+        (rep, if (rep.valid) graft.report.RunStatus.Success else graft.report.RunStatus.Failure)
+    }
+  }
+
   /** Fail-closed admission gate (reference `_run_sync_validation`,
     * logic.py:653-708): invalid ⇒ reject the whole table unless
     * allowInvalidData. */
