@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.runner.{ValidationConfig, ValidationRunner}
+import graft.schema._
+
+/** Physical-plan assertions — the execution properties the engine is designed
+  * around (SURVEY.md §4.2): the whole row-check suite compiles into ONE scan
+  * inside whole-stage codegen; FK dimensions broadcast; unused columns are
+  * pruned out of the parquet read.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val li = "/root/testdata/sf0.001/lineitem.parquet"
+  private def fc = FieldConstraints()
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("multi-check single pass: the whole check suite reads the source ONCE, codegen'd") {
+    val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    val schema = TableSchema(
+      Seq(
+        Field("l_returnflag", constraints = fc.copy(enumVals = Some(Seq("A", "N")))),
+        Field("l_quantity", ftype = "number", constraints = fc.copy(minimum = Some(5), maximum = Some(45))),
+        Field("l_linestatus", constraints = fc.copy(required = true))
+      ),
+      customConstraints = Seq("l_extendedprice > l_quantity * 900")
+    )
+    val plan = executedPlan(
+      ValidationRunner
+        .plan(df, schema, ValidationConfig(rowNumberCol = "_rid"))
+        .violations
+    )
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE parquet scan, got $scans")
+    assert(plan.contains("*("), "check suite must run inside whole-stage codegen (starred stages)")
+  }
+
+  test("uniqueness plan: partial aggregation before the exchange (map-side combine)") {
+    val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    val schema = TableSchema(Seq(Field("l_suppkey", ftype = "integer", constraints = fc.copy(unique = true))))
+    val plan = executedPlan(
+      ValidationRunner.plan(df, schema, ValidationConfig(rowNumberCol = "_rid")).violations
+    )
+    // partial_count before the exchange = map-side combine absorbs duplicates
+    assert(plan.contains("partial_count") || plan.contains("partial count"), s"plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+  }
+
+  test("FK dimension broadcast: forced hint produces a broadcast join") {
+    val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val schema = TableSchema(Seq(Field("l_suppkey", ftype = "integer", foreignKey = Some(TableRef("supplier", "s_suppkey")))))
+    val plan = executedPlan(
+      ValidationRunner
+        .plan(df, schema, ValidationConfig(rowNumberCol = "_rid", dims = Map("supplier" -> dim), broadcastDims = true))
+        .violations
+    )
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("column pruning: selecting (code,row_number) prunes the row payload from the scan") {
+    val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    val schema = TableSchema(
+      Seq(Field("l_returnflag", constraints = fc.copy(enumVals = Some(Seq("A", "N")))))
+    )
+    // blank-row (a table-wide check) references every column by definition —
+    // disable it so pruning is observable
+    val pruned = ValidationRunner
+      .plan(df, schema, ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema"))))
+      .violations
+      .select("code", "row_number")
+    val plan = executedPlan(pruned)
+    // the payload would need l_shipdate/l_tax etc.; the pruned projection
+    // must not read them
+    assert(!plan.contains("l_shipdate"), s"l_shipdate should be pruned:\n$plan")
+    assert(!plan.contains("l_tax"), s"l_tax should be pruned:\n$plan")
+  }
+
+  test("violations plan is lazy: building it launches no Spark job") {
+    // (the parquet read itself runs a footer-inference job — do it first)
+    val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val schema = TableSchema(Seq(Field("l_returnflag", constraints = fc.copy(required = true))))
+    ValidationRunner.plan(df, schema, ValidationConfig(rowNumberCol = "_rid"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "plan() must not trigger jobs")
+  }
+}
