@@ -262,6 +262,30 @@ object SparkEntry {
         .violations(imgs, col("row_id"))
         .groupBy("code").agg(count(lit(1)).as("cnt")).orderBy("code")
     }),
+    // duplicate-row over a projection with only 6 distinct tuples — the
+    // pathological-skew case for the hash-prefilter (every row a candidate)
+    "q34_duplicate_row" -> ((s, dir) => {
+      val proj = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), liRid.as("_rid"))
+      ValidationRunner
+        .plan(
+          proj,
+          TableSchema(fields = Seq(Field("l_returnflag"), Field("l_linestatus"))),
+          ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("duplicate-row")))
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number")
+    }),
+    // exact continuous percentiles (Spark `percentile` == DuckDB quantile_cont)
+    "q35_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95")
+        )),
     "q33_image_unique_id" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
       // metadata-only generation: the uniqueness check never reads bytes —
@@ -414,6 +438,18 @@ object SparkEntry {
         |)
         |SELECT k.doc_id AS id, g.kept_id FROM k JOIN g USING(key) WHERE k.doc_id > g.kept_id
         |ORDER BY id""".stripMargin,
+    "q34_duplicate_row" ->
+      """SELECT 'duplicate-row' AS code, rid AS row_number FROM (
+        |  SELECT l_orderkey*10 + l_linenumber AS rid,
+        |         min(l_orderkey*10 + l_linenumber) OVER (PARTITION BY l_returnflag, l_linestatus) AS f
+        |  FROM lineitem
+        |) WHERE rid > f ORDER BY row_number""".stripMargin,
+    "q35_percentiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem""".stripMargin,
     "q24_dedup_exact" ->
       """WITH g AS (
         |  SELECT text, min(doc_id) AS kept_id FROM documents GROUP BY text HAVING count(*) > 1

@@ -38,11 +38,15 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty || args(0) != "run") {
-      System.err.println("usage: Main run --input <parquet> --schema <json> --row-number-col <col> [...]")
+    if (args.isEmpty || (args(0) != "run" && args(0) != "run-batch")) {
+      System.err.println(
+        "usage: Main run --input <parquet> --schema <json> --row-number-col <col> [...]\n" +
+          "       Main run-batch --inputs <p1,p2,...> --schema <json> --row-number-col <col> [...]"
+      )
       sys.exit(2)
     }
     val a = parseArgs(args.drop(1))
+    if (args(0) == "run-batch") { runBatch(a); return }
     val input = a.getOrElse("input", { System.err.println("--input required"); sys.exit(2); "" })
     val schemaArg = a.getOrElse("schema", { System.err.println("--schema required"); sys.exit(2); "" })
     val rowCol = a.getOrElse("row-number-col", { System.err.println("--row-number-col required"); sys.exit(2); "" })
@@ -104,5 +108,43 @@ object Main {
     }
     spark.stop()
     sys.exit(exitCode)
+  }
+
+  /** Batch fan-out (reference `resource_validation_run_batch`,
+    * logic.py:223-337): validate a list of tables in one session, one run
+    * each; print per-table status lines + a summary count; exit 1 if any
+    * table failed. */
+  private def runBatch(a: Map[String, String]): Unit = {
+    val inputs = a.getOrElse("inputs", { System.err.println("--inputs required"); sys.exit(2); "" })
+      .split(",").toSeq.filter(_.nonEmpty)
+    val schemaArg = a.getOrElse("schema", { System.err.println("--schema required"); sys.exit(2); "" })
+    val rowCol = a.getOrElse("row-number-col", { System.err.println("--row-number-col required"); sys.exit(2); "" })
+    val schemaJson =
+      if (schemaArg.trim.startsWith("{")) schemaArg
+      else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(schemaArg)), "UTF-8")
+    val schema = TableSchema.parse(schemaJson) match {
+      case Right(s) => s
+      case Left(err) => System.err.println(s"Table Schema error: ${err.message}"); sys.exit(2); null
+    }
+    val builder = SparkSession.builder().appName("graft-validation-batch").config("spark.sql.ansi.enabled", "false")
+    val spark = (if (sys.props.contains("spark.master")) builder else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+    inputs.foreach { input =>
+      val status =
+        try {
+          val df = spark.read.parquet(input)
+          val (report, st) =
+            ValidationRunner.run(df, schema, ValidationConfig(rowNumberCol = rowCol, source = input))
+          if (!report.valid) failures += 1
+          st
+        } catch {
+          case e: Exception => failures += 1; s"error (${e.getMessage.takeWhile(_ != '\n')})"
+        }
+      println(s"""{"input":"$input","status":"$status"}""")
+    }
+    println(s"""{"tables":${inputs.size},"failures":$failures}""")
+    spark.stop()
+    sys.exit(if (failures > 0 && !a.contains("allow-invalid")) 1 else 0)
   }
 }
