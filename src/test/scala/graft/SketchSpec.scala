@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exprs.SketchAgg
+import graft.stats.SketchDrift
+
+/** KLL quantile-sketch aggregate (custom TypedImperativeAggregate) and
+  * sketch-based KS/PSI drift. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kll sketch: one-pass quantiles within rank error, mergeable across partitions") {
+    val df = (1 to 100000).map(_.toDouble).toDF("x").repartition(8)
+    val sk = SketchDrift.sketch(df, col("x"))
+    assert(sk.getN == 100000)
+    // KLL k=200 normalized rank error < 1%
+    assert(math.abs(sk.getQuantile(0.5) - 50000) < 2000)
+    assert(math.abs(sk.getQuantile(0.9) - 90000) < 2000)
+  }
+
+  test("serialized sketch round-trips (the persisted baseline snapshot)") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val bytes = df.agg(SketchAgg.kll(col("x"))).head().getAs[Array[Byte]](0)
+    val sk = SketchAgg.deserialize(bytes)
+    assert(sk.getN == 1000)
+    // merging a restored snapshot with a fresh sketch works (cross-run merge)
+    val sk2 = SketchDrift.sketch((1001 to 2000).map(_.toDouble).toDF("x"), col("x"))
+    sk.merge(sk2)
+    assert(sk.getN == 2000)
+  }
+
+  test("sketch drift: identical ~ zero, shifted ~ large; agrees with histogram drift") {
+    val a = (1 to 20000).map(i => (i % 1000).toDouble).toDF("x")
+    val b = (1 to 20000).map(i => (i % 1000).toDouble).toDF("x")
+    val c = (1 to 20000).map(i => (i % 1000).toDouble + 500).toDF("x")
+    val (psiSame, ksSame) = SketchDrift.detect(a, b, col("x"))
+    val (psiShift, ksShift) = SketchDrift.detect(a, c, col("x"))
+    assert(psiSame < 0.01 && ksSame < 0.01)
+    assert(psiShift > 0.5 && ksShift > 0.2)
+  }
+
+  test("sketch aggregate composes with groupBy (per-group baselines)") {
+    val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
+    val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val sk = SketchAgg.deserialize(r.getAs[Array[Byte]](1))
+      assert(sk.getN == 5000)
+    }
+  }
+}
