@@ -193,6 +193,17 @@ object SparkEntry {
       Seq((math.round(psi * 1e6) / 1e6, math.round(ks * 1e6) / 1e6)).toDF("psi", "ks")
     }),
     // ---- text analysis (pure Column exprs, zero UDF) ----
+    "q36_sketch_drift" -> ((s, dir) => {
+      // KS/PSI over mergeable KLL quantile sketches (one agg pass per side)
+      val li = t(s, dir, "lineitem")
+      val (psi, ks) = graft.stats.SketchDrift.detect(
+        li.filter(col("l_returnflag") === "A"),
+        li.filter(col("l_returnflag") === "R"),
+        col("l_extendedprice")
+      )
+      import s.implicits._
+      Seq((math.round(psi * 1e4) / 1e4, math.round(ks * 1e4) / 1e4)).toDF("psi", "ks")
+    }),
     "q20_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))

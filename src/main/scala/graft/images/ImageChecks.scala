@@ -32,30 +32,53 @@ object ImageChecks {
 
   final case class Decoded(ok: Boolean, w: Int, h: Int, fmt: String)
 
-  /** Decode bytes → (ok, width, height, format). Format name comes from the
-    * matching ImageReader (normalised to lowercase; JPEG readers report
-    * "JPEG"). Any decode failure → ok=false. */
+  /** Container format from magic bytes — avoids the per-row ImageIO plugin
+    * scan (`getImageReaders` walks the service registry for every call). */
+  def sniffFormat(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) ""
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else ""
+  }
+
+  // per-thread reader reuse: ImageReader instances are not thread-safe but
+  // ARE reusable across inputs; one per (thread, format) amortises plugin
+  // lookup + reader construction across millions of rows
+  private val readerCache = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+    override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+  }
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (it.hasNext) { r = it.next(); cache.put(fmt, r) }
+    }
+    r
+  }
+
+  /** Decode bytes → (ok, width, height, format). Format comes from magic
+    * bytes (jpg normalised to jpeg). Any decode failure → ok=false. */
   def decode(bytes: Array[Byte]): Decoded = {
     if (bytes == null || bytes.length == 0) return Decoded(ok = false, 0, 0, "")
+    val fmt = sniffFormat(bytes)
+    if (fmt.isEmpty) return Decoded(ok = false, 0, 0, "")
     try {
+      val reader = readerFor(fmt)
+      if (reader == null) return Decoded(ok = false, 0, 0, fmt)
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
       try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Decoded(ok = false, 0, 0, "")
-        else {
-          val reader = readers.next()
-          reader.setInput(iis)
-          val fmt = reader.getFormatName.toLowerCase match {
-            case "jpg" => "jpeg"
-            case f     => f
-          }
-          val img = reader.read(0)
-          reader.dispose()
-          if (img == null) Decoded(ok = false, 0, 0, fmt)
-          else Decoded(ok = true, img.getWidth, img.getHeight, fmt)
-        }
-      } finally iis.close()
-    } catch { case _: Exception => Decoded(ok = false, 0, 0, "") }
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        if (img == null) Decoded(ok = false, 0, 0, fmt)
+        else Decoded(ok = true, img.getWidth, img.getHeight, fmt)
+      } finally {
+        reader.setInput(null)
+        iis.close()
+      }
+    } catch { case _: Exception => Decoded(ok = false, 0, 0, fmt) }
   }
 
   private val decodeUdf = udf((b: Array[Byte]) => decode(b))
