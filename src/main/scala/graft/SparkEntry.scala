@@ -251,8 +251,13 @@ object SparkEntry {
     "q29_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      import org.apache.spark.sql.expressions.Window
+      // oracle-comparable: (id, rank) — cosine values differ from DuckDB at
+      // float-vs-double precision, the neighbor ORDER does not
       Ann.bruteForceTopK(emb, col("embedding"), col("vec_id"), q, 20)
-        .select(col("id"), round(col("cosine"), 4).as("cosine"))
+        .withColumn("rank", row_number().over(Window.orderBy(col("cosine").desc, col("id"))))
+        .select(col("id"), col("rank"))
+        .orderBy("rank")
     }),
     "q30_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -466,7 +471,14 @@ object SparkEntry {
         |  SELECT text, min(doc_id) AS kept_id FROM documents GROUP BY text HAVING count(*) > 1
         |)
         |SELECT d.doc_id AS id, g.kept_id FROM documents d JOIN g USING(text) WHERE d.doc_id > g.kept_id
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "q29_ann_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        |       CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id) AS INT) AS rank
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id
+        |LIMIT 20""".stripMargin
     // q19, q25-q33: not ANSI-SQL-expressible (driver-side math, hash-specific
     // signatures, binary image decode) → rows-only checks.
   )
