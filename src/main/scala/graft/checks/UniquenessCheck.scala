@@ -47,7 +47,10 @@ object UniquenessCheck {
       rowNumber: Column,
       columnNumber: Int,
       primaryKeyFields: Seq[String] = Nil,
-      partitionId: Option[Column] = None
+      partitionId: Option[Column] = None,
+      /** >0 ⇒ two-phase salted aggregations (see [[Skew]]) for extreme
+        * per-key skew; 0 (default) relies on map-side combine */
+      salts: Int = 0
   ): DataFrame = {
     val rn = rowNumber.cast(LongType).as("_rn")
     val pid = partitionId.getOrElse(lit(null)).cast(IntegerType).as("_pid")
@@ -57,12 +60,16 @@ object UniquenessCheck {
       .filter(notAllNull)
       .select(keyCols.map(col) ++ Seq(rn, pid, keyHash, RowChecks.rowPayload(payloadCols).as("row")): _*)
 
-    val candidates = candidateRows(base)
+    val candidates = candidateRows(base, salts)
 
     // exact verification on the (tiny) candidate set — null-safe key equality
-    val firsts = candidates
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_cnt"), min(col("_rn")).as("_first"))
+    val firstsAgg =
+      if (salts > 0) Skew.saltedGroupStats(candidates, keyCols, col("_rn"), salts)
+      else
+        candidates
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("_cnt"), min(col("_rn")).as("_first"))
+    val firsts = firstsAgg
       .filter(col("_cnt") > 1)
       .select(keyCols.map(c => col(c).as(s"_k_$c")) :+ col("_first"): _*)
     val joinCond = keyCols.map(c => candidates(c) <=> firsts(s"_k_$c")).reduce(_ && _)
@@ -102,12 +109,12 @@ object UniquenessCheck {
   /** Hash-prefilter: rows whose `_kh` occurs more than once. The 8-byte hash
     * is all that shuffles; the candidate-hash set is joined back (broadcast
     * under AQE in the common tiny case). */
-  private def candidateRows(base: DataFrame): DataFrame = {
-    val candHashes = base
-      .groupBy(col("_kh"))
-      .agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") > 1)
-      .select(col("_kh"))
+  private def candidateRows(base: DataFrame, salts: Int = 0): DataFrame = {
+    val counted =
+      if (salts > 0)
+        Skew.saltedGroupStats(base, Seq("_kh"), col("_rn"), salts).withColumnRenamed("_cnt", "_hc")
+      else base.groupBy(col("_kh")).agg(count(lit(1)).as("_hc"))
+    val candHashes = counted.filter(col("_hc") > 1).select(col("_kh"))
     base.join(candHashes, "_kh")
   }
 

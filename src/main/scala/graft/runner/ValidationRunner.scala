@@ -42,7 +42,10 @@ final case class ValidationConfig(
     broadcastDims: Boolean = false,
     /** stable partition-id column carried into every violation row (for
       * per-partition lineage/checkpointing — see Lineage) */
-    partitionIdCol: Option[String] = None
+    partitionIdCol: Option[String] = None,
+    /** >0 ⇒ two-phase salted uniqueness aggregations for extreme key skew
+      * (phash clusters) — see checks.Skew */
+    uniquenessSalts: Int = 0
 )
 
 final case class ValidationResult(
@@ -95,7 +98,7 @@ object ValidationRunner {
         if (f.constraints.unique && cn > 0 && !schema.primaryKey.contains(f.name))
           parts :+= UniquenessCheck.violations(
             dropRowNum(df, dataCols, cfg), dataCols, Seq(f.name), rowNum, cn,
-            partitionId = pidCol
+            partitionId = pidCol, salts = cfg.uniquenessSalts
           )
       }
       // composite / single primary key
@@ -108,7 +111,8 @@ object ValidationRunner {
           rowNum,
           cn,
           primaryKeyFields = if (schema.primaryKey.size > 1) schema.primaryKey else Nil,
-          partitionId = pidCol
+          partitionId = pidCol,
+          salts = cfg.uniquenessSalts
         )
       }
     }

@@ -101,6 +101,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted uniqueness is bit-identical to unsalted under extreme skew") {
+    // 2000 rows, only 3 distinct keys = every row in a hot group
+    val rows = (1L to 2000L).map(i => (i + 1, s"k${i % 3}")).toList
+    val df = rows.toDF("_rid", "s")
+    val schema = TableSchema(Seq(Field("s", constraints = fc.copy(unique = true))))
+    def run(salts: Int) = ValidationRunner
+      .plan(
+        df, schema,
+        ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema")), uniquenessSalts = salts)
+      )
+      .violations
+      .collect()
+      .map(r => (r.getLong(1), r.getString(3)))
+      .sortBy(_._1)
+      .toSeq
+    assert(run(0) == run(16))
+    assert(run(16).size == 2000 - 3) // first-occurrence-wins
+  }
+
   test("custom-constraint violation set matches direct evaluation for random expressions") {
     for (seed <- 40L to 44L) {
       val r = new scala.util.Random(seed)
