@@ -282,6 +282,22 @@ object ValidationRunner {
     (report, status)
   }
 
+  /** Streaming validation: the row-scoped check suite is a stateless
+    * projection, so it applies unchanged to a streaming DataFrame
+    * (readStream → violations → writeStream). Only the single-pass checks
+    * run — uniqueness/FK/duplicate-row are cross-row/batch semantics by
+    * definition (the reference is batch-only, SURVEY §2.9; this entry point
+    * exists for continuous-ingest admission monitoring). */
+  def streamingViolations(df: DataFrame, schema: TableSchema, cfg: ValidationConfig): DataFrame = {
+    val opts = cfg.options
+    val withNa = replaceNa(df, schema.naValue)
+    val dataCols =
+      withNa.columns.toSeq.filterNot(c => c == cfg.rowNumberCol || cfg.partitionIdCol.contains(c))
+    val payloadSchema = org.apache.spark.sql.types.StructType(dataCols.map(c => withNa.schema(c)))
+    val compiled = RowChecks.compile(schema, payloadSchema, col(cfg.rowNumberCol), opts)
+    violationsWithPayload(withNa, dataCols, compiled, col(cfg.rowNumberCol), cfg.partitionIdCol.map(col))
+  }
+
   /** End-to-end CSV validation (fixture path): read → structural
     * (ragged-row) violations from the parser → header checks → schema body
     * checks — assembled into one reference-shaped report. A source-level
