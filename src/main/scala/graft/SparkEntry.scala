@@ -302,6 +302,33 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95")
         )),
+    // phash exact uniqueness (north_star: "uniqueness on image_id and phash")
+    "q37_image_unique_phash" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
+      val imgs = SyntheticImages.generateMeta(s, n).withColumnRenamed("row_id", "_rid")
+      ValidationRunner
+        .plan(
+          imgs,
+          TableSchema(fields = Seq(Field("phash", "integer", constraints = fc(unique = true)))),
+          ValidationConfig(rowNumberCol = "_rid")
+        )
+        .violations
+        .filter(col("code") === "unique-constraint")
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number")
+    }),
+    // phash near-dup: hamming-band bucket join over the 64-bit signatures
+    "q38_phash_neardup" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
+      val imgs = SyntheticImages.generateMeta(s, n)
+      // gradient phashes cluster heavily — aggregate to the pair-count per
+      // hamming distance (the operator's output at full fidelity is the pair
+      // list; the summary keeps the query result bounded)
+      Dedup
+        .hammingPairs(imgs, col("phash"), col("row_id"), maxHamming = 1, bands = 2)
+        .groupBy("hamming").agg(count(lit(1)).as("pairs"))
+        .orderBy("hamming")
+    }),
     "q33_image_unique_id" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 1000L
       // metadata-only generation: the uniqueness check never reads bytes —

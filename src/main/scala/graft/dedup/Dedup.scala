@@ -154,6 +154,44 @@ object Dedup {
     pairs
   }
 
+  /** Near-duplicate pairs by Hamming distance over 64-bit signatures
+    * (phash / simhash): split each signature into `bands` contiguous bit
+    * bands — pigeonhole guarantees any pair within `bands - 1` bit flips
+    * shares at least one band — bucket-join on (band, value), verify the
+    * true Hamming distance, emit (id_a, id_b, hamming). The shuffle carries
+    * (id, sig, band value): 24 B/row × bands. `maxBucket` guards degenerate
+    * buckets (e.g. all-zero signatures). */
+  def hammingPairs(
+      df: DataFrame,
+      sig: Column,
+      id: Column,
+      maxHamming: Int,
+      bands: Int = 8,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(bands > maxHamming, s"need bands > maxHamming for full recall (pigeonhole): $bands <= $maxHamming")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = df.select(id.as("_id"), sig.cast("long").as("_sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), shiftrightunsigned(col("_sig"), b * width).bitwiseAND(mask).as("bv"))
+    }
+    val banded = base
+      .select(col("_id"), col("_sig"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_id"), col("_sig"), col("_b.band"), col("_b.bv"))
+    val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("_bc"))
+    val pruned = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bv"))
+    val a = pruned.select(col("band"), col("bv"), col("_id").as("id_a"), col("_sig").as("_sa"))
+    val b = pruned.select(col("band"), col("bv"), col("_id").as("id_b"), col("_sig").as("_sb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within blocks (e.g. same
     * language) — quadratic within a block, so only for small/bounded blocks;
     * the scalable path is [[minHashPairs]]. Output: (id_a, id_b, jaccard). */

@@ -91,6 +91,18 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 3L)))
   }
 
+  test("hamming-band near-dup pairs: recall within bands-1 flips, no false positives") {
+    val x = 0x123456789abcdefL
+    val y = x ^ (1L << 3) ^ (1L << 40) // 2 bit flips
+    val z = 0x7ea5e5e5e5e5e5e5L
+    val df = Seq((1L, x), (2L, y), (3L, z)).toDF("id", "sig")
+    val pairs = Dedup
+      .hammingPairs(df, col("sig"), col("id"), maxHamming = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2)))
+  }
+
   test("fingerprint is whitespace/case-insensitive-normalised and stable") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
     val f = df.select(col("id"), TextOps.fingerprint(col("t"))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
