@@ -32,9 +32,11 @@ object Dedup {
       .select(col("_id").as("id"), col("kept_id"))
   }
 
-  /** Exact dedup on raw text bytes (hash-groupBy). */
+  /** Exact dedup on the raw text (hash-groupBy on xxhash64 of the bytes —
+    * the shuffle key is 8 bytes, never the document). For whitespace/case
+    * tolerant exact dedup use [[TextOps.fingerprint]] as the key instead. */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
-    duplicatesByKey(df, TextOps.fingerprint(text), id)
+    duplicatesByKey(df, xxhash64(text), id)
 
   /** Dedup on the sorted distinct token set (order/whitespace-insensitive). */
   def normalizedTokenSet(df: DataFrame, text: Column, id: Column): DataFrame =

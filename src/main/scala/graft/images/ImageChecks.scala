@@ -113,10 +113,11 @@ object ImageChecks {
     * `rowNumber` must be a stable per-row id (e.g. dense rank of image_id).
     */
   def violations(df: DataFrame, rowNumber: Column, checkCaption: Boolean = true): DataFrame = {
-    val cols = Seq("image_id", "w", "h", "fmt", "caption", "phash")
     val dec = withDecoded(df).withColumn("_rn", rowNumber.cast(LongType))
+    // row payload aligned with the column numbering below: position 2 is the
+    // binary payload, rendered as "" (bytes are not stringifiable)
     val rowArr = array(
-      (Seq(col("image_id")) ++ Seq(col("w"), col("h")).map(_.cast(StringType)) ++
+      (Seq(col("image_id")) ++ Seq(lit("")) ++ Seq(col("w"), col("h")).map(_.cast(StringType)) ++
         Seq(col("fmt"), col("caption")) :+ col("phash").cast(StringType)).map(c => coalesce(c, lit(""))): _*
     )
     val colIdx = Map("image_id" -> 1, "bytes" -> 2, "w" -> 3, "h" -> 4, "fmt" -> 5, "caption" -> 6, "phash" -> 7)

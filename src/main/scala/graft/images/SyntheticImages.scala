@@ -182,6 +182,18 @@ object SyntheticImages {
       .toDF("row_id", "image_id", "w", "h", "fmt", "caption", "phash")
   }
 
+  /** Materialize the deterministic table ONCE to a parquet cache and return
+    * the path (idempotent: keyed by n; `_SUCCESS` marks a complete write).
+    * This is what a real deployment looks like — the table is STORED, checks
+    * read it with column pruning (a metadata-only check never deserialises
+    * `bytes`), and the DuckDB oracle can query the very same files. */
+  def materialized(spark: SparkSession, n: Long, cacheDir: String = "target/imgcache"): String = {
+    val path = new java.io.File(s"$cacheDir/images_$n").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      generateWithId(spark, n).write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Like [[generate]] but with a leading `row_id` column (1-based generation
     * index) — a stable per-row identity that survives the injected
     * duplicate-image_id violations (needed as the uniqueness check's row
