@@ -122,7 +122,7 @@ object SparkEntry {
     "q07_pattern" -> ((s, dir) =>
       validate(
         t(s, dir, "customer").withColumn("_rid", col("c_custkey")),
-        TableSchema(fields = Seq(Field("c_name", constraints = fc(pattern = Some("[02468]$")))))
+        TableSchema(fields = Seq(Field("c_name", constraints = fc(pattern = Some("Customer#[0-9]+[02468]")))))
       )),
     "q08_type_integer" -> ((s, dir) =>
       validate(
@@ -381,9 +381,12 @@ object SparkEntry {
     "q06_maxlength" ->
       """SELECT 'maximum-length-constraint' AS code, doc_id AS row_number
         |FROM documents WHERE text IS NOT NULL AND length(text) > 600 ORDER BY row_number, code""".stripMargin,
+    // anchored (full-string) pattern semantics, matching the engine's
+    // goodtables-faithful ^(?:...)$ wrap
     "q07_pattern" ->
       """SELECT 'pattern-constraint' AS code, c_custkey AS row_number
-        |FROM customer WHERE c_name IS NOT NULL AND NOT regexp_matches(c_name, '[02468]$')
+        |FROM customer WHERE c_name IS NOT NULL
+        |  AND NOT regexp_matches(c_name, '^(?:Customer#[0-9]+[02468])$')
         |ORDER BY row_number, code""".stripMargin,
     "q08_type_integer" ->
       """SELECT 'type-or-format-error' AS code, event_id AS row_number

@@ -54,8 +54,11 @@ object Ann {
   def bruteForceTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Double], k: Int): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
     val q = query.toIndexedSeq
+    // null / zero-norm vectors score NaN, and Spark orders NaN ABOVE every
+    // double — they would displace real neighbors at rank 1. Drop them.
     val scoreUdf = udf((v: Seq[Double]) => if (v == null) Double.NaN else dotK(v, q) / (normK(v) * qn))
     df.select(id.as("id"), scoreUdf(vec.cast("array<double>")).as("cosine"))
+      .filter(!isnan(col("cosine")))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -108,6 +111,7 @@ object Ann {
     df.select(id.as("id"), vec.as("_v"), sig.as("_sig"))
       .filter(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= probeHamming)
       .select(col("id"), (dot(col("_v"), q) / (l2norm(col("_v")) * lit(qn))).as("cosine"))
+      .filter(!isnan(col("cosine"))) // zero-norm guard (NaN sorts above all)
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

@@ -148,10 +148,13 @@ object RowChecks {
 
         on("pattern-constraint", "schema") {
           f.constraints.pattern.toSeq.map { p =>
+            // FULL-string match: goodtables/tableschema check_pattern anchors
+            // the regex — unanchored rlike is a substring search and would
+            // accept values that merely CONTAIN a match
             CompiledCheck(
               "pattern-constraint",
               Some(cn),
-              c.isNotNull && !c.cast(StringType).rlike(p),
+              c.isNotNull && !c.cast(StringType).rlike("^(?:" + p + ")$"),
               message("pattern-constraint", subs("constraint" -> lit(p)))
             )
           }

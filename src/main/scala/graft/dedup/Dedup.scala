@@ -99,19 +99,23 @@ object Dedup {
   }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `threshold`.
     *
-    * Pipeline (each arrow one distributed op):
-    * shingle → minhash signature (scan-local) → explode into `bands` band
-    * hashes → groupBy band bucket (partial-agg shuffle) → pairs within
-    * buckets (only buckets with ≥2 docs survive; bucket size capped to guard
-    * against degenerate buckets) → exact Jaccard on the shingle sets →
-    * filter ≥ `threshold` → distinct pairs.
-    *
-    * Output: (id_a, id_b, jaccard) with id_a < id_b.
-    *
-    * @param maxBucket skip pathological buckets larger than this (a single
-    *   hot bucket would otherwise produce O(n²) pairs — the skew guard).
-    */
+    * Scale design (mirrors [[hammingPairs]]):
+    *  1. collapse documents with IDENTICAL shingle sets first (8-byte-key
+    *     groupBy on a hash of the set) — web corpora are dominated by exact
+    *     duplicates, which would otherwise all land in the same LSH buckets;
+    *     intra-group pairs have jaccard exactly 1.0, no verification needed;
+    *  2. LSH-band only the distinct-set REPRESENTATIVES;
+    *  3. buckets larger than `maxBucket` are NOT dropped (the r1 guard lost
+    *     recall silently): their members are re-bucketed with the band
+    *     prefix EXTENDED by the following band's hash — i.e. candidates in
+    *     hot regions must agree on two bands instead of one. That narrows
+    *     (never widens) the probabilistic candidate set only where the data
+    *     is pathological, deterministically;
+    *  4. candidates verified with exact Jaccard on the shingle sets, then
+    *     expanded back through membership (members carry identical sets, so
+    *     the representative's jaccard IS the members' jaccard). */
   def minHashPairs(
       df: DataFrame,
       text: Column,
@@ -125,44 +129,111 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val shingles = TextOps.wordShingleHashes(text, shingleWords)
+    // _shkey: 64-bit hash of the sorted distinct shingle hashes — the
+    // identical-set group key (xxhash64 over the array column is codegen'd)
     val withSh = df.select(id.as("_id"), shingles.as("_sh"))
-    val withSig = withSh.select(col("_id"), col("_sh"), minhashSignature(col("_sh"), numHashes).as("_sig"))
-    // band structs built at plan time (Scala loop, not an interpreted HOF);
-    // slice/cast/xxhash64 are all codegen'd expressions
+      .withColumn("_shkey", xxhash64(col("_sh")))
+
+    // 1. identical-set groups: intra-group pairs are jaccard 1.0 by identity
+    val groupSizes = withSh.groupBy(col("_shkey")).agg(count(lit(1)).as("_cnt"))
+    val samePairs = {
+      val dup = withSh.select(col("_shkey"), col("_id"))
+        .join(groupSizes.filter(col("_cnt") > 1).select("_shkey"), Seq("_shkey"))
+      dup.select(col("_shkey"), col("_id").as("id_a"))
+        .join(dup.select(col("_shkey"), col("_id").as("id_b")), Seq("_shkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    }
+
+    // representatives: one row (min id) per distinct shingle set
+    val reps = withSh
+      .groupBy(col("_shkey"))
+      .agg(min_by(struct(col("_id"), col("_sh")), col("_id")).as("_r"))
+      .select(col("_shkey"), col("_r._id").as("_id"), col("_r._sh").as("_sh"))
+    val withSig = reps.select(col("_shkey"), col("_id"), col("_sh"),
+      minhashSignature(col("_sh"), numHashes).as("_sig"))
+
+    // 2. band structs built at plan time (Scala loop, not an interpreted
+    // HOF); slice/cast/xxhash64 are all codegen'd expressions. Each band
+    // carries the NEXT band's hash for the hot-bucket prefix extension.
     val bandCols = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(slice(col("_sig"), b * rows + 1, rows).cast("string")).as("bh")
+        xxhash64(slice(col("_sig"), b * rows + 1, rows).cast("string")).as("bh"),
+        xxhash64(slice(col("_sig"), ((b + 1) % bands) * rows + 1, rows).cast("string")).as("bh2")
       )
     }
     val banded = withSig
-      .select(col("_id"), col("_sh"), explode(array(bandCols: _*)).as("_b"))
-      .select(col("_id"), col("_sh"), col("_b.band"), col("_b.bh"))
+      .select(col("_shkey"), col("_id"), col("_sh"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_shkey"), col("_id"), col("_sh"), col("_b.band"), col("_b.bh"), col("_b.bh2"))
 
-    // bucket size guard: count per bucket with a partial agg, drop hot buckets
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
-    val pruned = banded
-      .join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
+    val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
+    // 3. hot buckets: extend the prefix with the following band's hash
+    val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
 
-    val a = pruned.select(col("band"), col("bh"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
-    val b = pruned.select(col("band"), col("bh"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
-    val pairs = a
-      .join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+    def pairsOf(bk: DataFrame, keys: Seq[String]): DataFrame =
+      bk.select((keys.map(col) ++ Seq(col("_shkey").as("_ka"), col("_id").as("id_a"), col("_sh").as("_sh_a"))): _*)
+        .join(bk.select((keys.map(col) ++ Seq(col("_shkey").as("_kb"), col("_id").as("id_b"), col("_sh").as("_sh_b"))): _*), keys)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("_ka"), col("_kb"), col("id_a"), col("id_b"), col("_sh_a"), col("_sh_b"))
+
+    // 4. verify candidates once per representative pair, then expand
+    val repPairs = pairsOf(cold, Seq("band", "bh"))
+      .unionAll(pairsOf(hot, Seq("band", "bh", "bh2")))
+      .groupBy(col("_ka"), col("_kb"))
+      .agg(first(col("_sh_a")).as("_sh_a"), first(col("_sh_b")).as("_sh_b"))
+      .select(col("_ka"), col("_kb"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    val memberIds = withSh.select(col("_shkey"), col("_id"))
+    val crossPairs = repPairs
+      .join(memberIds.select(col("_shkey").as("_ka"), col("_id").as("_ia")), Seq("_ka"))
+      .join(memberIds.select(col("_shkey").as("_kb"), col("_id").as("_ib")), Seq("_kb"))
+      .select(
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("jaccard")
+      )
+
+    samePairs
+      .unionAll(crossPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
-    pairs
+  }
+
+  /** Bits of `sig` whose index ≡ k (mod m), compacted into a long — an
+    * INTERLEAVED cut of the 64 bits, guaranteed different from any contiguous
+    * banding. Per-row primitive kernel (UDF beats an unrolled 64-term
+    * Catalyst tree and stays row-local). */
+  private[dedup] def interleavedBand(sig: Long, k: Int, m: Int): Long = {
+    var out = 0L; var idx = 0; var j = k
+    while (j < 64) { out |= ((sig >>> j) & 1L) << idx; idx += 1; j += m }
+    out
   }
 
   /** Near-duplicate pairs by Hamming distance over 64-bit signatures
-    * (phash / simhash): split each signature into `bands` contiguous bit
-    * bands — pigeonhole guarantees any pair within `bands - 1` bit flips
-    * shares at least one band — bucket-join on (band, value), verify the
-    * true Hamming distance, emit (id_a, id_b, hamming). The shuffle carries
-    * (id, sig, band value): 24 B/row × bands. `maxBucket` guards degenerate
-    * buckets (e.g. all-zero signatures). */
+    * (phash / simhash). Output: (id_a, id_b, hamming) with id_a < id_b —
+    * EXACT (full recall + precision): every pair within `maxHamming` bits is
+    * emitted, none outside.
+    *
+    * Scale design (phash clusters are the north-star skew case):
+    *  1. collapse identical signatures with a partial-agg groupBy — the only
+    *     shuffle that sees every row, and its key is 8 bytes;
+    *     hamming-0 pairs come straight from group membership (that output is
+    *     inherently quadratic in the group size — it IS the answer);
+    *  2. band only the DISTINCT signatures into `bands` contiguous bit bands
+    *     (pigeonhole: ≤ bands-1 flips ⇒ some band equal);
+    *  3. buckets larger than `maxBucket` are NOT dropped (the r1 guard lost
+    *     recall exactly where the duplicates live): their members are
+    *     re-split by a second, INTERLEAVED banding into maxHamming+1
+    *     sub-bands — any valid pair still shares a sub-band (pigeonhole
+    *     holds for every partition of the 64 bits), so recall is preserved
+    *     while gradient-style clusters break apart;
+    *  4. verify true bit_count(xor) ≤ maxHamming on signature pairs, then
+    *     expand back through group membership (tiny broadcast joins).
+    * `maxBucket` is thus a pure performance knob — results are identical at
+    * any setting. */
   def hammingPairs(
       df: DataFrame,
       sig: Column,
@@ -176,20 +247,63 @@ object Dedup {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val base = df.select(id.as("_id"), sig.cast("long").as("_sig"))
+
+    // 1. identical-signature groups (map-side combine soaks up skew)
+    val groups = base.groupBy(col("_sig")).agg(count(lit(1)).as("_cnt"))
+    val members = base // (_id, _sig) — joined back twice at the end
+    val zeroPairs = {
+      val dup = members.join(
+        groups.filter(col("_cnt") > 1).select(col("_sig")), Seq("_sig"))
+      dup.select(col("_sig"), col("_id").as("id_a"))
+        .join(dup.select(col("_sig"), col("_id").as("id_b")), Seq("_sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    }
+
+    // 2. band the distinct signatures
+    val sigs = groups.select(col("_sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), shiftrightunsigned(col("_sig"), b * width).bitwiseAND(mask).as("bv"))
     }
-    val banded = base
-      .select(col("_id"), col("_sig"), explode(array(bandCols: _*)).as("_b"))
-      .select(col("_id"), col("_sig"), col("_b.band"), col("_b.bv"))
+    val banded = sigs
+      .select(col("_sig"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_sig"), col("_b.band"), col("_b.bv"))
     val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("_bc"))
-    val pruned = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bv"))
-    val a = pruned.select(col("band"), col("bv"), col("_id").as("id_a"), col("_sig").as("_sa"))
-    val b = pruned.select(col("band"), col("bv"), col("_id").as("id_b"), col("_sig").as("_sb"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bv"))
+
+    // 3. hot buckets: second-level interleaved split (recall-preserving)
+    val m2 = maxHamming + 1
+    val subUdf = udf((s: Long, k: Int) => interleavedBand(s, k, m2))
+    val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bv"))
+    val hotSub = hot.select(
+      col("_sig"), col("band"), col("bv"),
+      explode(array((0 until m2).map(lit(_)): _*)).as("sub")
+    ).withColumn("sbv", subUdf(col("_sig"), col("sub")))
+
+    def pairsOf(bk: DataFrame, keys: Seq[String]): DataFrame =
+      bk.select((keys.map(col) :+ col("_sig").as("_sa")): _*)
+        .join(bk.select((keys.map(col) :+ col("_sig").as("_sb")): _*), keys)
+        .filter(col("_sa") < col("_sb"))
+        .select(col("_sa"), col("_sb"))
+
+    val sigPairs = pairsOf(cold, Seq("band", "bv"))
+      .unionAll(pairsOf(hotSub, Seq("band", "bv", "sub", "sbv")))
+      .distinct()
+      .select(col("_sa"), col("_sb"), bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
+      .filter(col("hamming").between(1, maxHamming))
+
+    // 4. expand signature pairs back to id pairs through membership
+    val crossPairs = sigPairs
+      .join(members.select(col("_sig").as("_sa"), col("_id").as("_ia")), Seq("_sa"))
+      .join(members.select(col("_sig").as("_sb"), col("_id").as("_ib")), Seq("_sb"))
+      .select(
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("hamming")
+      )
+
+    zeroPairs
+      .unionAll(crossPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }

@@ -100,7 +100,10 @@ object ConstraintExpr {
 
     private def parseUnary(): Ast = peek match {
       case Some(TOp("-"))     => next(); Un("-", parseUnary())
-      case Some(TId("not"))   => next(); Un("not", parseUnary())
+      // Python precedence: `not` binds LOOSER than comparisons, tighter than
+      // `and` — so `not x > 1` is not(x > 1). Its operand is parsed at the
+      // comparison level (3), not as a tight unary.
+      case Some(TId("not"))   => next(); Un("not", parseExpr(3))
       case Some(TNum(_))      => val TNum(v) = next(): @unchecked; Num(v)
       case Some(TId(s)) if s != "and" && s != "or" => next(); Ident(s)
       case Some(TLParen) =>
@@ -131,6 +134,17 @@ object ConstraintExpr {
     case Bin(_, l, r) => identifiers(l) ++ identifiers(r)
   }
 
+  /** Is this sub-expression boolean-typed once compiled? (comparisons and
+    * logical connectives yes; arithmetic/identifiers/literals are doubles) */
+  private def isBool(ast: Ast): Boolean = ast match {
+    case Bin(op, _, _) => Set("<", "<=", ">", ">=", "==", "!=", "and", "or")(op)
+    case Un("not", _)  => true
+    case _             => false
+  }
+
+  private def asBool(ast: Ast, c: Column): Column =
+    if (isBool(ast)) c else c =!= lit(0d)
+
   /** Compile the AST to a boolean Column. Identifiers resolve to the row's
     * cells cast to double (the reference floats every coercible cell,
     * custom_checks.py:28-33). */
@@ -138,7 +152,9 @@ object ConstraintExpr {
     case Num(v)   => lit(v)
     case Ident(n) => col(n).cast("double")
     case Un("-", e)   => -toColumn(e)
-    case Un("not", e) => !toColumn(e)
+    // `not` over a non-boolean operand is Python truthiness (not 0.0 == True)
+    // — and applying ! to a double column would fail analysis at plan time
+    case Un("not", e) => if (isBool(e)) !toColumn(e) else toColumn(e) === lit(0d)
     case Un(op, _)    => throw new IllegalArgumentException(s"Bad unary op $op")
     case Bin(op, l, r) =>
       val (a, b) = (toColumn(l), toColumn(r))
@@ -154,8 +170,10 @@ object ConstraintExpr {
         case ">="  => a >= b
         case "=="  => a === b
         case "!="  => a =!= b
-        case "and" => a && b
-        case "or"  => a || b
+        // logical connectives coerce non-boolean operands via truthiness
+        // (Python `1 and x`): a raw && over double columns fails analysis
+        case "and" => asBool(l, a) && asBool(r, b)
+        case "or"  => asBool(l, a) || asBool(r, b)
         case other => throw new IllegalArgumentException(s"Bad operator $other")
       }
   }

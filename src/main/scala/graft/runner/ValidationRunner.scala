@@ -95,7 +95,10 @@ object ValidationRunner {
     if (opts.enabled("unique-constraint", "schema")) {
       schema.fields.zipWithIndex.foreach { case (f, _) =>
         val cn = dataCols.indexOf(f.name) + 1
-        if (f.constraints.unique && cn > 0 && !schema.primaryKey.contains(f.name))
+        // skip the single-column check only when the field IS the sole PK
+        // (identical tuple); a member of a COMPOSITE key still gets its own
+        // per-column cache in the reference (custom_checks.py:148-174)
+        if (f.constraints.unique && cn > 0 && schema.primaryKey != Seq(f.name))
           parts :+= UniquenessCheck.violations(
             dropRowNum(df, dataCols, cfg), dataCols, Seq(f.name), rowNum, cn,
             partitionId = pidCol, salts = cfg.uniquenessSalts

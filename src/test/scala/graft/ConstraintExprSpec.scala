@@ -65,6 +65,21 @@ class ConstraintExprSpec extends SparkSpec {
     assert(failingRows(df, "a % 2 == 0") == Seq.empty)
   }
 
+  test("not binds looser than comparisons (Python): not a > 5 == not(a > 5)") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 10.0, 1.0)).toDF("_rid", "a", "b")
+    // constraint `not a > 5` holds for row 1 (a<=5), fails for row 2
+    assert(failingRows(df, "not a > 5") == Seq(2L))
+    // ...but still binds tighter than `and`
+    assert(failingRows(df, "not a > 5 and b > 0") == Seq(2L))
+  }
+
+  test("not/and/or over non-boolean operands use Python truthiness, not an analysis crash") {
+    val df = Seq((1L, 0.0, 3.0), (2L, 10.0, 0.0)).toDF("_rid", "a", "b")
+    assert(failingRows(df, "not a") == Seq(2L))      // not 0.0 is True
+    assert(failingRows(df, "a and b") == Seq(1L, 2L)) // 0 and 3 / 10 and 0 both falsy
+    assert(failingRows(df, "a or b") == Seq.empty)
+  }
+
   test("division by zero fails the row (reference: eval exception -> error)") {
     val df = Seq((1L, 10.0, 0.0)).toDF("_rid", "a", "b")
     assert(failingRows(df, "a / b > 1") == Seq(1L))

@@ -90,6 +90,14 @@ class RowChecksSpec extends SparkSpec {
     )
   }
 
+  test("pattern-constraint is a FULL-string match (goodtables anchors the regex)") {
+    // "ab1" CONTAINS a match for [0-9] but is not one — unanchored rlike
+    // would wrongly accept it
+    val df = Seq((2L, "7"), (3L, "ab1"), (4L, "42")).toDF("_rid", "v")
+    val schema = TableSchema(Seq(Field("v", constraints = fc.copy(pattern = Some("[0-9]+")))))
+    assert(tuples(df, schema) == Seq((3L, Some(1), "pattern-constraint")))
+  }
+
   test("blank-row fires when every cell is empty/null") {
     val df = Seq(
       (2L, Some("x"), Some("y")),

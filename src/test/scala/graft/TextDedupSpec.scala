@@ -103,6 +103,43 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 2)))
   }
 
+  test("hammingPairs: maxBucket is a pure performance knob — results identical under tiny caps") {
+    // 60 sigs in 3 exact-dup clusters + near-dup links between clusters;
+    // maxBucket=2 forces EVERYTHING through the hot-bucket split path
+    val sigs = (0 until 60).map { i =>
+      val base = Seq(0x0123456789abcdefL, 0x0123456789abcdeeL, 0x7ea5a5a5a5a5a5a5L)(i % 3)
+      (i.toLong + 1, base)
+    }
+    val df = sigs.toDF("id", "sig")
+    def run(cap: Int) = Dedup
+      .hammingPairs(df, col("sig"), col("id"), maxHamming = 1, bands = 2, maxBucket = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+      .toSeq
+    val full = run(10000)
+    assert(run(2) == full)
+    // sanity: 20 ids per cluster -> 3*C(20,2)=570 zero-pairs, plus 20*20
+    // cross pairs between the two clusters at hamming 1
+    assert(full.count(_._3 == 0) == 570)
+    assert(full.count(_._3 == 1) == 400)
+  }
+
+  test("minHashPairs: exact-dup pairs survive any maxBucket (identical-set collapse)") {
+    val many = (0 until 30).map(i => (i.toLong + 1, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((100L, "a completely different sentence about spark engines"))
+    val df = many.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup
+      .minHashPairs(df, col("text"), col("doc_id"), threshold = 0.9, maxBucket = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+      .toSeq
+    val full = run(1000)
+    assert(full.size == 30 * 29 / 2 && full.forall(_._3 == 1.0))
+    assert(run(1) == full) // every bucket "hot": prefix extension, not drop
+  }
+
   test("fingerprint is whitespace/case-insensitive-normalised and stable") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
     val f = df.select(col("id"), TextOps.fingerprint(col("t"))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

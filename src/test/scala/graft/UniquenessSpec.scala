@@ -51,6 +51,19 @@ class UniquenessSpec extends SparkSpec {
     )
   }
 
+  test("unique member of a COMPOSITE PK still gets its single-column check (custom_checks.py:148-174)") {
+    // p is unique=true AND one member of PK (p,q): per-column duplicates of p
+    // must be reported even when the composite tuples are distinct
+    val df = Seq((2L, "a", "x"), (3L, "a", "y"), (4L, "b", "z")).toDF("_rid", "p", "q")
+    val schema = TableSchema(
+      Seq(Field("p", constraints = fc.copy(unique = true)), Field("q")),
+      primaryKey = Seq("p", "q")
+    )
+    val v = viols(df, schema)
+    assert(v.map(_._1) == Seq(3L)) // p="a" duplicated; (p,q) tuples all distinct
+    assert(v.head._3 == "Rows 3 has unique constraint violation in column 1")
+  }
+
   test("duplicate-row cites the earlier row number (custom_checks.py:467-478)") {
     val df = Seq((2L, "a", 1), (3L, "b", 2), (4L, "a", 1), (5L, "a", 1)).toDF("_rid", "x", "y")
     val schema = TableSchema(Seq(Field("x"), Field("y")))
