@@ -67,14 +67,32 @@ object Lineage {
 
   /** Resumable validation run.
     *
+    * Execution shape per batch (the `_pid` filter does NOT prune the scan —
+    * it is a computed column, so every batch re-reads the table; choose
+    * `batchSize = numPartitions` (one batch) unless you need finer crash
+    * granularity, and at real scale key the buckets off a PHYSICAL partition
+    * column so the filter prunes):
+    *  1. the checks plan runs ONCE — its violations go straight to the sink
+    *     (when `violationsDir` is set) or straight into one bounded
+    *     per-partition aggregation (when not). No persist, no second run of
+    *     the expensive check suite;
+    *  2. per-partition ROW counts are a groupBy on the bucket key — that
+    *     scan is column-pruned to the single key column;
+    *  3. violation counts are read back from the (tiny) written sink, so the
+    *     numbers in the lineage table are the numbers durably on disk;
+    *  4. the sink write is IDEMPOTENT: dynamic partition overwrite on
+    *     (run_id, partition_id) — a batch that crashed after writing but
+    *     before the verdict commit is simply rewritten on resume, never
+    *     duplicated. Verdict append remains the atomic commit point.
+    *
     * @param key           stable-bucket key (e.g. image_id)
     * @param numPartitions lineage buckets (metadata granularity, independent
     *                      of Spark task parallelism)
     * @param batchSize     buckets per driver commit — the unit of progress a
     *                      crash can lose
-    * @param violationsDir when set, each batch also appends its violation
-    *                      rows (partitioned by partition_id for pruned
-    *                      re-reads)
+    * @param violationsDir when set, each batch also writes its violation
+    *                      rows (partitioned by run_id, partition_id for
+    *                      pruned re-reads)
     */
   def runResumable(
       df: DataFrame,
@@ -98,31 +116,40 @@ object Lineage {
       val sub = withPid.filter(col("_pid").isin(batch: _*))
       val result = ValidationRunner.plan(sub, schema, cfgPid)
 
-      // per-partition row counts and violation counts in two bounded aggs
+      // column-pruned count scan: reads only the bucket-key column
       val rowCounts = sub
         .groupBy(col("_pid"))
         .agg(count(lit(1)).as("rows"))
         .collect()
         .map(r => r.getInt(0) -> r.getLong(1))
         .toMap
-      // cache: the violation plan feeds both the optional sink write and the
-      // per-partition counts — don't re-run the scan+checks twice
-      val violDf = result.violations.persist()
-      violationsDir.foreach { dir =>
-        violDf
-          .withColumn("run_id", lit(runId))
-          .write
-          .mode(SaveMode.Append)
-          .partitionBy("partition_id")
-          .parquet(dir)
+
+      val violCounts: Map[Int, Long] = violationsDir match {
+        case Some(dir) =>
+          result.violations
+            .withColumn("run_id", lit(runId))
+            .write
+            .mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "partition_id")
+            .parquet(dir)
+          if (!new java.io.File(dir).exists()) Map.empty[Int, Long] // zero-violation batch, nothing written yet
+          else spark.read
+            .parquet(dir)
+            .filter(col("run_id") === runId && col("partition_id").isin(batch: _*))
+            .groupBy(col("partition_id"))
+            .agg(count(lit(1)).as("viols"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getLong(1))
+            .toMap
+        case None =>
+          result.violations
+            .groupBy(col("partition_id"))
+            .agg(count(lit(1)).as("viols"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getLong(1))
+            .toMap
       }
-      val violCounts = violDf
-        .groupBy(col("partition_id"))
-        .agg(count(lit(1)).as("viols"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
-        .toMap
-      violDf.unpersist()
 
       val now = System.currentTimeMillis()
       val batchVerdicts = batch.map { p =>

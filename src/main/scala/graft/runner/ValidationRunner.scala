@@ -53,7 +53,10 @@ final case class ValidationResult(
       * (code, row_number, column_number, message, row) */
     violations: DataFrame,
     headerViolations: Seq[Violation],
-    headers: Seq[String]
+    headers: Seq[String],
+    /** true when a row-count Observation rides the row-checks scan — the
+      * count arrives with the violations action, no second pass (run()) */
+    observedRows: Boolean = false
 )
 
 object ValidationRunner {
@@ -69,8 +72,19 @@ object ValidationRunner {
       }.toIndexedSeq: _*)
   }
 
-  /** Build the full lazy validation plan. Does not trigger any job. */
-  def plan(df0: DataFrame, schema: TableSchema, cfg: ValidationConfig): ValidationResult = {
+  /** Build the full lazy validation plan. Does not trigger any job.
+    *
+    * @param rowCountObs when set (and row checks are active), an Observation
+    *   counting the scanned rows is attached BETWEEN the scan and the
+    *   violation filter — the optimizer does not push predicates through
+    *   CollectMetrics, so the count sees every row and arrives with the same
+    *   job that computes the violations (no second pass over 100 TB). */
+  def plan(
+      df0: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      rowCountObs: Option[org.apache.spark.sql.Observation] = None
+  ): ValidationResult = {
     val opts = cfg.options
     // row limit (goodtables row_limit; warning handled in report())
     val limited = cfg.options.rowLimit.fold(df0)(n => df0.limit(n.toInt))
@@ -87,7 +101,9 @@ object ValidationRunner {
 
     // 2. single-pass row checks, with the full source row carried as payload
     val compiled = RowChecks.compile(schema, payloadSchema, rowNum, opts)
-    val entriesDf = violationsWithPayload(df, dataCols, compiled, rowNum, pidCol)
+    val observe = rowCountObs.filter(_ => compiled.nonEmpty)
+    val dfChecked = observe.fold(df)(o => df.observe(o, count(lit(1)).as("_rows")))
+    val entriesDf = violationsWithPayload(dfChecked, dataCols, compiled, rowNum, pidCol)
 
     var parts = Seq(entriesDf)
 
@@ -147,7 +163,7 @@ object ValidationRunner {
         }
       }
 
-    ValidationResult(parts.reduce(_ unionAll _), headerViols, dataCols)
+    ValidationResult(parts.reduce(_ unionAll _), headerViols, dataCols, observedRows = observe.isDefined)
   }
 
   /** keep payload columns + row number available to shuffle checks, with the
@@ -217,12 +233,16 @@ object ValidationRunner {
     * caps, row/header injection, status assignment). */
   def run(df: DataFrame, schema: TableSchema, cfg: ValidationConfig): (ValidationReport, String) = {
     val t0 = System.nanoTime()
-    val result = plan(df, schema, cfg)
-    val rawCount = df.count()
-    val scanned = cfg.options.rowLimit.fold(rawCount)(math.min(_, rawCount))
+    // row count rides the violations job as an Observation (one pass). The
+    // rowLimit debug path still needs the RAW count for its warning, so only
+    // that path pays a separate (metadata-cheap on parquet) count.
+    val obs = org.apache.spark.sql.Observation()
+    val result = plan(df, schema, cfg, rowCountObs = if (cfg.options.rowLimit.isEmpty) Some(obs) else None)
 
     import org.apache.spark.sql.Row
     val collected: Seq[Violation] = {
+      // per-code cap (bounded by default — see ValidationOptions): the
+      // window shuffles only VIOLATIONS, never source rows
       val capped = cfg.options.errorLimitPerCode match {
         case Some(cap) =>
           import org.apache.spark.sql.expressions.Window
@@ -233,8 +253,11 @@ object ValidationRunner {
             .drop("_rk")
         case None => result.violations
       }
+      // NOTE: no DataFrame-level orderBy here — a global sort directly above
+      // the scan runs a range-sampling job that would execute the observed
+      // scan TWICE (double-counting rows and doubling I/O). The collected
+      // set is bounded (capped), so ordering is driver-side.
       capped
-        .orderBy(col("row_number").asc_nulls_first, col("column_number").asc_nulls_first, col("code"))
         .collect()
         .toSeq
         .map { r: Row =>
@@ -246,7 +269,17 @@ object ValidationRunner {
             row = if (r.isNullAt(4)) Nil else r.getSeq[String](4)
           )
         }
+        .sortBy(v => (v.rowNumber.getOrElse(Long.MinValue), v.columnNumber.getOrElse(Int.MinValue), v.code))
     }
+
+    val (scanned, rawCount) =
+      if (result.observedRows) {
+        val n = obs.get("_rows").asInstanceOf[Long] // already complete: collect() ran the scan
+        (n, n)
+      } else {
+        val raw = df.count()
+        (cfg.options.rowLimit.fold(raw)(math.min(_, raw)), raw)
+      }
 
     // misleading-uniqueness filter (jobs.py:174-176, 545-569): if a PK column
     // also has required-constraint errors, unique-constraint errors are noise

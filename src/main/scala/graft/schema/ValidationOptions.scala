@@ -16,9 +16,13 @@ final case class ValidationOptions(
     checks: Seq[String] = Seq("structure", "schema", "custom"),
     skipChecks: Seq[String] = Nil,
     rowLimit: Option[Long] = None,
-    /** cap on collected error entries per code in the final report — mirrors
-      * commands.py:215 `limit_per_error_type = 10`; None = unlimited. */
-    errorLimitPerCode: Option[Int] = None
+    /** cap on collected error entries per code in the final report. The
+      * DEFAULT is bounded: goodtables runs with an error limit (1000) and the
+      * reference CLI caps at 10/type (commands.py:215) — an unbounded default
+      * would collect every violation to the driver (1% of 10^12 rows = OOM).
+      * None = explicit opt-out for small fixtures. Plans from `plan()` and
+      * lineage sinks are never capped — only the driver-side report is. */
+    errorLimitPerCode: Option[Int] = Some(1000)
 ) {
 
   /** Is check `code` (member of `group`) enabled? A code is enabled when its
