@@ -34,6 +34,18 @@ object SparkEntry {
   private[graft] def images(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(SyntheticImages.materialized(s, imageCount(dir)))
 
+  /** the embeddings table materialized ONCE as an LSH-bucketed store
+    * (parquet partitioned by signature prefix) — probes are partition-pruned
+    * reads, the plan shape the scaled deployment uses. */
+  private[graft] def lshStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = new java.io.File(s"target/embcache/$name").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Ann.writeLshBucketed(t(s, dir, "embeddings"), col("embedding"), col("vec_id"),
+        path, numBits = 8, prefixBits = 4)
+    path
+  }
+
   /** run a validation plan and project the oracle-comparable columns */
   private def validate(
       df: DataFrame,
@@ -279,11 +291,32 @@ object SparkEntry {
         .select(col("id"), col("rank"))
         .orderBy("rank")
     }),
+    // probe against the materialized LSH-bucketed store: the scan lists only
+    // the probed signature-prefix partitions (PartitionFilters in .explain),
+    // never the full table — the partition-pruned read the scaladoc promises
     "q30_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      Ann.lshTopK(emb, col("embedding"), col("vec_id"), q, 20, numBits = 12, probeHamming = 4)
+      Ann.lshTopKStored(s, lshStore(s, dir), q, 20, numBits = 8, prefixBits = 4, probeHamming = 2)
         .select(col("id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // LSH-bucketed near-dup dedup in the regime LSH is FOR (cosine ≈ 1):
+    // deterministic 0.5-scaled copies of every vector are planted (vec_id +
+    // 10000); scaling is sign-invariant, so each copy shares its original's
+    // signature in EVERY table — recall is structural, and the oracle (the
+    // exact planted pair set) checks precision
+    "q39_embed_dup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val scaled = emb.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))").as("embedding")
+      )
+      Dedup
+        .embeddingCosinePairsLsh(
+          emb.select(col("vec_id"), col("embedding")).unionAll(scaled),
+          col("embedding"), col("vec_id"), threshold = 0.99, numBits = 12, tables = 4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     }),
     // pair IDs only: engine computes cosine in double, DuckDB
     // list_cosine_similarity in float32 — values differ in the last bits, the
@@ -581,6 +614,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the planted-copy pair set: every original pairs with exactly its own
+    // scaled copy (original cosines top out at ~0.51 on this data, far from
+    // the 0.99 threshold)
+    "q39_embed_dup_lsh" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings ORDER BY id_a""".stripMargin,
     // image-family oracles read the SAME parquet files the engine reads —
     // Verify substitutes __IMGDIR__ with the materialized table's path
     "q33_image_unique_id" ->

@@ -87,9 +87,77 @@ object Ann {
       }
       .reduce((a, b) => a.bitwiseOR(b))
 
+  /** All signatures within Hamming distance `maxH` of `qSig` over `numBits`
+    * bits — the multi-probe set. C(numBits, ≤maxH) values; keep maxH small. */
+  private[ann] def sigsWithin(qSig: Long, numBits: Int, maxH: Int): Seq[Long] =
+    (0 to maxH).flatMap { h =>
+      (0 until numBits).combinations(h).map(_.foldLeft(qSig)((s, b) => s ^ (1L << b))).toSeq
+    }
+
+  /** Materialize `df` as an LSH-bucketed store: parquet PARTITIONED by the
+    * top `prefixBits` of the signature (directory per prefix), full signature
+    * kept as a column. This is the scale path the query-time LSH promises:
+    * probes become partition-pruned reads instead of full scans. One tiny job
+    * reads the vector dimension; one job writes. */
+  def writeLshBucketed(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      path: String,
+      numBits: Int = 8,
+      prefixBits: Int = 4,
+      seed: Long = 42L
+  ): Unit = {
+    require(prefixBits >= 1 && prefixBits <= numBits, "1 <= prefixBits <= numBits")
+    val dim = df.select(size(vec.cast("array<double>"))).head().getInt(0)
+    val planes = hyperplanes(numBits, dim, seed)
+    df.select(id.as("id"), vec.as("embedding"), lshSignature(vec, planes).as("sig"))
+      .withColumn("sig_prefix", shiftrightunsigned(col("sig"), numBits - prefixBits))
+      .write
+      .mode("overwrite")
+      .partitionBy("sig_prefix")
+      .parquet(path)
+  }
+
+  /** Top-k probe against a [[writeLshBucketed]] store: enumerate the
+    * signatures within `probeHamming` of the query's, push their PREFIX set
+    * into the partition filter (directory pruning — the scan never lists the
+    * other buckets) and the exact signature set into a data filter, then
+    * brute-force cosine over the surviving candidates. */
+  def lshTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      numBits: Int = 8,
+      prefixBits: Int = 4,
+      probeHamming: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    val planes = hyperplanes(numBits, query.size, seed)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probes = sigsWithin(qSig, numBits, probeHamming)
+    val prefixes = probes.map(_ >>> (numBits - prefixBits)).distinct
+    val q = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    spark.read
+      .parquet(path)
+      .filter(col("sig_prefix").isin(prefixes: _*)) // partition pruning
+      .filter(col("sig").isin(probes: _*))
+      .select(col("id"), (dot(col("embedding"), q) / (l2norm(col("embedding")) * lit(qn))).as("cosine"))
+      .filter(!isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed top-k: compute the query's bucket, scan only rows whose
     * signature matches within `probeHamming` bits, brute-force inside.
-    * Approximate: recall depends on numBits/probeHamming. */
+    * Approximate: recall depends on numBits/probeHamming. Prefer
+    * [[lshTopKStored]] — this variant still SCANS the full table (cheap
+    * inner loop, full I/O); the stored variant prunes partitions. */
   def lshTopK(
       df: DataFrame,
       vec: Column,

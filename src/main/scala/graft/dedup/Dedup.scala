@@ -329,6 +329,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding cosine near-duplicate pairs via hyperplane-LSH bucketing:
+    * `tables` independent sign-hash tables of `numBits` bits each; candidate
+    * pairs share a FULL signature in at least one table, then verify exact
+    * cosine ≥ `threshold`. Cost is bucket-bounded (never O(n²) in a block);
+    * recall grows with `tables` and shrinks with `numBits`.
+    *
+    * Use in the NEAR-DUP regime (threshold ≳ 0.9, where sign agreement per
+    * bit is ≳ 0.9): at low thresholds hyperplane LSH needs so many tables it
+    * degenerates past brute force — use [[embeddingCosinePairs]] with a
+    * semantic block there. Scaled copies of a vector hash IDENTICALLY (signs
+    * are scale-invariant), so exact duplicates always collide. */
+  def embeddingCosinePairsLsh(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      threshold: Double = 0.95,
+      numBits: Int = 12,
+      tables: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    import graft.ann.Ann
+    val dim = df.select(size(vec.cast("array<double>"))).head().getInt(0)
+    val base = df.select(id.as("_id"), vec.cast("array<double>").as("_v"), Ann.l2norm(vec).as("_n"))
+    val tableCols = (0 until tables).map { t =>
+      struct(lit(t).as("t"), Ann.lshSignature(col("_v"), Ann.hyperplanes(numBits, dim, seed + t)).as("sig"))
+    }
+    val bucketed = base
+      .select(col("_id"), col("_v"), col("_n"), explode(array(tableCols: _*)).as("_b"))
+      .select(col("_id"), col("_v"), col("_n"), col("_b.t"), col("_b.sig"))
+    val a = bucketed.select(col("t"), col("sig"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val b = bucketed.select(col("t"), col("sig"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    a.join(b, Seq("t", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair may collide in several tables — dedupe BEFORE the dot product
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("_va")).as("_va"), first(col("_na")).as("_na"),
+        first(col("_vb")).as("_vb"), first(col("_nb")).as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        (Ann.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding cosine near-duplicate pairs within blocks (e.g. same label or
     * same LSH bucket): (id_a, id_b, cosine) with cosine ≥ threshold. */
   def embeddingCosinePairs(

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+
+/** Persist-side LSH: bucketed store, partition-pruned probes, and the
+  * LSH-bucketed embedding dedup. */
+class AnnStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int) = (0 until n).map { i =>
+    (i.toLong, Seq.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("lshTopKStored probes a strict subset of partitions and finds the exact match") {
+    val path = Files.createTempDirectory("graft_lsh").toString + "/store"
+    val df = vecs(300)
+    Ann.writeLshBucketed(df, col("embedding"), col("vec_id"), path, numBits = 8, prefixBits = 4)
+    // all 16 prefix dirs exist on this data?
+    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("sig_prefix="))
+    val q = (0 until 16).map(d => math.sin(5 * 7 + d * 3)) // vector of id 5
+    val probe = Ann.lshTopKStored(spark, path, q, 3, numBits = 8, prefixBits = 4, probeHamming = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "probe must push a partition filter")
+    // hamming<=1 over 8 bits touches at most 5 distinct 4-bit prefixes
+    assert(dirs > 5, s"store should have more prefix dirs than the probe touches (got $dirs)")
+    val top = probe.collect()
+    assert(top.head.getLong(0) == 5L && top.head.getDouble(1) > 0.999999)
+  }
+
+  test("stored probe returns the same candidates as the query-time scan filter") {
+    val path = Files.createTempDirectory("graft_lsh2").toString + "/store"
+    val df = vecs(200)
+    Ann.writeLshBucketed(df, col("embedding"), col("vec_id"), path, numBits = 8, prefixBits = 4)
+    val q = (0 until 16).map(d => math.sin(9 * 7 + d * 3))
+    val stored = Ann.lshTopKStored(spark, path, q, 10, numBits = 8, prefixBits = 4, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val scanned = Ann.lshTopK(df, col("embedding"), col("vec_id"), q, 10, numBits = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(stored == scanned)
+  }
+
+  test("embeddingCosinePairsLsh: scaled copies always collide (sign-invariant), originals verified out") {
+    // hash-random vectors (sin-lattice vectors alias into genuine near-dups)
+    val base = Ann.hyperplanes(40, 16, seed = 7).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val copies = base.select((col("vec_id") + 1000).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))").as("embedding"))
+    val pairs = Dedup
+      .embeddingCosinePairsLsh(base.unionAll(copies), col("embedding"), col("vec_id"),
+        threshold = 0.99, numBits = 10, tables = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+      .toSeq
+    assert(pairs == (0 until 40).map(i => (i.toLong, i + 1000L)))
+  }
+}
