@@ -38,8 +38,8 @@ object TableSource {
   def formatOf(path: String): Either[SourceError, String] = {
     val ext = path.split('.').lastOption.map(_.toLowerCase).getOrElse("")
     ext match {
-      case "csv" | "parquet" | "json" => Right(ext)
-      case other                      => Left(FormatError(s"Unknown format '$other'"))
+      case "csv" | "parquet" | "json" | "geojson" => Right(ext)
+      case other                                  => Left(FormatError(s"Unknown format '$other'"))
     }
   }
 
@@ -113,16 +113,44 @@ object TableSource {
     Right(CsvTable(df, headers, viols.result()))
   }
 
-  /** JSON reader: array-of-objects → DataFrame. Mirrors the reference's
-    * GeoJSON flattening pattern (jobs.py:297-332) in spirit: nested payload
-    * validity becomes a synthesized boolean column upstream (ImageChecks). */
+  /** JSON reader: array-of-objects → DataFrame. A GeoJSON FeatureCollection
+    * (a `features` array) is FLATTENED like the reference does
+    * (jobs.py:297-332): one row per feature with `properties.*` as columns,
+    * plus a synthesized `adr_geometry_check` boolean — geometry truthiness
+    * (present, with non-empty coordinates) — which feeds the
+    * missing-geometry check (custom_checks.py:177-203). */
   def readJson(spark: SparkSession, path: String): Either[SourceError, DataFrame] =
     try {
       val df = spark.read.option("multiLine", true).json(path)
       if (df.columns.contains("_corrupt_record"))
         Left(SourceContentError("The data source has not supported or has inconsistent contents; no tabular data can be extracted"))
+      else if (df.columns.contains("features")) Right(flattenGeoJson(df))
       else Right(df)
     } catch { case e: Exception => Left(IoError(e.getMessage)) }
+
+  /** features[*].properties.* + adr_geometry_check (geometry truthiness). */
+  private def flattenGeoJson(df: DataFrame): DataFrame = {
+    val feats = df.select(explode(col("features")).as("_f"))
+    val featType = feats.schema("_f").dataType.asInstanceOf[StructType]
+    val geomCheck: org.apache.spark.sql.Column =
+      if (!featType.fieldNames.contains("geometry")) lit(false)
+      else {
+        val geomType = featType("geometry").dataType
+        val coordsNonEmpty = geomType match {
+          case s: StructType if s.fieldNames.contains("coordinates") =>
+            s("coordinates").dataType match {
+              case _: org.apache.spark.sql.types.ArrayType => size(col("_f.geometry.coordinates")) > 0
+              case _                                       => col("_f.geometry.coordinates").isNotNull
+            }
+          case _ => lit(true) // geometry present but shapeless: truthy object
+        }
+        col("_f.geometry").isNotNull && coalesce(coordsNonEmpty, lit(false))
+      }
+    val propCols =
+      if (featType.fieldNames.contains("properties")) Seq(col("_f.properties.*"))
+      else Seq.empty
+    feats.select(propCols :+ geomCheck.as("adr_geometry_check"): _*)
+  }
 
   /** Transpose for small indicator-list frames (reference jobs.py:390-396:
     * `df.T` when schema.transpose). Driver-side by design — the reference

@@ -82,6 +82,32 @@ class SourceSpec extends SparkSpec {
     assert(TableSource.readJson(spark, bad).swap.toOption.get.code == "source-error")
   }
 
+  test("geojson: features flattened to properties.* + adr_geometry_check (jobs.py:297-332)") {
+    val geo = writeTmp("adr.geojson",
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"name": "depot", "capacity": 12},
+        |   "geometry": {"type": "Point", "coordinates": [6.1, 49.6]}},
+        |  {"type": "Feature", "properties": {"name": "annex", "capacity": 3},
+        |   "geometry": null},
+        |  {"type": "Feature", "properties": {"name": "yard", "capacity": 7},
+        |   "geometry": {"type": "Point", "coordinates": []}}
+        |]}""".stripMargin)
+    val df = TableSource.readJson(spark, geo).toOption.get
+    assert(df.columns.sorted.toSeq == Seq("adr_geometry_check", "capacity", "name"))
+    val rows = df.collect().map(r => r.getAs[String]("name") -> r.getAs[Boolean]("adr_geometry_check")).toMap
+    assert(rows == Map("depot" -> true, "annex" -> false, "yard" -> false))
+
+    // ...and the synthesized column feeds the missing-geometry check
+    import org.apache.spark.sql.functions._
+    val withRid = df.withColumn("_rid", col("capacity").cast("long"))
+    val schema = TableSchema(Seq(Field("adr_geometry_check")))
+    val v = ValidationRunner
+      .plan(withRid, schema, graft.runner.ValidationConfig(rowNumberCol = "_rid"))
+      .violations.filter(col("code") === "missing-geometry")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(v == Seq(3L, 7L)) // annex (capacity 3) and yard (capacity 7)
+  }
+
   test("transpose: small sideways frame (jobs.py:390-396)") {
     import spark.implicits._
     val df = Seq(("r1", "1", "2"), ("r2", "3", "4")).toDF("k", "x", "y")
