@@ -39,4 +39,39 @@ object ValidationOptions {
     * (asserted tests/test_validators.py:112-121). */
   def merge(defaults: Map[String, Any], perTable: Map[String, Any]): Map[String, Any] =
     defaults ++ perTable
+
+  /** The reference's `validation_options` ACCEPTANCE surface
+    * (validators.py:49-68): a JSON object, or a JSON string encoding one —
+    * anything else (arrays, numbers, junk strings) is rejected with an
+    * error, never silently coerced. Unknown keys are ignored (the reference
+    * passes them through to goodtables). */
+  def parse(raw: String): Either[String, ValidationOptions] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def fromJson(o: JObject): ValidationOptions = {
+      val m = o.obj.toMap
+      def strings(k: String): Option[Seq[String]] = m.get(k).collect { case JArray(xs) =>
+        xs.collect { case JString(s) => s }
+      }
+      ValidationOptions(
+        checks = strings("checks").getOrElse(default.checks),
+        skipChecks = strings("skip_checks").getOrElse(Nil),
+        rowLimit = m.get("row_limit").collect { case JInt(n) => n.toLong },
+        errorLimitPerCode = m.get("error_limit_per_code") match {
+          case Some(JInt(n))  => Some(n.toInt)
+          case Some(JNull)    => None // explicit opt-out
+          case _              => default.errorLimitPerCode
+        }
+      )
+    }
+    try JsonMethods.parse(raw) match {
+      case o: JObject => Right(fromJson(o))
+      case JString(s) => // a JSON string ENCODING an object (form-field case)
+        try JsonMethods.parse(s) match {
+          case o: JObject => Right(fromJson(o))
+          case _          => Left("validation_options must be a JSON object")
+        } catch { case _: Exception => Left("JSON Decode Error: Invalid JSON validation options") }
+      case _ => Left("validation_options must be a JSON object")
+    } catch { case _: Exception => Left("JSON Decode Error: Invalid JSON validation options") }
+  }
 }
