@@ -119,7 +119,8 @@ object Bench {
       n: Long,
       cpus: Int,
       slices: Int = 64,
-      withUniqueness: Boolean = true
+      withUniqueness: Boolean = true,
+      uniquenessSalts: Int = 0
   ): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     import graft.runner.{ValidationConfig, ValidationRunner}
@@ -153,7 +154,7 @@ object Bench {
     )
     val t0 = System.nanoTime()
     val viol = ValidationRunner
-      .plan(df, schema, ValidationConfig(rowNumberCol = "_rid"))
+      .plan(df, schema, ValidationConfig(rowNumberCol = "_rid", uniquenessSalts = uniquenessSalts))
       .violations
       .count()
     ((n, (System.nanoTime() - t0) / 1e9, viol))

@@ -49,15 +49,18 @@ object ScalingBench {
     // standard capacity measure on a host with noisy-neighbor CPU steal
     // (observed 2.6x spread between repeats of the identical job)
     val times = collection.mutable.Map[(String, Int), List[Double]]().withDefaultValue(Nil)
-    for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- Seq("rowchecks", "full")) {
+    val modes = Seq("rowchecks", "full", "salted")
+    for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- modes) {
       val s = session(cpus)
-      val (_, sec, _) = Bench.scaleThroughput(s, n, cpus, withUniqueness = mode == "full")
+      val (_, sec, _) = Bench.scaleThroughput(s, n, cpus,
+        withUniqueness = mode != "rowchecks",
+        uniquenessSalts = if (mode == "salted") 16 else 0)
       s.stop()
       times((mode, cpus)) = sec :: times((mode, cpus))
       System.err.println(s"[scaling] mode=$mode cpus=$cpus sec=$sec")
     }
 
-    val parts = Seq("rowchecks", "full").map { mode =>
+    val parts = modes.map { mode =>
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min
       val eff = (tLow / tHigh) / (high.toDouble / low)

@@ -14,8 +14,8 @@ import graft.schema.{TableSchema, ValidationOptions}
   *     --input <parquet path> --schema <descriptor.json> \
   *     --row-number-col <col> [--key <col> --partitions N --batch B \
   *     --lineage <dir> --run-id <id> --violations <dir>] \
-  *     [--report <out.json>] [--allow-invalid] [--row-limit N] \
-  *     [--checks a,b,c] [--skip-checks x,y]
+  *     [--report <out.json>] [--records <dir>] [--allow-invalid] \
+  *     [--row-limit N] [--checks a,b,c] [--skip-checks x,y]
   *
   * Exit code: 0 on success, 1 on validation failure (the fail-closed
   * admission gate, logic.py:689-708), 2 on usage/schema errors.
@@ -99,12 +99,27 @@ object Main {
         )
         if (res.valid || a.contains("allow-invalid")) 0 else 1
       case None =>
-        val (report, status) = ValidationRunner.run(df, schema, cfg)
-        a.get("report").foreach { out =>
-          java.nio.file.Files.writeString(java.nio.file.Paths.get(out), report.toJson)
+        a.get("records") match {
+          case Some(recordDir) =>
+            // full lifecycle through the validation-record state machine
+            // (created -> running -> terminal, trapped errors -> status
+            // error) with every transition in the record log
+            val (rec, report) = graft.runner.ValidationRecord
+              .runRecorded(spark, recordDir, input, df, schema, cfg)
+            println(
+              s"""{"status":"${rec.status}","record_id":"${rec.id}","valid":${report.exists(_.valid)}}""")
+            a.get("report").foreach { out =>
+              report.foreach(r => java.nio.file.Files.writeString(java.nio.file.Paths.get(out), r.toJson))
+            }
+            if (report.exists(_.valid) || a.contains("allow-invalid")) 0 else 1
+          case None =>
+            val (report, status) = ValidationRunner.run(df, schema, cfg)
+            a.get("report").foreach { out =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(out), report.toJson)
+            }
+            println(s"""{"status":"$status","error_count":${report.errorCount},"valid":${report.valid}}""")
+            if (report.valid || a.contains("allow-invalid")) 0 else 1
         }
-        println(s"""{"status":"$status","error_count":${report.errorCount},"valid":${report.valid}}""")
-        if (report.valid || a.contains("allow-invalid")) 0 else 1
     }
     spark.stop()
     sys.exit(exitCode)

@@ -163,9 +163,12 @@ object Dedup {
         xxhash64(slice(col("_sig"), ((b + 1) % bands) * rows + 1, rows).cast("string")).as("bh2")
       )
     }
+    // the banding shuffle carries NO shingle arrays — just (key, id, band
+    // hashes), 40 B/row × bands; shingles are joined back only for the tiny
+    // verified-candidate set
     val banded = withSig
-      .select(col("_shkey"), col("_id"), col("_sh"), explode(array(bandCols: _*)).as("_b"))
-      .select(col("_shkey"), col("_id"), col("_sh"), col("_b.band"), col("_b.bh"), col("_b.bh2"))
+      .select(col("_shkey"), col("_id"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_shkey"), col("_id"), col("_b.band"), col("_b.bh"), col("_b.bh2"))
 
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
@@ -173,16 +176,19 @@ object Dedup {
     val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
 
     def pairsOf(bk: DataFrame, keys: Seq[String]): DataFrame =
-      bk.select((keys.map(col) ++ Seq(col("_shkey").as("_ka"), col("_id").as("id_a"), col("_sh").as("_sh_a"))): _*)
-        .join(bk.select((keys.map(col) ++ Seq(col("_shkey").as("_kb"), col("_id").as("id_b"), col("_sh").as("_sh_b"))): _*), keys)
+      bk.select((keys.map(col) ++ Seq(col("_shkey").as("_ka"), col("_id").as("id_a"))): _*)
+        .join(bk.select((keys.map(col) ++ Seq(col("_shkey").as("_kb"), col("_id").as("id_b"))): _*), keys)
         .filter(col("id_a") < col("id_b"))
-        .select(col("_ka"), col("_kb"), col("id_a"), col("id_b"), col("_sh_a"), col("_sh_b"))
+        .select(col("_ka"), col("_kb"))
 
-    // 4. verify candidates once per representative pair, then expand
+    // 4. verify candidates once per representative pair (shingle sets join
+    // in HERE, after dedup, so each set crosses the wire once per pair side)
+    val shingleOf = reps.select(col("_shkey"), col("_sh"))
     val repPairs = pairsOf(cold, Seq("band", "bh"))
       .unionAll(pairsOf(hot, Seq("band", "bh", "bh2")))
-      .groupBy(col("_ka"), col("_kb"))
-      .agg(first(col("_sh_a")).as("_sh_a"), first(col("_sh_b")).as("_sh_b"))
+      .distinct()
+      .join(shingleOf.select(col("_shkey").as("_ka"), col("_sh").as("_sh_a")), Seq("_ka"))
+      .join(shingleOf.select(col("_shkey").as("_kb"), col("_sh").as("_sh_b")), Seq("_kb"))
       .select(col("_ka"), col("_kb"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, per-row kernel shape,
   * violation-friendly null handling — is real and tested. Image ops are REAL
-  * (JDK ImageIO + Java2D). Audio/video decode is STUBBED with a
-  * clearly-marked deterministic fake: this container ships no audio/video
-  * codecs; swap `AudioStub`/`VideoStub` kernels for real decoders (e.g.
-  * javacv) without touching the DataFrame plumbing.
+  * (JDK ImageIO + Java2D). Audio is REAL for WAV/PCM (JDK
+  * javax.sound.sampled). Video decode alone is STUBBED with a clearly-marked
+  * deterministic fake: no video codec ships in this container; swap the
+  * kernel for a real demuxer (e.g. javacv) without touching the plumbing.
   */
 object ImageOps {
 
@@ -81,29 +81,89 @@ object ImageOps {
     df.withColumn("embedding", featureUdf(col(bytesCol)))
 
   // --------------------------------------------------------------------
-  // STUBBED modalities — deterministic fakes, real plumbing.
+  // Audio: REAL for WAV/PCM (JDK javax.sound.sampled — no external codec).
+  // Compressed formats (mp3/ogg) would need a codec jar; the WAV path is
+  // the real kernel, the same plumbing carries any decoder.
   // --------------------------------------------------------------------
 
-  /** STUB: audio feature extraction. A real implementation decodes PCM and
-    * computes e.g. MFCC frames; no audio codec ships in this container, so
-    * the kernel derives a deterministic pseudo-spectrum from the payload
-    * bytes. Output schema (duration_ms, sample_rate, features[16]) is the
-    * real contract. */
-  def audioFeaturesStub(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val u = udf { (b: Array[Byte]) =>
-      if (b == null || b.isEmpty) null
-      else {
-        var h = 0xcbf29ce484222325L
+  final case class AudioFeatures(
+      duration_ms: Long,
+      sample_rate: Int,
+      channels: Int,
+      rms: Float,
+      zero_crossing_rate: Float,
+      peak: Float
+  )
+
+  /** REAL audio decode+features for WAV/PCM payloads: parse with
+    * javax.sound.sampled, decode to 16-bit samples, compute duration, RMS
+    * loudness, zero-crossing rate, and peak amplitude. Returns null for
+    * undecodable payloads (violation semantics, like image decode). */
+  def audioFeatureKernel(bytes: Array[Byte]): AudioFeatures = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames <= 0 || fmt.getSampleSizeInBits != 16) return null
+        val data = in.readAllBytes()
+        val be = fmt.isBigEndian
+        val n = data.length / 2
         var i = 0
-        while (i < b.length) { h = (h ^ b(i)) * 0x100000001b3L; i += 1 }
-        val feats = Array.tabulate(16) { k =>
-          val z = h ^ (k.toLong * 0x9e3779b97f4a7c15L)
-          ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        var sumSq = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        var peak = 0
+        while (i < n) {
+          val lo = data(2 * i + (if (be) 1 else 0)) & 0xff
+          val hi = data(2 * i + (if (be) 0 else 1))
+          val s = (hi << 8) | lo
+          sumSq += s.toDouble * s
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
         }
-        (b.length.toLong * 8 / 256, 16000, feats) // fake duration @ fake bitrate
-      }
+        AudioFeatures(
+          duration_ms = (frames * 1000L / fmt.getFrameRate.toLong),
+          sample_rate = fmt.getSampleRate.toInt,
+          channels = fmt.getChannels,
+          rms = (math.sqrt(sumSq / math.max(n, 1)) / 32768.0).toFloat,
+          zero_crossing_rate = if (n > 1) crossings.toFloat / (n - 1) else 0f,
+          peak = peak / 32768.0f
+        )
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  private val audioUdf = udf((b: Array[Byte]) => Option(audioFeatureKernel(b)))
+
+  /** Add an `audio_features` struct column (real WAV/PCM decode). */
+  def withAudioFeatures(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("audio_features", audioUdf(col(bytesCol)))
+
+  /** Deterministic 16-bit mono WAV payload (sine mix), for tests/benches —
+    * the audio analogue of SyntheticImages. */
+  def syntheticWav(id: Long, millis: Int = 200, sampleRate: Int = 8000): Array[Byte] = {
+    val n = sampleRate * millis / 1000
+    val freq = 200.0 + (id % 20) * 50.0
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = 0.5 + 0.3 * math.sin(id.toDouble) // deterministic per id
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toInt
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
     }
-    df.withColumn("audio_features", u(col(bytesCol)))
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** STUB: video frame sampling. A real implementation demuxes and decodes

@@ -34,13 +34,26 @@ class ImageOpsSpec extends SparkSpec {
     assert(top.getDouble(1) > 0.999)
   }
 
-  test("audio stub: deterministic features with the real output contract") {
-    val imgs = SyntheticImages.generateWithId(spark, 10)
-    val a1 = ImageOps.audioFeaturesStub(imgs).select("row_id", "audio_features").collect()
-    val a2 = ImageOps.audioFeaturesStub(imgs).select("row_id", "audio_features").collect()
-    assert(a1.map(_.toString).toSeq == a2.map(_.toString).toSeq)
-    val feats = a1.head.getStruct(1)
-    assert(feats.getSeq[Float](2).size == 16)
+  test("audio features: REAL WAV/PCM decode (duration, rms, zcr), garbage -> null") {
+    import spark.implicits._
+    val rows = (0L until 8L).map(i => (i, ImageOps.syntheticWav(i, millis = 200, sampleRate = 8000))) :+
+      (99L, Array[Byte](1, 2, 3, 4)) // undecodable payload
+    val df = rows.toDF("id", "bytes")
+    val out = ImageOps.withAudioFeatures(df).select("id", "audio_features").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(out(99L) == null) // violation semantics, no exception
+    val f0 = out(0L)
+    assert(f0.getLong(0) == 200L)  // duration_ms
+    assert(f0.getInt(1) == 8000)   // sample_rate
+    assert(f0.getInt(2) == 1)      // channels
+    // a 200 Hz sine at 8 kHz crosses zero ~2*200 times/sec -> zcr ~0.05
+    assert(math.abs(f0.getFloat(4) - 0.05f) < 0.005f)
+    // rms of a sine with amplitude a is a/sqrt(2); id=0 -> a=0.5
+    assert(math.abs(f0.getFloat(3) - 0.5f / math.sqrt(2).toFloat) < 0.01f)
+    // deterministic across runs
+    val again = ImageOps.withAudioFeatures(df).select("id", "audio_features").collect()
+    assert(again.map(_.toString).sorted.toSeq == ImageOps.withAudioFeatures(df)
+      .select("id", "audio_features").collect().map(_.toString).sorted.toSeq)
   }
 
   test("video frame-sample stub: n frames per row, deterministic offsets") {

@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_tax"), s"l_tax should be pruned:\n$plan")
   }
 
+  test("stored image table: metadata-only checks never read the bytes column") {
+    val path = graft.images.SyntheticImages.materialized(spark, 200, "target/imgcache_test")
+    val imgs = spark.read.parquet(path).select(col("row_id").as("_rid"), col("image_id"))
+    val schema = TableSchema(Seq(Field("image_id", constraints = fc.copy(unique = true))))
+    val plan = executedPlan(
+      ValidationRunner.plan(imgs, schema, ValidationConfig(rowNumberCol = "_rid")).violations
+    )
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("bytes")),
+      s"bytes must be pruned from every scan: $readSchemas")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
