@@ -391,6 +391,47 @@ object SparkEntry {
         .violations
         .select(col("code"), col("row_number"))
         .orderBy("row_number")
+    }),
+    // caption checks (required + caption-equality) with NO byte decode —
+    // the SQL-expressible subset of q32, fully oracle-checked: the DuckDB
+    // oracle re-derives the deterministic captioner from image_id in SQL
+    "q41_image_caption_checks" -> ((s, dir) =>
+      ImageChecks
+        .captionViolations(images(s, dir), col("row_id"))
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number", "code")),
+    // ---- Excel source: a workbook generated deterministically from nation
+    // (sorted by n_nationkey → xlsx row = rank+1, header row 1) is read back
+    // through the pure-JDK xlsx parser and validated like any CSV-path table;
+    // the oracle recomputes the same violations straight off nation.parquet,
+    // so the round trip (write → parse → validate) is what's being checked
+    "q40_xlsx_validation" -> ((s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+        .collect() // nation is a constant 25-row dimension at every SF
+        .map(r => Seq(r.get(0).toString, r.getString(1), r.get(2).toString))
+        .toSeq
+      val path = s"target/xlsxcache/${new java.io.File(dir).getName}/nation.xlsx"
+      graft.sources.XlsxSource.writeXlsx(
+        path,
+        Seq(("nation", Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++ rows)),
+        useSharedStrings = true
+      )
+      val table = graft.sources.XlsxSource.readXlsx(s, path)
+        .fold(e => sys.error(e.message), identity)
+      ValidationRunner
+        .plan(
+          table.df,
+          TableSchema(fields = Seq(
+            Field("n_name", constraints = fc(maxLength = Some(8))),
+            Field("n_regionkey", ftype = "integer", constraints = fc(maximum = Some(3)))
+          )),
+          ValidationConfig(rowNumberCol = "_row_number")
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number", "code")
     })
   )
 
@@ -637,14 +678,51 @@ object SparkEntry {
         |  FROM read_parquet('__IMGDIR__/*.parquet') a
         |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 1
-        |) GROUP BY hamming ORDER BY hamming""".stripMargin
+        |) GROUP BY hamming ORDER BY hamming""".stripMargin,
+    // the deterministic captioner (SyntheticImages.caption) re-derived in
+    // SQL from image_id (img_%012d): 1-based list_extract over id%5 / id%7%5
+    "q41_image_caption_checks" ->
+      """WITH t AS (
+        |  SELECT row_id, caption,
+        |         CAST(substring(image_id, 5, 12) AS BIGINT) AS id
+        |  FROM read_parquet('__IMGDIR__/*.parquet')
+        |), exp AS (
+        |  SELECT row_id, caption,
+        |    'synthetic ' ||
+        |      list_extract(['amber','teal','crimson','violet','olive'], CAST(id % 5 AS INT) + 1) ||
+        |      ' ' ||
+        |      list_extract(['gradient','pattern','texture','field','grid'], CAST(id % 7 % 5 AS INT) + 1) ||
+        |      ' image number ' || id AS expected
+        |  FROM t
+        |)
+        |SELECT code, row_number FROM (
+        |  SELECT 'required-constraint' AS code, row_id AS row_number FROM exp
+        |    WHERE caption IS NULL OR caption = ''
+        |  UNION ALL
+        |  SELECT 'custom-constraint', row_id FROM exp
+        |    WHERE caption IS NOT NULL AND caption <> '' AND caption <> expected
+        |) ORDER BY row_number, code""".stripMargin,
+    // xlsx row = rank-by-nationkey + 1 (header is row 1), so the oracle
+    // recomputes the engine's violations directly off nation.parquet
+    "q40_xlsx_validation" ->
+      """WITH numbered AS (
+        |  SELECT n_name, n_regionkey,
+        |         1 + row_number() OVER (ORDER BY n_nationkey) AS rn
+        |  FROM nation
+        |)
+        |SELECT code, row_number FROM (
+        |  SELECT 'maximum-constraint' AS code, rn AS row_number FROM numbered WHERE n_regionkey > 3
+        |  UNION ALL
+        |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
+        |) ORDER BY row_number, code""".stripMargin
     // Still rows-only, each genuinely not ANSI-SQL-expressible:
     //  q25: simhash collision groups are a property of the engine's 64-bit
     //       hash family (FNV-1a token votes) — the 2 groups on this data are
     //       true near-dups, NOT token-multiset-equal, so no SQL key exists;
     //  q30: which candidates an LSH probe scans depends on the hyperplane
     //       hash family — the top-k among them is not reconstructible in SQL;
-    //  q32: requires binary image DECODE (PNG/JPEG codecs) per row;
+    //  q32: requires binary image DECODE (PNG/JPEG codecs) per row — the
+    //       SQL-expressible caption subset IS oracle-checked as q41;
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
   )

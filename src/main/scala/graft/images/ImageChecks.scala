@@ -185,6 +185,41 @@ object ImageChecks {
       .select(col("_v.code"), col("_v.row_number"), col("_v.column_number"), col("_v.message"), col("row"))
   }
 
+  /** Caption-only checks (required + caption-equality) with NO byte decode:
+    * the metadata-only subset of `violations` — its plan reads (image_id,
+    * caption) + the row id and never deserializes `bytes`, so on a stored
+    * table it is a column-pruned scan. Same codes/messages as `violations`
+    * for these two checks. */
+  def captionViolations(df: DataFrame, rowNumber: Column): DataFrame = {
+    val base = df.withColumn("_rn", rowNumber.cast(LongType))
+    def viol(cond: Column, code: String, msg: Column): Column =
+      when(cond, struct(
+        lit(code).as("code"),
+        col("_rn").as("row_number"),
+        lit(6).cast(IntegerType).as("column_number"),
+        msg.as("message")
+      ))
+    val entries = Seq(
+      viol(
+        col("caption").isNull || col("caption") === "",
+        "required-constraint",
+        concat(lit("Column 6 is a required field, but row "), col("_rn").cast(StringType), lit(" has no value"))
+      ),
+      viol(
+        col("caption").isNotNull && col("caption") =!= "" &&
+          col("caption") =!= expectedCaptionCol(col("image_id")),
+        "custom-constraint",
+        concat(lit("Custom constraint \"caption-equality\" fails for row "), col("_rn").cast(StringType))
+      )
+    )
+    base
+      .select(filter(array(entries: _*), _.isNotNull).as("_viols"))
+      .filter(size(col("_viols")) > 0)
+      .select(explode(col("_viols")).as("_v"))
+      .select(col("_v.code").as("code"), col("_v.row_number").as("row_number"),
+        col("_v.column_number").as("column_number"), col("_v.message").as("message"))
+  }
+
   /** The deterministic reference captioner as a Column (must mirror
     * SyntheticImages.caption). image_id format: img_%012d. */
   def expectedCaptionCol(imageId: Column): Column = {

@@ -1,7 +1,7 @@
 package graft.images
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * resize / feature-extract, audio feature extraction, video frame sampling.
   *
   * The Spark-side plumbing — schema, partitioning, per-row kernel shape,
-  * violation-friendly null handling — is real and tested. Image ops are REAL
-  * (JDK ImageIO + Java2D). Audio is REAL for WAV/PCM (JDK
-  * javax.sound.sampled). Video decode alone is STUBBED with a clearly-marked
-  * deterministic fake: no video codec ships in this container; swap the
-  * kernel for a real demuxer (e.g. javacv) without touching the plumbing.
+  * violation-friendly null handling — is real and tested, and so are the
+  * kernels: image ops via JDK ImageIO + Java2D, audio via JDK
+  * javax.sound.sampled (WAV/PCM), video via an MJPEG segment-walking demux
+  * + ImageIO frame decode. Inter-frame codecs (H.264/VP9) need an external
+  * decoder jar the container doesn't ship; the demux/sample/explode plumbing
+  * carries any decoder unchanged.
   */
 object ImageOps {
 
@@ -166,29 +167,128 @@ object ImageOps {
     bos.toByteArray
   }
 
-  /** STUB: video frame sampling. A real implementation demuxes and decodes
-    * n evenly-spaced frames; here each "frame" is a deterministic slice
-    * descriptor (frame_idx, byte_offset, frame_hash). The explode/partition
-    * shape matches the real operator. */
-  def sampleFramesStub(df: DataFrame, n: Int, bytesCol: String = "bytes"): DataFrame = {
-    val u = udf { (b: Array[Byte]) =>
-      if (b == null || b.isEmpty) Seq.empty[(Int, Long, Long)]
-      else
-        (0 until n).map { i =>
-          val off = (b.length.toLong * i) / n
-          var h = 0xcbf29ce484222325L ^ off
-          val end = math.min(off + 64, b.length.toLong).toInt
-          var j = off.toInt
-          while (j < end) { h = (h ^ b(j)) * 0x100000001b3L; j += 1 }
-          (i, off, h)
+  // --------------------------------------------------------------------
+  // Video: REAL for MJPEG-style streams (concatenated JPEG frames) — the
+  // demux walks the JPEG segment structure (no codec needed; baseline JPEG
+  // decode is JDK ImageIO). Inter-frame codecs (H.264/VP9) would need an
+  // external decoder jar; the demux→sample→decode→explode plumbing here is
+  // the operator, and it carries any decoder unchanged.
+  // --------------------------------------------------------------------
+
+  /** Byte ranges of each JPEG frame in a concatenated-JPEG stream, found by
+    * walking the segment structure (marker + length; entropy-coded scan data
+    * ends at a non-stuffed, non-restart marker). Returns empty on anything
+    * that is not a clean JPEG stream (violation semantics, not exceptions). */
+  private[graft] def splitJpegFrames(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    if (b == null || b.length < 4) return IndexedSeq.empty
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var p = 0
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != 0xd8) return IndexedSeq.empty
+      val start = p
+      p += 2
+      var done = false
+      while (!done) {
+        if (p + 1 >= b.length) return IndexedSeq.empty // truncated frame
+        if ((b(p) & 0xff) != 0xff) return IndexedSeq.empty
+        while (p + 2 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1 // FF fill bytes
+        val marker = b(p + 1) & 0xff
+        p += 2
+        marker match {
+          case 0xd9 => // EOI
+            out += ((start, p - start)); done = true
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            () // standalone marker, no payload
+          case 0xda => // SOS: skip header, then entropy data until real marker
+            if (p + 1 >= b.length) return IndexedSeq.empty
+            val len = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+            p += len
+            var inScan = true
+            while (inScan) {
+              if (p + 1 >= b.length) return IndexedSeq.empty
+              if ((b(p) & 0xff) == 0xff) {
+                val m = b(p + 1) & 0xff
+                if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2 // stuffing / restart
+                else inScan = false // next segment marker (incl. EOI)
+              } else p += 1
+            }
+          case _ => // framed segment with 2-byte big-endian length
+            if (p + 1 >= b.length) return IndexedSeq.empty
+            val len = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+            if (len < 2) return IndexedSeq.empty
+            p += len
         }
+      }
     }
-    df.withColumn("_frames", u(col(bytesCol)))
-      .withColumn("frame", explode(col("_frames")))
-      .drop("_frames")
-      .withColumn("frame_idx", col("frame._1"))
-      .withColumn("frame_offset", col("frame._2"))
-      .withColumn("frame_hash", col("frame._3"))
+    out.result()
+  }
+
+  final case class VideoFrame(
+      frame_idx: Int,
+      frame_offset: Long,
+      width: Int,
+      height: Int,
+      mean_luma: Float
+  )
+
+  /** Demux + decode + sample: n evenly-spaced frames per video payload,
+    * each decoded (ImageIO) to (dims, mean luma). Undecodable payloads →
+    * zero frames. */
+  def sampleFramesKernel(bytes: Array[Byte], n: Int): Seq[VideoFrame] = {
+    val frames = splitJpegFrames(bytes)
+    if (frames.isEmpty || n <= 0) return Seq.empty
+    val picks =
+      if (frames.length <= n) frames.indices
+      else (0 until n).map(i => i * frames.length / n)
+    picks.flatMap { fi =>
+      val (off, len) = frames(fi)
+      val img =
+        try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, off, len))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(VideoFrame(fi, off.toLong, img.getWidth, img.getHeight,
+          (sum / (img.getWidth.toLong * img.getHeight) / 255.0).toFloat))
+      }
+    }
+  }
+
+  private val framesUdf = udf((b: Array[Byte], n: Int) => sampleFramesKernel(b, n))
+
+  /** Explode a video `bytes` column into n sampled, DECODED frames per row
+    * (frame_idx, frame_offset, width, height, mean_luma). Real MJPEG demux +
+    * JPEG decode; rows with undecodable payloads disappear (filter the
+    * zero-frame case upstream for violation reporting). */
+  def sampleFrames(df: DataFrame, n: Int, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("frame", explode(framesUdf(col(bytesCol), lit(n))))
+      .withColumn("frame_idx", col("frame.frame_idx"))
+      .withColumn("frame_offset", col("frame.frame_offset"))
+      .withColumn("frame_w", col("frame.width"))
+      .withColumn("frame_h", col("frame.height"))
+      .withColumn("frame_mean_luma", col("frame.mean_luma"))
       .drop("frame")
+
+  /** Deterministic MJPEG payload: `frames` JPEG-encoded gradient frames
+    * (pattern varies per frame → per-frame luma differs), concatenated.
+    * The video analogue of SyntheticImages/syntheticWav. */
+  def syntheticMjpeg(id: Long, frames: Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      bos.write(SyntheticImages.encode(SyntheticImages.renderPattern(id * 1000 + f * 7, w, h), "jpeg"))
+      f += 1
+    }
+    bos.toByteArray
   }
 }

@@ -346,10 +346,32 @@ object ValidationRunner {
       options: ValidationOptions = ValidationOptions.default,
       sep: String = ",",
       sourceLabel: Option[String] = None
+  ): (graft.report.ValidationReport, String) =
+    runParsed(graft.sources.TableSource.readCsv(spark, path, sep), path, schema, options, sourceLabel)
+
+  /** End-to-end Excel (xlsx) validation: same pipeline as the CSV path — the
+    * reference reads Excel header-less into the identical in-memory shape
+    * (jobs.py:272-294) and validates it with the same checks. Multi-sheet /
+    * unreadable workbooks surface as the zero-table ERROR report. */
+  def runXlsx(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: TableSchema,
+      options: ValidationOptions = ValidationOptions.default,
+      sourceLabel: Option[String] = None
+  ): (graft.report.ValidationReport, String) =
+    runParsed(graft.sources.XlsxSource.readXlsx(spark, path), path, schema, options, sourceLabel)
+
+  /** Shared read→header→body assembly for parsed (CSV/xlsx) sources. */
+  private def runParsed(
+      parsed: Either[graft.sources.TableSource.SourceError, graft.sources.TableSource.CsvTable],
+      path: String,
+      schema: TableSchema,
+      options: ValidationOptions,
+      sourceLabel: Option[String]
   ): (graft.report.ValidationReport, String) = {
     import graft.report.PostProcess
-    import graft.sources.TableSource
-    TableSource.readCsv(spark, path, sep) match {
+    parsed match {
       case Left(err) => PostProcess.errorReport(Seq(err.message))
       case Right(csv) =>
         val cfg = ValidationConfig(

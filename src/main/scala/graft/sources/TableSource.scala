@@ -39,6 +39,11 @@ object TableSource {
     val ext = path.split('.').lastOption.map(_.toLowerCase).getOrElse("")
     ext match {
       case "csv" | "parquet" | "json" | "geojson" => Right(ext)
+      // reference DEFAULT_SUPPORTED_FORMATS (settings.py:6) includes both
+      // Excel extensions; both route to the xlsx reader — a real BIFF (.xls)
+      // payload fails there with the reference's "Could not read your Excel
+      // file" format-error, matching pandas' behaviour on a broken workbook.
+      case "xlsx" | "xls"                         => Right("xlsx")
       case other                                  => Left(FormatError(s"Unknown format '$other'"))
     }
   }

@@ -56,11 +56,45 @@ class ImageOpsSpec extends SparkSpec {
       .select("id", "audio_features").collect().map(_.toString).sorted.toSeq)
   }
 
-  test("video frame-sample stub: n frames per row, deterministic offsets") {
-    val imgs = SyntheticImages.generateWithId(spark, 5)
-    val frames = ImageOps.sampleFramesStub(imgs, 4)
-    assert(frames.count() == 20)
-    val idx = frames.groupBy("frame_idx").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(idx == Map(0 -> 5, 1 -> 5, 2 -> 5, 3 -> 5))
+  test("video: MJPEG demux splits exactly the encoded frame boundaries") {
+    val payload = ImageOps.syntheticMjpeg(7L, frames = 10)
+    val ranges = ImageOps.splitJpegFrames(payload)
+    assert(ranges.length == 10)
+    assert(ranges.head._1 == 0)
+    // contiguous, exhaustive cover of the payload
+    assert(ranges.sliding(2).forall { case Seq((o1, l1), (o2, _)) => o1 + l1 == o2; case _ => true })
+    assert(ranges.last._1 + ranges.last._2 == payload.length)
+    // each range is independently decodable at the synthetic dims
+    val (off, len) = ranges(3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload, off, len))
+    assert(img.getWidth == 64 && img.getHeight == 48)
+  }
+
+  test("video: sampled frames are decoded (dims + luma), evenly spaced, deterministic") {
+    import spark.implicits._
+    val df = Seq((0L, ImageOps.syntheticMjpeg(0L, 12)), (1L, ImageOps.syntheticMjpeg(1L, 12)))
+      .toDF("id", "bytes")
+    val frames = ImageOps.sampleFrames(df, 4)
+    assert(frames.count() == 8) // 4 per video
+    val rows = frames.select("id", "frame_idx", "frame_w", "frame_h", "frame_mean_luma")
+      .orderBy("id", "frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9, 0, 3, 6, 9)) // i*12/4
+    assert(rows.forall(r => r.getInt(2) == 64 && r.getInt(3) == 48))
+    assert(rows.forall(r => r.getFloat(4) > 0f && r.getFloat(4) < 1f))
+    // frame patterns vary per frame → sampled lumas differ within one video
+    assert(rows.take(4).map(_.getFloat(4)).distinct.length > 1)
+    // deterministic across runs
+    assert(ImageOps.sampleFrames(df, 4).select("id", "frame_idx", "frame_w", "frame_h", "frame_mean_luma")
+      .orderBy("id", "frame_idx").collect().toSeq == rows.toSeq)
+  }
+
+  test("video: undecodable payload yields zero frames (violation semantics)") {
+    import spark.implicits._
+    val df = Seq((0L, Array[Byte](1, 2, 3)), (1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    assert(ImageOps.sampleFrames(df, 4).count() == 0)
+    // fewer frames than requested: every frame returned once
+    val short = Seq((9L, ImageOps.syntheticMjpeg(9L, 2))).toDF("id", "bytes")
+    assert(ImageOps.sampleFrames(short, 5).count() == 2)
   }
 }

@@ -85,6 +85,20 @@ class ImageSpec extends SparkSpec {
     assert(v == expected.toSet)
   }
 
+  test("captionViolations (no-decode path) equals the caption subset of full violations") {
+    val n = 1500L
+    val imgs = SyntheticImages.generateWithId(spark, n)
+    val full = ImageChecks
+      .violations(imgs, col("row_id"))
+      .filter(col("code").isin("required-constraint", "custom-constraint"))
+      .select("code", "row_number", "column_number", "message")
+      .collect().map(_.toString).sorted.toSeq
+    val captionOnly = ImageChecks
+      .captionViolations(imgs.drop("bytes"), col("row_id")) // bytes not even present
+      .collect().map(_.toString).sorted.toSeq
+    assert(captionOnly == full && captionOnly.nonEmpty)
+  }
+
   test("uniqueness over image_id flags the injected duplicate ids") {
     import graft.runner.{ValidationConfig, ValidationRunner}
     import graft.schema.{Field, FieldConstraints, TableSchema}

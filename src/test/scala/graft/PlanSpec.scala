@@ -90,6 +90,16 @@ class PlanSpec extends SparkSpec {
       s"bytes must be pruned from every scan: $readSchemas")
   }
 
+  test("stored image table: caption checks (captionViolations) never read bytes") {
+    val path = graft.images.SyntheticImages.materialized(spark, 200, "target/imgcache_test")
+    val plan = executedPlan(
+      graft.images.ImageChecks.captionViolations(spark.read.parquet(path), col("row_id"))
+    )
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("bytes")),
+      s"bytes must be pruned from every scan: $readSchemas")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))

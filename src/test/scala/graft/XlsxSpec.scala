@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.runner.ValidationRunner
+import graft.schema._
+import graft.sources.{TableSource, XlsxSource}
+
+/** Excel (xlsx) reader: reference semantics from jobs.py:272-294 — header-
+  * less read (header is data row 1), single-worksheet invariant, format-
+  * error taxonomy — plus writer round-trips over both OOXML string
+  * encodings (inline + shared) and sparse cells/rows. */
+class XlsxSpec extends SparkSpec {
+
+  private def fc = FieldConstraints()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_xlsx").resolve(name).toString
+
+  private val grid: Seq[Seq[String]] = Seq(
+    Seq("id", "name", "score"),
+    Seq("1", "alpha", "3.5"),
+    Seq("2", "beta <&> \"quoted\"", "4"),
+    Seq("3", "gamma", "-7")
+  )
+
+  test("round trip: inline strings, numbers kept in stored lexical form") {
+    val path = tmp("t.xlsx")
+    XlsxSource.writeXlsx(path, Seq(("Sheet1", grid)))
+    val table = XlsxSource.readXlsx(spark, path).toOption.get
+    assert(table.headers == Seq("id", "name", "score"))
+    val rows = table.df.orderBy("_row_number").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 3L, 4L)) // header is row 1
+    assert(rows(0).getString(2) == "3.5")
+    assert(rows(1).getString(1) == "beta <&> \"quoted\"") // XML escaping round-trips
+    assert(rows(2).getString(2) == "-7")
+  }
+
+  test("round trip: sharedStrings encoding reads identically to inline") {
+    val p1 = tmp("inline.xlsx"); val p2 = tmp("shared.xlsx")
+    XlsxSource.writeXlsx(p1, Seq(("S", grid)), useSharedStrings = false)
+    XlsxSource.writeXlsx(p2, Seq(("S", grid)), useSharedStrings = true)
+    val a = XlsxSource.readXlsx(spark, p1).toOption.get.df.orderBy("_row_number").collect().toSeq
+    val b = XlsxSource.readXlsx(spark, p2).toOption.get.df.orderBy("_row_number").collect().toSeq
+    assert(a == b)
+  }
+
+  test("multiple worksheets rejected with the reference message (jobs.py:287-292)") {
+    val path = tmp("two.xlsx")
+    XlsxSource.writeXlsx(path, Seq(("A", grid), ("B", grid)))
+    XlsxSource.readXlsx(spark, path) match {
+      case Left(e: TableSource.SourceContentError) =>
+        assert(e.message == "Your Excel file must contain only one worksheet for validation.")
+      case other => fail(s"expected single-worksheet rejection, got $other")
+    }
+  }
+
+  test("garbage payload → format-error with the reference message (jobs.py:278-285)") {
+    val path = tmp("junk.xlsx")
+    Files.write(java.nio.file.Paths.get(path), "this is not a zip".getBytes)
+    XlsxSource.readXlsx(spark, path) match {
+      case Left(e: TableSource.FormatError) =>
+        assert(e.message ==
+          "Could not read your Excel file. Are you sure your specified format (xlsx) is correct?")
+      case other => fail(s"expected format-error, got $other")
+    }
+  }
+
+  test("sparse cells preserve column positions; short header pads to max width") {
+    val path = tmp("sparse.xlsx")
+    XlsxSource.writeXlsx(path, Seq(("S", Seq(Seq("a", "b"), Seq(null, null, "x")))))
+    val table = XlsxSource.readXlsx(spark, path).toOption.get
+    assert(table.headers == Seq("a", "b", null)) // padded to max width → blank-header downstream
+    val r = table.df.orderBy("_row_number").collect()(0)
+    assert(r.getString(0) == null && r.getString(1) == null && r.getString(2) == "x")
+  }
+
+  test("dispatch: xlsx and xls route to the Excel reader") {
+    assert(TableSource.formatOf("data.xlsx") == Right("xlsx"))
+    assert(TableSource.formatOf("data.xls") == Right("xlsx"))
+  }
+
+  test("runXlsx end-to-end: schema violations from a workbook (same pipeline as CSV)") {
+    val path = tmp("val.xlsx")
+    val g = Seq(
+      Seq("id", "region"),
+      Seq("1", "2"),
+      Seq("2", "4"), // > maximum 3
+      Seq("3", "9")  // > maximum 3
+    )
+    XlsxSource.writeXlsx(path, Seq(("S", g)))
+    val schema = TableSchema(Seq(
+      Field("id", ftype = "integer"),
+      Field("region", ftype = "integer", constraints = fc.copy(maximum = Some(3.0)))
+    ))
+    val (report, status) = ValidationRunner.runXlsx(spark, path, schema)
+    assert(status == "failure")
+    val errs = report.tables.head.errors
+    assert(errs.map(_.code).toSet == Set("maximum-constraint"))
+    assert(errs.map(_.rowNumber.get).sorted == Seq(3L, 4L))
+    assert(report.tables.head.rowCount == 4) // header + 3 data rows
+  }
+
+  test("runXlsx on an unreadable workbook → zero-table ERROR report") {
+    val path = tmp("bad.xlsx")
+    Files.write(java.nio.file.Paths.get(path), Array[Byte](1, 2, 3))
+    val (report, status) = ValidationRunner.runXlsx(spark, path, TableSchema(Seq(Field("a"))))
+    assert(status == "error")
+    assert(report.tables.isEmpty)
+  }
+}
