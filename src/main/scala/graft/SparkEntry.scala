@@ -46,6 +46,30 @@ object SparkEntry {
     path
   }
 
+  /** embeddings + 19 planted 0.5-scaled copies of vec 0 (ids 20000-20018).
+    * Scaling by a power of two is float-EXACT, so DuckDB reproduces the
+    * copies bit-for-bit; scaling is direction-invariant, so every copy
+    * shares vec 0's IVF cell structurally and its cosine to vec 0 is ~1. */
+  private[graft] def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = s.range(19).crossJoin(emb.filter(col("vec_id") === 0))
+      .select((col("id") + 20000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))").as("embedding"))
+    emb.unionAll(copies)
+  }
+
+  /** the planted embeddings table materialized ONCE as an IVF store (parquet
+    * partitioned by spherical-k-means cell) — probes read only the nprobe
+    * nearest cells' directories. */
+  private[graft] def ivfStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = new java.io.File(s"target/ivfcache/planted_$name").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Ann.writeIvfBucketed(plantedEmbeddings(s, dir), col("embedding"), col("vec_id"),
+        path, k = 10, iters = 5)
+    path
+  }
+
   /** run a validation plan and project the oracle-comparable columns */
   private def validate(
       df: DataFrame,
@@ -299,6 +323,20 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Ann.lshTopKStored(s, lshStore(s, dir), q, 20, numBits = 8, prefixBits = 4, probeHamming = 2)
         .select(col("id"), round(col("cosine"), 4).as("cosine"))
+    }),
+    // IVF probe over the planted store: rank the 10 k-means cells by
+    // centroid·query, read the 2 nearest cells' directories ONLY (partition
+    // pruning), brute-force inside. The 20-member true top-20 (vec 0 + its
+    // 19 scaled copies, cosine ~1 vs ≤0.52 for everything else) lives
+    // entirely in vec 0's cell by direction-invariance, so the ORACLE IS
+    // THE EXACT BRUTE-FORCE top-20 — the pruned probe must lose nothing.
+    // (ID set compared, not ranks: within the planted set cosines tie at 1.)
+    "q42_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.ivfTopK(s, ivfStore(s, dir), q, 20, nprobe = 2)
+        .select(col("id"))
+        .orderBy("id")
     }),
     // LSH-bucketed near-dup dedup in the regime LSH is FOR (cosine ≈ 1):
     // deterministic 0.5-scaled copies of every vector are planted (vec_id +
@@ -679,6 +717,21 @@ object SparkEntry {
         |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 1
         |) GROUP BY hamming ORDER BY hamming""".stripMargin,
+    // IVF probe vs exact brute force over the same planted table (copies
+    // re-derived in SQL — x*0.5 is float-exact): identical top-20 ID set
+    "q42_ann_ivf" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 20000 + t.i AS vec_id,
+        |         list_transform(e.embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        |  FROM embeddings e, range(19) t(i) WHERE e.vec_id = 0
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT id FROM (
+        |  SELECT vec_id AS id FROM aug
+        |  ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id
+        |  LIMIT 20
+        |) ORDER BY id""".stripMargin,
     // the deterministic captioner (SyntheticImages.caption) re-derived in
     // SQL from image_id (img_%012d): 1-based list_extract over id%5 / id%7%5
     "q41_image_caption_checks" ->

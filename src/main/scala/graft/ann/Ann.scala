@@ -39,13 +39,22 @@ object Ann {
     dotK(a, b) / (normK(a) * normK(b))
   }
 
-  /** Dot product of two numeric array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric array columns — native codegen'd Catalyst
+    * expression (VectorExprs.DotProduct): same primitive loop as the UDF
+    * kernel (bit-identical doubles), but evaluated INSIDE whole-stage
+    * codegen — no serialization boundary, no Seq boxing. */
+  def dot(a: Column, b: Column): Column = graft.exprs.VectorExprs.dotNative(a, b)
+
+  def l2norm(v: Column): Column = graft.exprs.VectorExprs.l2normNative(v)
+
+  def cosine(a: Column, b: Column): Column = graft.exprs.VectorExprs.cosineNative(a, b)
+
+  /** UDF-kernel variants, kept for parity tests and as the reference
+    * implementation of the loop semantics. */
+  private[graft] def dotViaUdf(a: Column, b: Column): Column =
     dotUdf(a.cast("array<double>"), b.cast("array<double>"))
-
-  def l2norm(v: Column): Column = normUdf(v.cast("array<double>"))
-
-  def cosine(a: Column, b: Column): Column =
+  private[graft] def l2normViaUdf(v: Column): Column = normUdf(v.cast("array<double>"))
+  private[graft] def cosineViaUdf(a: Column, b: Column): Column =
     cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Brute-force cosine top-k against a constant query vector. Output:
@@ -53,12 +62,12 @@ object Ann {
     * TakeOrderedAndProject (per-partition heaps, no shuffle of vectors). */
   def bruteForceTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Double], k: Int): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val q = query.toIndexedSeq
-    // null / zero-norm vectors score NaN, and Spark orders NaN ABOVE every
-    // double — they would displace real neighbors at rank 1. Drop them.
-    val scoreUdf = udf((v: Seq[Double]) => if (v == null) Double.NaN else dotK(v, q) / (normK(v) * qn))
-    df.select(id.as("id"), scoreUdf(vec.cast("array<double>")).as("cosine"))
-      .filter(!isnan(col("cosine")))
+    val q = array(query.map(lit): _*)
+    // null vectors score null, zero-norm vectors NaN; Spark orders NaN ABOVE
+    // every double — both would displace real neighbors at rank 1. Drop them.
+    // Fully codegen'd: score is the native dot/l2norm expression pair.
+    df.select(id.as("id"), (dot(vec, q) / (l2norm(vec) * lit(qn))).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -148,6 +157,149 @@ object Ann {
       .filter(col("sig_prefix").isin(prefixes: _*)) // partition pruning
       .filter(col("sig").isin(probes: _*))
       .select(col("id"), (dot(col("embedding"), q) / (l2norm(col("embedding")) * lit(qn))).as("cosine"))
+      .filter(!isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) coarse quantizer — the other classic ANN scale
+  // path: spherical k-means partitions the vector space into k cells, the
+  // store is partitioned by cell, probes read only the nprobe cells whose
+  // centroids are nearest the query.
+  // --------------------------------------------------------------------
+
+  private val normalizeUdf = udf { (v: Seq[Double]) =>
+    if (v == null) null
+    else {
+      val n = normK(v)
+      if (n == 0.0) null else v.map(_ / n)
+    }
+  }
+
+  private def argmaxDotUdf(centroids: IndexedSeq[IndexedSeq[Double]]) =
+    udf { (v: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val d = dotK(v, centroids(c))
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Deterministic spherical k-means over the (unit-normalized) vectors.
+    * No RNG: the k initial centroids are the first k distinct vectors in
+    * xxhash64 order; `iters` fixed Lloyd rounds, assignment by max dot,
+    * centroid update = normalized mean. Each round is one distributed
+    * scan + one (cluster, dim) partial-sum shuffle (k·dim rows to the
+    * driver — tiny). At 100 TB you train on a bounded deterministic sample
+    * (`trainLimit`), never the full table: the quantizer only needs the
+    * density shape. Empty clusters keep their previous centroid. */
+  def trainCentroids(
+      df: DataFrame,
+      vec: Column,
+      k: Int,
+      iters: Int = 5,
+      trainLimit: Int = 100000
+  ): IndexedSeq[IndexedSeq[Double]] = {
+    val vnorm = df
+      .select(normalizeUdf(vec.cast("array<double>")).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("_h", xxhash64(col("v")))
+    val sample = vnorm.orderBy("_h").limit(trainLimit).select("v").cache()
+    try {
+      var centroids: IndexedSeq[IndexedSeq[Double]] =
+        sample.distinct().withColumn("_h", xxhash64(col("v"))).orderBy("_h").limit(k)
+          .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      require(centroids.size == k, s"need >= $k distinct vectors to train, got ${centroids.size}")
+      val dim = centroids.head.length
+      var it = 0
+      while (it < iters) {
+        val assign = argmaxDotUdf(centroids)
+        val sums = sample
+          .select(assign(col("v")).as("c"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("c", "d")
+          .agg(sum("x").as("s"))
+          .collect()
+        val acc = Array.fill(k, dim)(0.0)
+        sums.foreach(r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = (0 until k).map { c =>
+          val m = acc(c).toIndexedSeq
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) centroids(c) else m.map(_ / n) // empty cell: keep previous
+        }
+        it += 1
+      }
+      centroids
+    } finally { sample.unpersist(); () }
+  }
+
+  private def centroidsFile(path: String) = new java.io.File(path, "_ivf_centroids.txt")
+
+  /** Materialize `df` as an IVF store: train the coarse quantizer, assign
+    * every row to its nearest cell, write parquet PARTITIONED by `cluster`
+    * (directory per cell), and persist the centroids next to the data (an
+    * underscore file — invisible to the parquet reader). Probes against
+    * this store are partition-pruned reads, like [[writeLshBucketed]]. */
+  def writeIvfBucketed(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      path: String,
+      k: Int = 16,
+      iters: Int = 5,
+      trainLimit: Int = 100000
+  ): Unit = {
+    val centroids = trainCentroids(df, vec, k, iters, trainLimit)
+    val assign = argmaxDotUdf(centroids)
+    df.select(id.as("id"), vec.as("embedding"),
+        normalizeUdf(vec.cast("array<double>")).as("_vn"))
+      .filter(col("_vn").isNotNull) // null / zero-norm vectors are not indexable
+      .select(col("id"), col("embedding"), assign(col("_vn")).as("cluster"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(path)
+    val txt = centroids.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.writeString(centroidsFile(path).toPath, txt)
+  }
+
+  private[ann] def readCentroids(path: String): IndexedSeq[IndexedSeq[Double]] =
+    java.nio.file.Files
+      .readString(centroidsFile(path).toPath)
+      .split('\n')
+      .map(_.split(',').map(_.toDouble).toIndexedSeq)
+      .toIndexedSeq
+
+  /** Top-k probe against a [[writeIvfBucketed]] store: rank cells by
+    * centroid·query on the driver (k dot products), push the nprobe nearest
+    * cell ids into the partition filter (directory pruning), brute-force
+    * cosine over the surviving candidates. Recall is governed by nprobe;
+    * nprobe == k degenerates to an exact (but still pruned-scan-shaped)
+    * search. */
+  def ivfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = readCentroids(path)
+    val qn0 = math.sqrt(query.map(x => x * x).sum)
+    require(qn0 > 0.0, "zero-norm query")
+    val qhat = query.map(_ / qn0).toIndexedSeq
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, dotK(c, qhat)) }
+      .sortBy(-_._2)
+      .take(math.min(nprobe, centroids.size))
+      .map(_._1)
+    val q = array(query.map(lit): _*)
+    spark.read
+      .parquet(path)
+      .filter(col("cluster").isin(cells: _*)) // partition pruning
+      .select(col("id"), (dot(col("embedding"), q) / (l2norm(col("embedding")) * lit(qn0))).as("cosine"))
       .filter(!isnan(col("cosine")))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)

@@ -1,0 +1,165 @@
+package graft.exprs
+
+import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the hot vector kernels (dot product and
+  * L2 norm) with FULL whole-stage-codegen support (`doGenCode`): the
+  * generated loop reads `ArrayData` in place inside the stage — no
+  * UDF serialization boundary, no Seq boxing, no codegen fence.
+  *
+  * This is the preferred extension tier from the build brief — compose
+  * built-ins where possible, then a native `Expression`, then a UDF. The
+  * engine's ANN/dedup paths previously used tight Scala UDFs (still ~10×
+  * faster than Catalyst's interpreted higher-order functions); these
+  * expressions remove the remaining row-boundary cost and keep the whole
+  * projection in one codegen'd stage.
+  *
+  * Null semantics: a null array yields null (null-intolerant inputs); null
+  * ELEMENTS are skipped (contribute nothing) — embeddings never carry null
+  * elements, this just keeps the kernel total. Length mismatch: the shorter
+  * prefix is used, matching the UDF kernels' `math.min` semantics.
+  */
+object VectorExprs {
+
+  /** dot(a, b) over array<double> — codegen'd primitive loop. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** sqrt(dot(v, v)) over array<double> — codegen'd primitive loop. */
+  case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_l2norm"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) { val v = x.getDouble(i); s += v * v }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    double $v = $a.getDouble($i);
+           |    $s += $v * $v;
+           |  }
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column API ----
+
+  private def toExpr(c: Column): Expression = GraftSqlShim.expression(c)
+
+  /** Native codegen'd dot product of two array<double> columns. */
+  def dotNative(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotProduct(toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
+
+  /** Native codegen'd L2 norm of an array<double> column. */
+  def l2normNative(v: Column): Column =
+    GraftSqlShim.column(L2Norm(toExpr(v.cast("array<double>"))))
+
+  /** Cosine similarity composed from the native kernels (one codegen'd
+    * projection; division and null propagation stay native). */
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (l2normNative(a) * l2normNative(b))
+
+  // ---- SQL function registration ----
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(getClass.getName, name)
+
+  private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => { require(args.size == 2, "graft_dot takes 2 arguments"); DotProduct(args(0), args(1)) }),
+    ("graft_l2norm", info("graft_l2norm", "graft_l2norm(v) - L2 norm of a double array"),
+      (args: Seq[Expression]) => { require(args.size == 1, "graft_l2norm takes 1 argument"); L2Norm(args.head) })
+  )
+
+  /** Runtime registration (idempotent): makes graft_dot / graft_l2norm
+    * available to `spark.sql` / `expr(...)` in an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, fi, builder) =>
+      GraftSqlShim.registerFunction(spark, name, fi, builder)
+    }
+}
+
+/** Config-time extension point: `--conf
+  * spark.sql.extensions=graft.exprs.GraftExtensions` injects the native
+  * vector functions into every session of the cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq(
+      ("graft_dot", (args: Seq[Expression]) => VectorExprs.DotProduct(args(0), args(1))),
+      ("graft_l2norm", (args: Seq[Expression]) => VectorExprs.L2Norm(args.head))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder
+      ))
+    }
+}

@@ -43,6 +43,53 @@ class AnnStoreSpec extends SparkSpec {
     assert(stored == scanned)
   }
 
+  /** 6 planted unit-ish clusters: center c + small deterministic jitter. */
+  private def clustered(n: Int, k: Int = 6, dim: Int = 16) = (0 until n).map { i =>
+    val c = i % k
+    val v = Seq.tabulate(dim) { d =>
+      (math.cos(c * 5 + d) + 0.05 * math.sin(i * 13 + d * 7)).toFloat
+    }
+    (i.toLong, v, c)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("IVF: trainCentroids is deterministic and produces unit centroids") {
+    val df = clustered(240)
+    val a = Ann.trainCentroids(df, col("embedding"), k = 6, iters = 4)
+    val b = Ann.trainCentroids(df, col("embedding"), k = 6, iters = 4)
+    assert(a == b)
+    a.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+  }
+
+  test("IVF store: probe prunes to nprobe cell directories and recall is exact on clustered data") {
+    val path = Files.createTempDirectory("graft_ivf").toString + "/store"
+    val df = clustered(300)
+    Ann.writeIvfBucketed(df, col("embedding"), col("vec_id"), path, k = 6, iters = 4)
+    val cellDirs = new java.io.File(path).listFiles().count(_.getName.startsWith("cluster="))
+    assert(cellDirs == 6, s"expected 6 cell dirs, got $cellDirs")
+    val q = df.filter(col("vec_id") === 10).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val probe = Ann.ivfTopK(spark, path, q, 15, nprobe = 2)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "probe must push a partition filter")
+    val got = probe.collect().map(_.getLong(0)).toSeq
+    val exact = Ann.bruteForceTopK(df, col("embedding"), col("vec_id"), q, 15)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, "nprobe=2 must recover the exact top-k on well-separated clusters")
+    assert(got.head == 10L)
+  }
+
+  test("IVF: nprobe == k is exact on ANY data (degenerates to a pruned-shape full search)") {
+    val path = Files.createTempDirectory("graft_ivf2").toString + "/store"
+    val df = vecs(150) // sin-lattice: NOT clustered
+    Ann.writeIvfBucketed(df, col("embedding"), col("vec_id"), path, k = 5, iters = 3)
+    val q = (0 until 16).map(d => math.sin(42 * 7 + d * 3))
+    val got = Ann.ivfTopK(spark, path, q, 10, nprobe = 5)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    val exact = Ann.bruteForceTopK(df, col("embedding"), col("vec_id"), q, 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(got == exact)
+  }
+
   test("embeddingCosinePairsLsh: scaled copies always collide (sign-invariant), originals verified out") {
     // hash-random vectors (sin-lattice vectors alias into genuine near-dups)
     val base = Ann.hyperplanes(40, 16, seed = 7).zipWithIndex
