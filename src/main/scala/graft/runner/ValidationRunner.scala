@@ -176,7 +176,8 @@ object ValidationRunner {
       dataCols: Seq[String],
       compiled: Seq[graft.checks.CompiledCheck],
       rowNum: Column,
-      pidCol: Option[Column]
+      pidCol: Option[Column],
+      passthrough: Seq[String] = Nil
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -210,22 +211,23 @@ object ValidationRunner {
     // ever sees the ~1% of rows that actually violate something.
     // (measured: 775k rows/s -> multi-M rows/s on a 20M-row table)
     val anyViolation = compiled.map(ck => coalesce(ck.cond, lit(false))).reduce(_ || _)
+    val extra = passthrough.map(col) // typed columns carried verbatim
     df.filter(anyViolation)
-      .select(
+      .select(Seq(
         filter(array(entries: _*), _.isNotNull).as("_viols"),
         RowChecks.rowPayload(dataCols).as("row"),
         pidCol.getOrElse(lit(null)).cast(IntegerType).as("partition_id")
-      )
+      ) ++ extra: _*)
       .filter(size(col("_viols")) > 0)
-      .select(explode(col("_viols")).as("_v"), col("row"), col("partition_id"))
-      .select(
+      .select(Seq(explode(col("_viols")).as("_v"), col("row"), col("partition_id")) ++ extra: _*)
+      .select(Seq(
         col("_v.code"),
         col("_v.row_number"),
         col("_v.column_number"),
         col("_v.message"),
         col("row"),
         col("partition_id")
-      )
+      ) ++ extra: _*)
   }
 
   /** Execute the plan and assemble the reference-shaped report (driver-side
@@ -324,14 +326,20 @@ object ValidationRunner {
     * run — uniqueness/FK/duplicate-row are cross-row/batch semantics by
     * definition (the reference is batch-only, SURVEY §2.9; this entry point
     * exists for continuous-ingest admission monitoring). */
-  def streamingViolations(df: DataFrame, schema: TableSchema, cfg: ValidationConfig): DataFrame = {
+  def streamingViolations(
+      df: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      passthrough: Seq[String] = Nil
+  ): DataFrame = {
     val opts = cfg.options
     val withNa = replaceNa(df, schema.naValue)
     val dataCols =
       withNa.columns.toSeq.filterNot(c => c == cfg.rowNumberCol || cfg.partitionIdCol.contains(c))
     val payloadSchema = org.apache.spark.sql.types.StructType(dataCols.map(c => withNa.schema(c)))
     val compiled = RowChecks.compile(schema, payloadSchema, col(cfg.rowNumberCol), opts)
-    violationsWithPayload(withNa, dataCols, compiled, col(cfg.rowNumberCol), cfg.partitionIdCol.map(col))
+    violationsWithPayload(withNa, dataCols, compiled, col(cfg.rowNumberCol),
+      cfg.partitionIdCol.map(col), passthrough)
   }
 
   /** End-to-end CSV validation (fixture path): read → structural

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.runner.{ValidationConfig, ValidationRunner}
+import graft.schema.TableSchema
+
+/** Structured-Streaming validation operators beyond the stateless suite
+  * (`ValidationRunner.streamingViolations`): event-time windowed violation
+  * rates (watermark + window aggregation) and stateful first-occurrence-wins
+  * uniqueness (`flatMapGroupsWithState`). The reference is batch-only
+  * (SURVEY §2.9); these are the continuous-ingest counterparts a pipeline
+  * monitoring admission quality needs.
+  */
+object StreamingChecks {
+
+  /** Event-time violation-rate monitor: run the stateless check suite, then
+    * aggregate violations per (event-time window, code) behind a watermark.
+    * Append-mode sinks emit each window once it is finalized (watermark
+    * passes window end) — the standard alerting shape.
+    *
+    * `tsCol` must be a timestamp column of the INPUT frame. VALID rows must
+    * advance the watermark too — a quiet (violation-free) stream would
+    * otherwise never finalize its windows — and Catalyst pushes any filter
+    * that does not reference the event-time column BELOW the
+    * EventTimeWatermark node, which would starve it of the valid rows. The
+    * plan therefore explodes one code-or-null per check ABOVE the watermark
+    * (a Generate; filters on its output cannot be pushed below it) and
+    * drops the nulls after: every input row reaches the watermark operator,
+    * everything stays codegen'd. At scale the aggregation is a streaming
+    * shuffle keyed by (window, code) — dozens of distinct keys, trivially
+    * balanced; the explode multiplies rows by the CHECK COUNT, acceptable
+    * for a monitor (compose with a sampled tap for very hot streams). */
+  def windowedViolationRates(
+      df: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      tsCol: String,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"
+  ): DataFrame = {
+    val withNa = ValidationRunner.replaceNa(df, schema.naValue)
+    val dataCols =
+      withNa.columns.toSeq.filterNot(c => c == cfg.rowNumberCol || cfg.partitionIdCol.contains(c))
+    val payloadSchema = org.apache.spark.sql.types.StructType(dataCols.map(c => withNa.schema(c)))
+    val compiled =
+      graft.checks.RowChecks.compile(schema, payloadSchema, col(cfg.rowNumberCol), cfg.options)
+    val codes = array(compiled.map(ck => when(ck.cond, lit(ck.code))): _*)
+    withNa
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(codes).as("code"))
+      .filter(col("code").isNotNull)
+      .groupBy(window(col(tsCol), windowDuration).as("window"), col("code"))
+      .agg(count(lit(1)).as("violations"))
+  }
+
+  /** Stateful streaming uniqueness: first-occurrence-wins across the whole
+    * stream (the unique-constraint semantics of the batch engine,
+    * custom_checks.py:121-143 — first cache hit wins, later rows violate).
+    * Implemented with `flatMapGroupsWithState` over the EXACT key value
+    * (no hash-collision false positives); state per distinct key is one
+    * long (the first row id). Rows whose every key column is null are
+    * skipped, as in batch. At scale the group shuffle is keyed by the
+    * value itself — pre-salt upstream if one value dominates; state grows
+    * with distinct keys, so production deployments bound it with a state
+    * TTL (pass `stateTtl`, which arms a processing-time timeout that drops
+    * idle keys — re-seen keys after expiry are treated as fresh). */
+  def streamingUniqueViolations(
+      df: DataFrame,
+      keys: Seq[String],
+      rowNumberCol: String,
+      stateTtl: Option[String] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val anyKeyNonNull = keys.map(col(_).isNotNull).reduce(_ || _)
+    val keyed = df
+      .filter(anyKeyNonNull) // all-null key tuple is skipped (batch parity)
+      .select(
+        // SOH-separated tuple with a NUL null-sentinel: unambiguous for any
+        // text free of control chars (("a","b") never collides with ("ab",""),
+        // ("a",null) differs from ("a",""))
+        concat_ws("\u0001", keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*).as("k"),
+        col(rowNumberCol).cast("long").as("rid")
+      )
+      .as[(String, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val out = keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String)](OutputMode.Append(), timeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rids = rows.map(_._2).toArray.sorted
+            val dups =
+              if (state.exists) rids.toSeq
+              else { state.update(rids.head); rids.tail.toSeq }
+            stateTtl.foreach(state.setTimeoutDuration)
+            dups.iterator.map(rid => (rid, "unique-constraint"))
+          }
+      }
+    out.toDF("row_number", "code").select(col("code"), col("row_number"))
+  }
+}

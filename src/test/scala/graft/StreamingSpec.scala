@@ -55,4 +55,71 @@ class StreamingSpec extends SparkSpec {
       )
     } finally q.stop()
   }
+
+  test("windowed violation rates: watermarked event-time windows finalize in append mode") {
+    import graft.streaming.StreamingChecks
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("_rid", "ts", "cat")
+    val schema = TableSchema(
+      Seq(Field("cat", constraints = FieldConstraints(enumVals = Some(Seq("a", "b")))))
+    )
+    val rates = StreamingChecks.windowedViolationRates(
+      df, schema,
+      ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema"))),
+      tsCol = "ts", windowDuration = "1 minute", watermarkDelay = "0 seconds"
+    )
+    assert(rates.isStreaming)
+    val q = rates
+      .selectExpr("CAST(window.start AS STRING) AS w", "code", "violations")
+      .writeStream.format("memory").queryName("graft_stream_rates").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window [10:00, 10:01): two enum violations; [10:01, 10:02): one
+      input.addData(
+        (1L, ts("2026-01-01 10:00:05"), "z"),
+        (2L, ts("2026-01-01 10:00:40"), "z"),
+        (3L, ts("2026-01-01 10:00:50"), "a"), // valid
+        (4L, ts("2026-01-01 10:01:10"), "z")
+      )
+      q.processAllAvailable()
+      // the watermark updates at batch END: batch 2 carries it past window 1,
+      // batch 3 (empty-of-violations) triggers emission of window 2
+      input.addData((5L, ts("2026-01-01 10:03:00"), "a"))
+      q.processAllAvailable()
+      input.addData((6L, ts("2026-01-01 10:05:00"), "a"))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_rates")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2026-01-01 10:00:00", "enumerable-constraint", 2L),
+        ("2026-01-01 10:01:00", "enumerable-constraint", 1L)
+      ))
+    } finally q.stop()
+  }
+
+  test("stateful streaming uniqueness: first occurrence wins ACROSS batches") {
+    import graft.streaming.StreamingChecks
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("_rid", "key")
+    val viols = StreamingChecks.streamingUniqueViolations(df, Seq("key"), "_rid")
+    assert(viols.isStreaming)
+    val q = viols.writeStream.format("memory").queryName("graft_stream_uni").outputMode("append").start()
+    try {
+      input.addData((1L, "x"), (2L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      input.addData((4L, "x"), (5L, "y"), (6L, "z"), (7L, null))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_uni")
+        .collect().map(r => (r.getLong(1), r.getString(0))).sortBy(_._1).toSeq
+      // 2 duplicates x in batch 1; 4 (x) and 5 (y) duplicate ACROSS batches;
+      // 6 (z) first; 7 (null key) skipped
+      assert(got == Seq(
+        (2L, "unique-constraint"),
+        (4L, "unique-constraint"),
+        (5L, "unique-constraint")
+      ))
+    } finally q.stop()
+  }
 }
