@@ -159,4 +159,46 @@ object Bench {
       .count()
     ((n, (System.nanoTime() - t0) / 1e9, viol))
   }
+
+  /** Scaling workload #2 — the embedding near-dup suite: n pseudo-random
+    * 16-dim vectors (splitmix64-mixed components: uniform directions, no
+    * trigonometric aliasing), with every 100th row a 0.5-scaled copy of the
+    * row 100 before it (planted exact-direction dups, ~1%). Runs
+    * `Dedup.embeddingCosinePairsLsh` (2 tables × 24 bits — bucket count
+    * sized to n so random collisions stay rare) and counts verified pairs.
+    * Cost profile: codegen'd signature computation (CPU-bound, scales with
+    * cores) + bucket-join shuffle + native-expression cosine verification.
+    * Returns (vectors, seconds, pairs). */
+  def embeddingThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val gen = udf { (id: Long) =>
+      // only ODD blocks plant a copy of the row 100 before (an EVEN-block
+      // original) — otherwise copies chain transitively (107→7, 207→107, …)
+      // and every id ≡ 7 (mod 100) collapses into ONE mega-cluster whose
+      // bucket join is quadratic. Isolated pairs are the realistic shape.
+      val planted = id % 100 == 7 && (id / 100) % 2 == 1
+      val base = if (planted) id - 100 else id
+      val scale = if (planted) 0.5f else 1.0f
+      val arr = new Array[Float](16)
+      var d = 0
+      while (d < 16) {
+        var z = base + (d.toLong << 32) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        arr(d) = (z.toDouble / Long.MaxValue.toDouble).toFloat * scale
+        d += 1
+      }
+      arr
+    }
+    val df = spark
+      .range(0, n, 1, slices)
+      .select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup
+      .embeddingCosinePairsLsh(df, col("embedding"), col("vec_id"),
+        threshold = 0.99, numBits = 24, tables = 2)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, pairs)
+  }
 }

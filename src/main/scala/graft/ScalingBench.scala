@@ -38,10 +38,13 @@ object ScalingBench {
       s
     }
 
+    val nEmb = n / 10 // embedding suite: vectors are ~70B each vs 8B rows
+
     // warmup both codegen paths once
     {
       val s = session(low)
       Bench.scaleThroughput(s, math.min(n / 10, 2000000L), low)
+      Bench.embeddingThroughput(s, math.min(nEmb / 10, 200000L))
       s.stop()
     }
 
@@ -49,22 +52,25 @@ object ScalingBench {
     // standard capacity measure on a host with noisy-neighbor CPU steal
     // (observed 2.6x spread between repeats of the identical job)
     val times = collection.mutable.Map[(String, Int), List[Double]]().withDefaultValue(Nil)
-    val modes = Seq("rowchecks", "full", "salted")
+    val modes = Seq("rowchecks", "full", "salted", "embedding")
     for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- modes) {
       val s = session(cpus)
-      val (_, sec, _) = Bench.scaleThroughput(s, n, cpus,
-        withUniqueness = mode != "rowchecks",
-        uniquenessSalts = if (mode == "salted") 16 else 0)
+      val (_, sec, _) =
+        if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
+        else Bench.scaleThroughput(s, n, cpus,
+          withUniqueness = mode != "rowchecks",
+          uniquenessSalts = if (mode == "salted") 16 else 0)
       s.stop()
       times((mode, cpus)) = sec :: times((mode, cpus))
       System.err.println(s"[scaling] mode=$mode cpus=$cpus sec=$sec")
     }
 
     val parts = modes.map { mode =>
+      val nm = if (mode == "embedding") nEmb else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min
       val eff = (tLow / tHigh) / (high.toDouble / low)
-      s""""$mode":{"sec_low":$tLow,"sec_high":$tHigh,"rows_per_sec_low":${(n / tLow).toLong},"rows_per_sec_high":${(n / tHigh).toLong},"efficiency":${"%.3f".format(eff)},"runs_low":${times((mode, low)).sorted.mkString("[", ",", "]")},"runs_high":${times((mode, high)).sorted.mkString("[", ",", "]")}}"""
+      s""""$mode":{"sec_low":$tLow,"sec_high":$tHigh,"rows_per_sec_low":${(nm / tLow).toLong},"rows_per_sec_high":${(nm / tHigh).toLong},"efficiency":${"%.3f".format(eff)},"runs_low":${times((mode, low)).sorted.mkString("[", ",", "]")},"runs_high":${times((mode, high)).sorted.mkString("[", ",", "]")}}"""
     }
     println(
       s"""{"metric":"scaling_efficiency","low_cpus":$low,"high_cpus":$high,"rows":$n,${parts.mkString(",")}}"""

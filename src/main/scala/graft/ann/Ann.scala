@@ -87,14 +87,12 @@ object Ann {
       }
     }
 
-  /** Sign-bit LSH signature (as a long) for a vector column. */
+  /** Sign-bit LSH signature (as a long) for a vector column — a single
+    * native expression with one generated loop (VectorExprs.LshSignature).
+    * The per-bit when/shiftleft/OR composition this replaces fell out of
+    * codegen at ≥ ~20 bits (interpreted eval, ~80× slower). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, i) =>
-        val pc = array(p.map(lit): _*)
-        when(dot(vec, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      .reduce((a, b) => a.bitwiseOR(b))
+    graft.exprs.VectorExprs.lshSignatureNative(vec, planes)
 
   /** All signatures within Hamming distance `maxH` of `qSig` over `numBits`
     * bits — the multi-probe set. C(numBits, ≤maxH) values; keep maxH small. */

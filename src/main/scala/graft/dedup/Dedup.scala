@@ -361,17 +361,24 @@ object Dedup {
     val tableCols = (0 until tables).map { t =>
       struct(lit(t).as("t"), Ann.lshSignature(col("_v"), Ann.hyperplanes(numBits, dim, seed + t)).as("sig"))
     }
+    // Banding shuffle carries (t, sig, id) ONLY — 24 B/row·table, never the
+    // vectors (same design as minHashPairs' shingle-free banding). The two
+    // join sides share one subplan, so the exchange is computed once and
+    // reused; vectors join back only for the DEDUPLICATED candidate pairs.
     val bucketed = base
-      .select(col("_id"), col("_v"), col("_n"), explode(array(tableCols: _*)).as("_b"))
-      .select(col("_id"), col("_v"), col("_n"), col("_b.t"), col("_b.sig"))
-    val a = bucketed.select(col("t"), col("sig"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
-    val b = bucketed.select(col("t"), col("sig"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
-    a.join(b, Seq("t", "sig"))
+      .select(col("_id"), explode(array(tableCols: _*)).as("_b"))
+      .select(col("_id"), col("_b.t"), col("_b.sig"))
+    val a = bucketed.select(col("t"), col("sig"), col("_id").as("id_a"))
+    val b = bucketed.select(col("t"), col("sig"), col("_id").as("id_b"))
+    val candidates = a
+      .join(b, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       // a pair may collide in several tables — dedupe BEFORE the dot product
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("_va")).as("_va"), first(col("_na")).as("_na"),
-        first(col("_vb")).as("_vb"), first(col("_nb")).as("_nb"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (Ann.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -110,6 +110,78 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Sign-bit LSH signature over `planes` hyperplanes as ONE expression with
+    * ONE generated loop. The naive composition (numBits × when(dot ≥ 0,
+    * shiftleft) reduced by bitwiseOR) builds an expression tree whose
+    * generated code blows past the JIT/codegen budget at ≥ ~20 bits and
+    * falls back to interpreted eval — measured ~26k sigs/s; this single
+    * expression stays codegen'd (the plane matrix rides along as a flat
+    * referenced object). Bit i ⇔ dot(v, planes(i)) ≥ 0, identical math to
+    * the composition. */
+  case class LshSignature(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_lsh_sig"
+
+    private val numBits = planes.length
+    private val dim = if (planes.isEmpty) 0 else planes(0).length
+    @transient private lazy val flat: Array[Double] = planes.flatten
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      var sig = 0L
+      var b = 0
+      while (b < numBits) {
+        var s = 0.0
+        val off = b * dim
+        var i = 0
+        while (i < n) {
+          if (!x.isNullAt(i)) s += x.getDouble(i) * flat(off + i)
+          i += 1
+        }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val sig = ctx.freshName("sig")
+        val n = ctx.freshName("n")
+        val b = ctx.freshName("b")
+        val s = ctx.freshName("s")
+        val off = ctx.freshName("off")
+        val i = ctx.freshName("i")
+        s"""
+           |long $sig = 0L;
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |for (int $b = 0; $b < $numBits; $b++) {
+           |  double $s = 0.0;
+           |  int $off = $b * $dim;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if (!$a.isNullAt($i)) $s += $a.getDouble($i) * $planesRef[$off + $i];
+           |  }
+           |  if ($s >= 0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Native codegen'd LSH signature column. */
+  def lshSignatureNative(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftSqlShim.column(
+      LshSignature(toExpr(v.cast("array<double>")), planes.map(_.toArray).toArray))
+
   // ---- Column API ----
 
   private def toExpr(c: Column): Expression = GraftSqlShim.expression(c)

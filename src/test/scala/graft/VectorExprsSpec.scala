@@ -62,6 +62,30 @@ class VectorExprsSpec extends SparkSpec {
     assert(e.eval(null) == 11.0)
   }
 
+  test("LshSignature: bit-identical to the per-bit dot composition, codegen'd at 24 bits") {
+    val planes = Ann.hyperplanes(24, 24, seed = 9)
+    val df = vecs(300)
+    // reference composition (the shape the native expression replaced)
+    val composed = planes.zipWithIndex
+      .map { case (p, i) =>
+        val pc = array(p.map(lit): _*)
+        when(VectorExprs.dotNative(col("v"), pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val rows = df.select(
+      VectorExprs.lshSignatureNative(col("v"), planes).as("native"),
+      composed.as("composed")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the single-expression form stays inside WholeStageCodegen on a real scan
+    val path = java.nio.file.Files.createTempDirectory("graft_lsig").toString + "/v"
+    df.write.parquet(path)
+    val plan = spark.read.parquet(path)
+      .select(VectorExprs.lshSignatureNative(col("v"), planes).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_lsh_sig"), plan)
+  }
+
   test("SQL registration: graft_dot / graft_l2norm callable from spark.sql") {
     VectorExprs.register(spark)
     val r = spark.sql(
