@@ -49,4 +49,44 @@ object SketchDrift {
     val base = sketch(baseline, c, k)
     (psi(cur, base), ks(cur, base))
   }
+
+  /** Persist a per-column sketch SNAPSHOT (the north-star's "baseline
+    * snapshot"): ONE aggregation pass over the frame computes every column's
+    * KLL sketch; the few-KB serialized sketches land in a tiny parquet table
+    * (column, sketch). Day-over-day drift then never re-reads yesterday's
+    * data — it compares against the snapshot. */
+  def writeSnapshot(df: DataFrame, cols: Seq[String], path: String, k: Int = 200): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val aggs = cols.map(c => SketchAgg.kll(col(c), k).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    cols.zipWithIndex
+      .map { case (c, i) => (c, row.getAs[Array[Byte]](i)) }
+      .toDF("column", "sketch")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, KllDoublesSketch] =
+    spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> SketchAgg.deserialize(r.getAs[Array[Byte]](1)))
+      .toMap
+
+  /** Drift of every snapshot column against the CURRENT frame: one
+    * aggregation pass over the current data (all columns at once), O(grid)
+    * driver math per column. Output: (column, psi, ks). */
+  def driftAgainstSnapshot(current: DataFrame, path: String, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = current.sparkSession
+    val base = readSnapshot(spark, path)
+    val cols = base.keys.toSeq.sorted
+    val aggs = cols.map(c => SketchAgg.kll(col(c), k).as(c))
+    val row = current.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) =>
+      val cur = SketchAgg.deserialize(row.getAs[Array[Byte]](i))
+      (c, psi(cur, base(c)), ks(cur, base(c)))
+    }.toDF("column", "psi", "ks")
+  }
 }

@@ -39,6 +39,23 @@ class SketchSpec extends SparkSpec {
     assert(psiShift > 0.5 && ksShift > 0.2)
   }
 
+  test("snapshot store: write once, drift later runs never re-read the baseline data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/snap"
+    val base = (1 to 20000).map(i => (i.toDouble % 100, i.toDouble)).toDF("a", "b")
+    SketchDrift.writeSnapshot(base, Seq("a", "b"), dir)
+    val loaded = SketchDrift.readSnapshot(spark, dir)
+    assert(loaded.keySet == Set("a", "b") && loaded("b").getN == 20000)
+    // same distribution -> ~zero drift on every column
+    val same = SketchDrift.driftAgainstSnapshot(base, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(same.forall { case (_, psi, ks) => psi < 0.01 && ks < 0.02 })
+    // column b shifted -> large drift there, a unchanged
+    val shifted = base.select(col("a"), (col("b") + 50000).as("b"))
+    val drift = SketchDrift.driftAgainstSnapshot(shifted, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(drift("a")._1 < 0.01 && drift("b")._1 > 1.0 && drift("b")._2 > 0.5)
+  }
+
   test("sketch aggregate composes with groupBy (per-group baselines)") {
     val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
     val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()
