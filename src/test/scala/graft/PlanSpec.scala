@@ -37,6 +37,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), "check suite must run inside whole-stage codegen (starred stages)")
   }
 
+  test("WIDE schema (60 fields, 180 checks): the OR pre-filter stays codegen'd") {
+    // guards against the codegen cliff VectorExprs.LshSignature was built
+    // for: a wide composition silently falling back to interpreted eval
+    import spark.implicits._
+    val nCols = 60
+    val wide = spark.range(0, 1000, 1, 4).select(
+      (col("id") + 1).as("_rid") +: (0 until nCols).map(i => (col("id") % (i + 2)).cast("double").as(s"c$i")): _*
+    )
+    val path = java.nio.file.Files.createTempDirectory("graft_wide").toString + "/t"
+    wide.write.parquet(path)
+    val schema = TableSchema(
+      (0 until nCols).map(i =>
+        Field(s"c$i", ftype = "number",
+          constraints = fc.copy(required = true, minimum = Some(0.0), maximum = Some(1e9)))
+      )
+    )
+    val viols = ValidationRunner.plan(
+      spark.read.parquet(path), schema, ValidationConfig(rowNumberCol = "_rid")
+    ).violations
+    val plan = executedPlan(viols)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    // the Filter (OR of 180 conditions) must be inside a starred codegen stage
+    assert(plan.contains("*("), s"wide pre-filter fell out of codegen:\n${plan.take(800)}")
+    viols.count() // and it executes
+  }
+
   test("uniqueness plan: partial aggregation before the exchange (map-side combine)") {
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey") * 10 + col("l_linenumber"))
     val schema = TableSchema(Seq(Field("l_suppkey", ftype = "integer", constraints = fc.copy(unique = true))))
