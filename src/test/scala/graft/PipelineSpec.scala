@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.images.{ImageOps, SyntheticImages}
+import graft.runner.{ValidationConfig, ValidationRunner}
+import graft.schema._
+import graft.stats.SketchDrift
+
+/** End-to-end training-data pipeline over one image+caption table: the
+  * composition a real user runs — admission validation → caption dedup →
+  * image embeddings → bucketed ANN store + probe → drift snapshot. Each
+  * stage consumes the previous stage's output; the point is that the
+  * operators COMPOSE, not just pass their unit specs. */
+class PipelineSpec extends SparkSpec {
+
+  test("validate → dedup → embed → ANN store → drift: stages compose end to end") {
+    val tmp = Files.createTempDirectory("graft_pipe").toString
+    val n = 600L
+    val imgs = SyntheticImages.generateWithId(spark, n).cache()
+
+    // 1. admission: metadata checks (dims sane, fmt known, caption present).
+    //    The generator injects ~1% violations, so strict admission rejects;
+    //    a pipeline ingests the CLEAN subset instead.
+    val schema = TableSchema(Seq(
+      Field("w", ftype = "integer", constraints = FieldConstraints(minimum = Some(1))),
+      Field("fmt", constraints = FieldConstraints(enumVals = Some(Seq("png", "jpeg")))),
+      Field("caption", constraints = FieldConstraints(required = true))
+    ))
+    // admission runs on the declared-metadata PROJECTION (header checks are
+    // reference-faithful schema-typed errors, so the validated view must
+    // carry exactly the schema's columns — and pruning bytes out of the
+    // admission scan is what you want at scale anyway)
+    val cfg = ValidationConfig(rowNumberCol = "row_id")
+    def meta(df: org.apache.spark.sql.DataFrame) = df.select("w", "fmt", "caption", "row_id")
+    assert(ValidationRunner.validateOrReject(meta(imgs), schema, cfg).isLeft) // fail-closed works
+    val badRows = ValidationRunner.plan(meta(imgs), schema, cfg).violations
+      .select("row_number").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val clean = imgs.filter(!col("row_id").isin(badRows.toSeq: _*))
+    assert(ValidationRunner.validateOrReject(meta(clean), schema, cfg).isRight)
+
+    // 2. dedup: drop rows whose caption duplicates an earlier row's
+    //    (duplicate image_id mutations carry borrowed captions)
+    val dupIds = Dedup.exact(clean, col("caption"), col("row_id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val deduped = clean.filter(!col("row_id").isin(dupIds.toSeq: _*)).cache()
+    val total = deduped.count()
+    assert(total > 0 && total < n)
+    assert(deduped.select(countDistinct(col("caption"))).head().getLong(0) == total)
+
+    // 3. multimodal: real image embeddings from the bytes column
+    val embedded = ImageOps.withImageEmbedding(deduped)
+      .select(col("row_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .cache()
+
+    // 4. ANN: LSH-bucketed store; probing with row 1's own embedding must
+    //    return row 1 at rank 1 (cosine ~1 beats every other gradient)
+    val store = s"$tmp/annstore"
+    Ann.writeLshBucketed(embedded, col("embedding"), col("row_id"), store,
+      numBits = 8, prefixBits = 4)
+    val probeId = embedded.select(min("row_id")).head().getLong(0)
+    val q = embedded.filter(col("row_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val top = Ann.lshTopKStored(spark, store, q, 3, numBits = 8, prefixBits = 4, probeHamming = 2)
+      .collect()
+    assert(top.head.getLong(0) == probeId && top.head.getDouble(1) > 0.999999)
+
+    // 5. drift: snapshot today's width distribution; tomorrow-with-resize
+    //    drifts, an identical day does not
+    val snap = s"$tmp/snapshot"
+    SketchDrift.writeSnapshot(deduped.select(col("w").cast("double").as("w")), Seq("w"), snap)
+    val same = SketchDrift.driftAgainstSnapshot(
+      deduped.select(col("w").cast("double").as("w")), snap).head()
+    assert(same.getDouble(1) < 0.01)
+    val resized = deduped.select((col("w") * 4).cast("double").as("w"))
+    val moved = SketchDrift.driftAgainstSnapshot(resized, snap).head()
+    assert(moved.getDouble(1) > 1.0)
+  }
+}
