@@ -335,6 +335,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Candidate near-dup pairs by SHARED WINNOWING FINGERPRINTS (rolling-hash
+    * document fingerprinting, TextOps.winnowingFingerprints): docs sharing
+    * ≥ `minShared` fingerprints. Each fingerprint is a bucket — the join is
+    * bucket-bounded like the LSH paths, and the shuffle carries (fp, id)
+    * only. Fingerprints shared by more than `maxDocsPerFingerprint` docs are
+    * boilerplate (a ubiquitous header/footer) and are skipped — a precision
+    * control, not a recall loss: near-dup pairs share MANY fingerprints and
+    * survive on their non-boilerplate ones. Output: (id_a, id_b, shared). */
+  def sharedFingerprintPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFingerprint: Int = 1000
+  ): DataFrame = {
+    val fps = df.select(id.as("_id"), explode(TextOps.winnowingFingerprints(text, k, w)).as("_fp"))
+    val counts = fps.groupBy("_fp").agg(count(lit(1)).as("_dc"))
+    val kept = fps
+      .join(counts.filter(col("_dc").between(2, maxDocsPerFingerprint)).select("_fp"), Seq("_fp"))
+    kept.select(col("_fp"), col("_id").as("id_a"))
+      .join(kept.select(col("_fp"), col("_id").as("id_b")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Embedding cosine near-duplicate pairs via hyperplane-LSH bucketing:
     * `tables` independent sign-hash tables of `numBits` bits each; candidate
     * pairs share a FULL signature in at least one table, then verify exact

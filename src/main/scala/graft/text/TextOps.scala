@@ -187,4 +187,65 @@ object TextOps {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (the MOSS construction; Schleimer/Wilkerson/
+    * Aiken, SIGMOD'03): a TRUE ROLLING polynomial hash over character
+    * k-grams of the normalized text (O(n), Rabin–Karp style: one multiply +
+    * one add to extend, one subtract of `base^(k-1)·outgoing` to slide),
+    * then the minimum hash of every window of `w` consecutive k-grams
+    * (rightmost-min tie-break). Guarantee: two documents sharing any
+    * substring of ≥ w + k − 1 chars share at least one fingerprint, while
+    * only ~2/(w+1) of positions are kept — the edit-robust, bounded-size
+    * dedup key the whole-document [[fingerprint]] cannot give.
+    * Output: sorted distinct Array[Long], row-local kernel. */
+  private[graft] def winnowingOf(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val s = text.trim.replaceAll("\\s+", " ").toLowerCase
+    if (s.length < k) return if (s.isEmpty) Array.empty[Long] else Array(fnv1a64(s))
+    val base = 0x100000001b3L
+    var basePow = 1L // base^(k-1)
+    var i = 1
+    while (i < k) { basePow *= base; i += 1 }
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + s.charAt(i); i += 1 } // first k-gram
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1) * basePow) * base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    // minimum per window of w k-grams, rightmost-min tie-break; record each
+    // selected position once (classic winnowing)
+    val ww = math.min(w, nGrams)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastPos = -1
+    var start = 0
+    while (start + ww <= nGrams) {
+      var minPos = start
+      var j = start + 1
+      while (j < start + ww) { if (hashes(j) <= hashes(minPos)) minPos = j; j += 1 }
+      if (minPos != lastPos) { out += hashes(minPos); lastPos = minPos }
+      start += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    var wr = 0; var rd = 0
+    while (rd < arr.length) {
+      if (wr == 0 || arr(rd) != arr(wr - 1)) { arr(wr) = arr(rd); wr += 1 }
+      rd += 1
+    }
+    java.util.Arrays.copyOf(arr, wr)
+  }
+
+  /** Winnowing fingerprint column: sorted distinct rolling-hash
+    * fingerprints (see [[winnowingOf]]). Per-row kernel UDF. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val (kk, www) = (k, w)
+    val u = udf((s: String) => winnowingOf(s, kk, www))
+    u(text)
+  }
 }

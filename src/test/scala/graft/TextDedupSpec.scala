@@ -195,4 +195,46 @@ class TextDedupSpec extends SparkSpec {
     assert(h(1) == 1)  // 5.0
     assert(h(9) == 2)  // 49.9 and 60 clamped
   }
+
+  test("winnowing: shared-substring guarantee, edit robustness, determinism") {
+    val k = 8; val w = 4
+    val common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val a = s"PREFIX AAA $common SUFFIX BBB"
+    val b = s"totally different opening words here $common and a different ending"
+    val c = "unrelated content about spark catalyst expressions and parquet column pruning"
+    def fp(s: String) = TextOps.winnowingOf(s, k, w).toSet
+    // guarantee: a shared substring of >= w+k-1 chars yields >= 1 shared fingerprint
+    assert((fp(a) intersect fp(b)).nonEmpty)
+    // near-dup (one word changed) shares MOST fingerprints; unrelated ~none
+    val aEdit = a.replace("lazy", "SLEEPY")
+    val overlapNear = (fp(a) intersect fp(aEdit)).size.toDouble / fp(a).size
+    val overlapFar = (fp(a) intersect fp(c)).size.toDouble / fp(a).size
+    assert(overlapNear > 0.6, s"near overlap $overlapNear")
+    assert(overlapFar < 0.1, s"far overlap $overlapFar")
+    // deterministic, sorted, distinct; whitespace/case normalised
+    val f1 = TextOps.winnowingOf(a, k, w)
+    assert(f1.toSeq == f1.sorted.toSeq && f1.distinct.length == f1.length)
+    assert(TextOps.winnowingOf("  THE   Quick brown ", k, w).toSeq ==
+      TextOps.winnowingOf("the quick brown", k, w).toSeq)
+    // degenerate inputs
+    assert(TextOps.winnowingOf(null, k, w).isEmpty)
+    assert(TextOps.winnowingOf("", k, w).isEmpty)
+    assert(TextOps.winnowingOf("abc", k, w).length == 1) // shorter than k
+  }
+
+  test("sharedFingerprintPairs finds planted near-dups, skips boilerplate fingerprints") {
+    val boiler = "copyright acme corp all rights reserved do not redistribute"
+    def body(i: Int) = // per-doc-unique tokens: no long cross-doc substrings
+      s"doc$i alpha${i * 13} beta${i * 31} gamma${i * 17} delta${i * 7} epsilon${i * 3} zeta${i * 41}"
+    val docs = (0 until 40).map { i =>
+      val b = if (i == 30) body(10) else body(i) // 30 is a near-copy of 10
+      (i.toLong, s"$b $boiler") // every doc carries the same boilerplate tail
+    }.toDF("doc_id", "text")
+    val pairs = Dedup
+      .sharedFingerprintPairs(docs, col("text"), col("doc_id"),
+        minShared = 3, maxDocsPerFingerprint = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 30 is a near-copy of doc 10; boilerplate-only overlaps are excluded
+    assert(pairs == Set((10L, 30L)))
+  }
 }
