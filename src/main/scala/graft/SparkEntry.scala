@@ -34,14 +34,14 @@ object SparkEntry {
   private[graft] def images(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(SyntheticImages.materialized(s, imageCount(dir)))
 
-  /** the embeddings table materialized ONCE as an LSH-bucketed store
-    * (parquet partitioned by signature prefix) — probes are partition-pruned
-    * reads, the plan shape the scaled deployment uses. */
+  /** the planted embeddings table materialized ONCE as an LSH-bucketed
+    * store (parquet partitioned by signature prefix) — probes are
+    * partition-pruned reads, the plan shape the scaled deployment uses. */
   private[graft] def lshStore(s: SparkSession, dir: String): String = {
     val name = new java.io.File(dir).getName
-    val path = new java.io.File(s"target/embcache/$name").getAbsolutePath
+    val path = new java.io.File(s"target/embcache/planted_$name").getAbsolutePath
     if (!new java.io.File(s"$path/_SUCCESS").exists())
-      Ann.writeLshBucketed(t(s, dir, "embeddings"), col("embedding"), col("vec_id"),
+      Ann.writeLshBucketed(plantedEmbeddings(s, dir), col("embedding"), col("vec_id"),
         path, numBits = 8, prefixBits = 4)
     path
   }
@@ -317,12 +317,17 @@ object SparkEntry {
     }),
     // probe against the materialized LSH-bucketed store: the scan lists only
     // the probed signature-prefix partitions (PartitionFilters in .explain),
-    // never the full table — the partition-pruned read the scaladoc promises
+    // never the full table — the partition-pruned read the scaladoc promises.
+    // The store carries the planted 0.5-scaled copies of vec 0 (sign-
+    // invariant ⇒ every copy shares vec 0's FULL signature, so the probe's
+    // candidate set contains them structurally), making the true top-20 the
+    // planted set — and the ORACLE the exact brute-force top-20 in SQL.
     "q30_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Ann.lshTopKStored(s, lshStore(s, dir), q, 20, numBits = 8, prefixBits = 4, probeHamming = 2)
-        .select(col("id"), round(col("cosine"), 4).as("cosine"))
+        .select(col("id"))
+        .orderBy("id")
     }),
     // IVF probe over the planted store: rank the 10 k-means cells by
     // centroid·query, read the 2 nearest cells' directories ONLY (partition
@@ -717,6 +722,22 @@ object SparkEntry {
         |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 1
         |) GROUP BY hamming ORDER BY hamming""".stripMargin,
+    // LSH probe vs exact brute force over the same planted table (copies
+    // re-derived in SQL — x*0.5 is float-exact): identical top-20 ID set,
+    // i.e. the partition-pruned probe loses nothing
+    "q30_ann_lsh" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 20000 + t.i AS vec_id,
+        |         list_transform(e.embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        |  FROM embeddings e, range(19) t(i) WHERE e.vec_id = 0
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT id FROM (
+        |  SELECT vec_id AS id FROM aug
+        |  ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id
+        |  LIMIT 20
+        |) ORDER BY id""".stripMargin,
     // IVF probe vs exact brute force over the same planted table (copies
     // re-derived in SQL — x*0.5 is float-exact): identical top-20 ID set
     "q42_ann_ivf" ->
@@ -772,8 +793,6 @@ object SparkEntry {
     //  q25: simhash collision groups are a property of the engine's 64-bit
     //       hash family (FNV-1a token votes) — the 2 groups on this data are
     //       true near-dups, NOT token-multiset-equal, so no SQL key exists;
-    //  q30: which candidates an LSH probe scans depends on the hyperplane
-    //       hash family — the top-k among them is not reconstructible in SQL;
     //  q32: requires binary image DECODE (PNG/JPEG codecs) per row — the
     //       SQL-expressible caption subset IS oracle-checked as q41;
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
