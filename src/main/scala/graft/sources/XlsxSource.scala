@@ -310,12 +310,18 @@ object XlsxSource {
   // re-serialisation surface, jobs.py:410-415).
   // ------------------------------------------------------------------
 
+  /** XML-escape cell text. XML 1.0 forbids control chars below 0x20 except
+    * tab/LF/CR — those are STRIPPED (Excel itself refuses them); CR is
+    * escaped as a character reference because XML parsers normalize literal
+    * CR/CRLF to LF in content (a bare "\r" would not round-trip). */
   private def xmlEscape(s: String): String =
     s.flatMap {
       case '&'  => "&amp;"
       case '<'  => "&lt;"
       case '>'  => "&gt;"
       case '"'  => "&quot;"
+      case '\r' => "&#xD;"
+      case c if c < ' ' && c != '\t' && c != '\n' => ""
       case c    => c.toString
     }
 
@@ -402,7 +408,11 @@ object XlsxSource {
       else Some(
         "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
           s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${shared.size}" uniqueCount="${shared.size}">""" +
-          shared.keys.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString +
+          // keysIterator, NOT keys.map: `keys` is a Set and mapping it
+          // DEDUPLICATES the results — two distinct raw strings that escape
+          // to the same XML (e.g. "" and a control-only string) would
+          // collapse into one <si>, shifting every later shared index
+          shared.keysIterator.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString +
           "</sst>"
       )
 

@@ -102,6 +102,40 @@ class XlsxSpec extends SparkSpec {
     assert(report.tables.head.rowCount == 4) // header + 3 data rows
   }
 
+  test("property: arbitrary grids round-trip through write → parse (both encodings)") {
+    val specials = "&<>\"'\t\n\r é中" // XML specials, ws, unicode, a control char
+    def randomCell(r: scala.util.Random): String = r.nextInt(6) match {
+      case 0 => null
+      case 1 => r.nextInt(2000).toString // numeric-cell path
+      case 2 => (r.nextDouble() * 100 - 50).toString.take(9)
+      case 3 => "" // empty string
+      case _ => (0 to r.nextInt(12)).map(_ => specials(r.nextInt(specials.length))).mkString
+    }
+    // writer sanitization applied to the EXPECTED value: control chars
+    // (except tab/LF/CR) are stripped — XML 1.0 cannot carry them
+    def sanitize(s: String): String =
+      if (s == null) null else s.filter(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')
+    for (seed <- 1 to 5; shared <- Seq(false, true)) {
+      val r = new scala.util.Random(seed)
+      val rows = 1 + r.nextInt(8)
+      val cols = 1 + r.nextInt(5)
+      val header = (0 until cols).map(i => s"h$i")
+      val grid = header +: (0 until rows).map(_ => (0 until cols).map(_ => randomCell(r)))
+      val path = tmp(s"prop_${seed}_$shared.xlsx")
+      XlsxSource.writeXlsx(path, Seq(("S", grid.map(_.toSeq))), useSharedStrings = shared)
+      val table = XlsxSource.readXlsx(spark, path).fold(e => fail(e.message), identity)
+      val got = table.df.orderBy("_row_number").collect()
+        .map(row => (0 until cols).map(i => row.getString(i)))
+      val expected = grid.drop(1).map(_.map(sanitize))
+      def show(x: String) = if (x == null) "NULL" else "[" + x.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "]"
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        if (g.toList != e.toList)
+          info(s"DIFFROW seed=$seed shared=$shared row=$i GOT=${g.map(show)} EXP=${e.map(show)}")
+      }
+      assert(got.map(_.toList).toList == expected.map(_.toList).toList, s"seed=$seed shared=$shared")
+    }
+  }
+
   test("runXlsx on an unreadable workbook → zero-table ERROR report") {
     val path = tmp("bad.xlsx")
     Files.write(java.nio.file.Paths.get(path), Array[Byte](1, 2, 3))
