@@ -435,6 +435,12 @@ object SparkEntry {
         .select(col("code"), col("row_number"))
         .orderBy("row_number")
     }),
+    // heavy hitters via ONE mergeable frequent-items sketch pass (shuffle
+    // payload = one few-KB sketch per partition regardless of cardinality);
+    // counts are exact here (distinct langs ≪ sketch map), so the oracle is
+    // plain GROUP BY with the same (cnt desc, item asc) tie-break
+    "q43_heavy_hitters" -> ((s, dir) =>
+      ColumnStats.heavyHitters(t(s, dir, "documents"), col("lang"), k = 5)),
     // caption checks (required + caption-equality) with NO byte decode —
     // the SQL-expressible subset of q32, fully oracle-checked: the DuckDB
     // oracle re-derives the deterministic captioner from image_id in SQL
@@ -722,6 +728,9 @@ object SparkEntry {
         |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 1
         |) GROUP BY hamming ORDER BY hamming""".stripMargin,
+    "q43_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS cnt FROM documents WHERE lang IS NOT NULL
+        |GROUP BY lang ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
     // LSH probe vs exact brute force over the same planted table (copies
     // re-derived in SQL — x*0.5 is float-exact): identical top-20 ID set,
     // i.e. the partition-pruned probe loses nothing

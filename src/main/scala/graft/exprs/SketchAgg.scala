@@ -63,6 +63,64 @@ case class KllSketchAgg(
   override def prettyName: String = "kll_sketch"
 }
 
+/** Mergeable frequent-items (heavy-hitters) sketch aggregate over Apache
+  * DataSketches' Misra-Gries-style ItemsSketch: the categorical counterpart
+  * of [[KllSketchAgg]] for single-pass column profiling. Counts are EXACT
+  * while the distinct count stays within the sketch's map (the common case
+  * for categorical columns — status flags, languages, formats) and carry
+  * tight error bounds beyond it; sketches merge across partitions AND runs,
+  * so a persisted sketch is a baseline for categorical drift too. */
+case class FreqSketchAgg(
+    child: Expression,
+    maxMapSize: Int = 1024, // power of 2 (datasketches requirement)
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  private def serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+  override def createAggregationBuffer(): org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      input: InternalRow
+  ): org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      other: org.apache.datasketches.frequencies.ItemsSketch[String]
+  ): org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    buffer.toByteArray(serde)
+
+  override def serialize(buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(serde)
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.frequencies.ItemsSketch[String] =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "freq_sketch"
+}
+
 object SketchAgg {
 
   /** Aggregate a numeric column into a serialized KLL quantile sketch
@@ -74,4 +132,15 @@ object SketchAgg {
 
   def deserialize(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  /** Aggregate a column (stringified) into a serialized frequent-items
+    * sketch (BinaryType). */
+  def freq(c: Column, maxMapSize: Int = 1024): Column = {
+    val expr = FreqSketchAgg(GraftBridge.expression(c.cast(org.apache.spark.sql.types.StringType)), maxMapSize)
+    GraftBridge.column(expr.toAggregateExpression())
+  }
+
+  def deserializeFreq(bytes: Array[Byte]): org.apache.datasketches.frequencies.ItemsSketch[String] =
+    org.apache.datasketches.frequencies.ItemsSketch
+      .getInstance(Memory.wrap(bytes), new org.apache.datasketches.common.ArrayOfStringsSerDe())
 }

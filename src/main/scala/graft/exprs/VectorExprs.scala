@@ -1,6 +1,6 @@
 package graft.exprs
 
-import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
@@ -179,20 +179,20 @@ object VectorExprs {
 
   /** Native codegen'd LSH signature column. */
   def lshSignatureNative(v: Column, planes: Seq[Seq[Double]]): Column =
-    GraftSqlShim.column(
+    GraftBridge.column(
       LshSignature(toExpr(v.cast("array<double>")), planes.map(_.toArray).toArray))
 
   // ---- Column API ----
 
-  private def toExpr(c: Column): Expression = GraftSqlShim.expression(c)
+  private def toExpr(c: Column): Expression = GraftBridge.expression(c)
 
   /** Native codegen'd dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
-    GraftSqlShim.column(DotProduct(toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
+    GraftBridge.column(DotProduct(toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
 
   /** Native codegen'd L2 norm of an array<double> column. */
   def l2normNative(v: Column): Column =
-    GraftSqlShim.column(L2Norm(toExpr(v.cast("array<double>"))))
+    GraftBridge.column(L2Norm(toExpr(v.cast("array<double>"))))
 
   /** Cosine similarity composed from the native kernels (one codegen'd
     * projection; division and null propagation stay native). */
@@ -215,7 +215,7 @@ object VectorExprs {
     * available to `spark.sql` / `expr(...)` in an existing session. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, fi, builder) =>
-      GraftSqlShim.registerFunction(spark, name, fi, builder)
+      GraftBridge.registerFunction(spark, name, fi, builder)
     }
 }
 

@@ -54,6 +54,27 @@ object ColumnStats {
     }.toDF("column", "cnt", "nulls", "dcount", "vmin", "vmax")
   }
 
+  /** Top-k heavy hitters of a (stringified) column via one mergeable
+    * frequent-items sketch pass ([[graft.exprs.FreqSketchAgg]]): a single
+    * scan whose shuffle payload is one few-KB sketch per partition,
+    * independent of cardinality — the 100-TB shape for "what are the top
+    * values of this column". Counts are EXACT while the column's distinct
+    * count fits the sketch map (categorical columns), with deterministic
+    * (count desc, item asc) ordering. Output: (item, cnt), k rows. */
+  def heavyHitters(df: DataFrame, c: Column, k: Int, maxMapSize: Int = 1024): DataFrame = {
+    val bytes = df.agg(graft.exprs.SketchAgg.freq(c, maxMapSize)).head().getAs[Array[Byte]](0)
+    val sketch = graft.exprs.SketchAgg.deserializeFreq(bytes)
+    val rows = sketch
+      .getFrequentItems(org.apache.datasketches.frequencies.ErrorType.NO_FALSE_POSITIVES)
+      .toSeq
+      .map(r => (r.getItem, r.getEstimate))
+      .sortBy { case (item, est) => (-est, item) }
+      .take(k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("item", "cnt")
+  }
+
   /** Equal-width histogram over [lo, hi): bucket → count. Values outside the
     * range clamp to the edge buckets. One groupBy over a computed bucket id —
     * partial agg keeps the shuffle at `buckets` rows per partition. */

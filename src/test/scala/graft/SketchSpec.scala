@@ -56,6 +56,22 @@ class SketchSpec extends SparkSpec {
     assert(drift("a")._1 < 0.01 && drift("b")._1 > 1.0 && drift("b")._2 > 0.5)
   }
 
+  test("frequent-items sketch: exact heavy hitters under skew, merged across partitions") {
+    import graft.stats.ColumnStats
+    // zipf-ish skew: value v appears ~ n/(v+1) times; 50 distinct values
+    val rows = (0 until 50).flatMap(v => Seq.fill(2000 / (v + 1))(s"item_$v"))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("s") // 16 partitions -> real merges
+    val got = ColumnStats.heavyHitters(df, col("s"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, c) => (-c, item) }.take(8)
+    assert(got == exact)
+    // nulls are skipped
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(100)(None)).toDF("s")
+    val got2 = ColumnStats.heavyHitters(withNulls, col("s"), k = 1).collect()
+    assert(got2.head.getString(0) == "item_0" && got2.head.getLong(1) == 2000L)
+  }
+
   test("sketch aggregate composes with groupBy (per-group baselines)") {
     val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
     val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()
