@@ -53,11 +53,15 @@ class PipelineSpec extends SparkSpec {
     assert(total > 0 && total < n)
     assert(deduped.select(countDistinct(col("caption"))).head().getLong(0) == total)
 
-    // 3. multimodal: real image embeddings from the bytes column
-    val embedded = ImageOps.withImageEmbedding(deduped)
+    // 3. multimodal: real image embeddings from the bytes column —
+    // materialized to parquet so the ANN store and the probe read ONE
+    // frozen evaluation (a lazy frame could be recomputed between them)
+    val embPath = s"$tmp/embedded"
+    ImageOps.withImageEmbedding(deduped)
       .select(col("row_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
-      .cache()
+      .write.parquet(embPath)
+    val embedded = spark.read.parquet(embPath)
 
     // 4. ANN: LSH-bucketed store; probing with row 1's own embedding must
     //    return row 1 at rank 1 (cosine ~1 beats every other gradient)

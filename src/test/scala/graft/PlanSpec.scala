@@ -126,6 +126,28 @@ class PlanSpec extends SparkSpec {
       s"bytes must be pruned from every scan: $readSchemas")
   }
 
+  test("bucketed store: co-located FK anti-join runs with NO shuffle on either side") {
+    import graft.sources.BucketedStore
+    import spark.implicits._
+    val fact = (1L to 5000L).map(i => (i, i % 400)).toDF("id", "k")
+    val dim = (0L until 300L).toDF("k") // keys 300..399 missing -> violations
+    BucketedStore.writeBucketed(fact, "graft_fact_b", "k", 8)
+    BucketedStore.writeBucketed(dim, "graft_dim_b", "k", 8)
+    try {
+      // MERGE hint forces the sort-merge path (suites run in parallel on one
+      // session — mutating the global broadcast threshold would race them)
+      val viols = spark.table("graft_fact_b").join(
+        spark.table("graft_dim_b").hint("merge"), Seq("k"), "left_anti")
+      val plan = executedPlan(viols)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(viols.count() == 5000L / 400 * 100) // keys 300..399
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_fact_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dim_b")
+    }
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
