@@ -96,7 +96,7 @@ object Ann {
 
   /** All signatures within Hamming distance `maxH` of `qSig` over `numBits`
     * bits — the multi-probe set. C(numBits, ≤maxH) values; keep maxH small. */
-  private[ann] def sigsWithin(qSig: Long, numBits: Int, maxH: Int): Seq[Long] =
+  private[graft] def sigsWithin(qSig: Long, numBits: Int, maxH: Int): Seq[Long] =
     (0 to maxH).flatMap { h =>
       (0 until numBits).combinations(h).map(_.foldLeft(qSig)((s, b) => s ^ (1L << b))).toSeq
     }
@@ -118,7 +118,14 @@ object Ann {
     require(prefixBits >= 1 && prefixBits <= numBits, "1 <= prefixBits <= numBits")
     val dim = df.select(size(vec.cast("array<double>"))).head().getInt(0)
     val planes = hyperplanes(numBits, dim, seed)
-    df.select(id.as("id"), vec.as("embedding"), lshSignature(vec, planes).as("sig"))
+    // geometry stamped into the sig column's metadata (persisted in the
+    // parquet footer): lets graft.exprs.HammingProbePruning rewrite ad-hoc
+    // `bit_count(sig ^ q) <= h` filters into partition-pruned probes
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.lsh.numBits", numBits.toLong)
+      .putLong("graft.lsh.prefixBits", prefixBits.toLong)
+      .build()
+    df.select(id.as("id"), vec.as("embedding"), lshSignature(vec, planes).as("sig", sigMeta))
       .withColumn("sig_prefix", shiftrightunsigned(col("sig"), numBits - prefixBits))
       .write
       .mode("overwrite")

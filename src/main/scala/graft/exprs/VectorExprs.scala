@@ -221,9 +221,10 @@ object VectorExprs {
 
 /** Config-time extension point: `--conf
   * spark.sql.extensions=graft.exprs.GraftExtensions` injects the native
-  * vector functions into every session of the cluster. */
+  * vector functions and the Hamming-probe partition-pruning optimizer rule
+  * into every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Seq(
       ("graft_dot", (args: Seq[Expression]) => VectorExprs.DotProduct(args(0), args(1))),
       ("graft_l2norm", (args: Seq[Expression]) => VectorExprs.L2Norm(args.head))
@@ -234,4 +235,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder
       ))
     }
+    ext.injectOptimizerRule(_ => graft.plans.HammingProbePruning)
+  }
 }
