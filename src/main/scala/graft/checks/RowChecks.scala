@@ -34,7 +34,7 @@ object RowChecks {
     map.foldLeft(fmt) { case (s, (k, v)) => s.replace(k, v) }
   }
 
-  private def quoted(c: Column): Column =
+  private[graft] def quoted(c: Column): Column =
     concat(lit("\""), coalesce(c.cast(StringType), lit("")), lit("\""))
 
   /** Render an ErrorSpec template to a message Column given per-placeholder

@@ -118,16 +118,21 @@ object VectorExprs {
     * expression stays codegen'd (the plane matrix rides along as a flat
     * referenced object). Bit i ⇔ dot(v, planes(i)) ≥ 0, identical math to
     * the composition. */
-  case class LshSignature(child: Expression, planes: Array[Array[Double]])
+  case class LshSignature(child: Expression, planes: Seq[Seq[Double]])
       extends UnaryExpression with ExpectsInputTypes {
 
     override def inputTypes = Seq(ArrayType(DoubleType))
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def prettyName: String = "graft_lsh_sig"
 
+    // planes held as Seq[Seq[Double]] so case-class equality/hashCode are
+    // STRUCTURAL — two semantically identical signature expressions compare
+    // equal, keeping canonicalization / common-subexpression elimination /
+    // exchange reuse alive (an Array param compares by reference identity);
+    // the eval path flattens once to a primitive array
     private val numBits = planes.length
-    private val dim = if (planes.isEmpty) 0 else planes(0).length
-    @transient private lazy val flat: Array[Double] = planes.flatten
+    private val dim = if (planes.isEmpty) 0 else planes.head.length
+    @transient private lazy val flat: Array[Double] = planes.flatten.toArray
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -180,7 +185,7 @@ object VectorExprs {
   /** Native codegen'd LSH signature column. */
   def lshSignatureNative(v: Column, planes: Seq[Seq[Double]]): Column =
     GraftBridge.column(
-      LshSignature(toExpr(v.cast("array<double>")), planes.map(_.toArray).toArray))
+      LshSignature(toExpr(v.cast("array<double>")), planes.map(_.toVector).toVector))
 
   // ---- Column API ----
 

@@ -130,42 +130,48 @@ object ImageChecks {
       ))
 
     val expectedCaption = expectedCaptionCol(col("image_id"))
+    // all messages rendered through the ONE message spec (ErrorSpec templates
+    // compiled to Catalyst concat by RowChecks.message) — the same path every
+    // RowChecks message takes, so a template change can never drift here
+    val rn = col("_rn").cast(StringType)
+    def msg(code: String, subs: (String, Column)*): Column =
+      graft.checks.RowChecks.message(code, (subs :+ ("row_number" -> rn)).toMap)
+    def typeFmtMsg(valueCol: Column, cn: Int, ftype: String): Column =
+      msg("type-or-format-error",
+        "value" -> graft.checks.RowChecks.quoted(valueCol),
+        "column_number" -> lit(cn.toString),
+        "field_type" -> lit(ftype),
+        "field_format" -> lit("default"))
     val entries = Seq(
       viol(
         !col("_decoded.ok"),
         "missing-geometry",
         None,
-        concat(lit("There is no geometry specified for row "), col("_rn").cast(StringType), lit("."))
+        msg("missing-geometry")
       ),
       viol(
         col("_decoded.ok") && col("_decoded.w") =!= col("w"),
         "type-or-format-error",
         Some(colIdx("w")),
-        concat(lit("The value \""), col("w").cast(StringType),
-          lit("\" in row "), col("_rn").cast(StringType),
-          lit(" and column 3 is not type integer and format default"))
+        typeFmtMsg(col("w"), colIdx("w"), "integer")
       ),
       viol(
         col("_decoded.ok") && col("_decoded.h") =!= col("h"),
         "type-or-format-error",
         Some(colIdx("h")),
-        concat(lit("The value \""), col("h").cast(StringType),
-          lit("\" in row "), col("_rn").cast(StringType),
-          lit(" and column 4 is not type integer and format default"))
+        typeFmtMsg(col("h"), colIdx("h"), "integer")
       ),
       viol(
         col("_decoded.ok") && col("_decoded.fmt") =!= col("fmt"),
         "type-or-format-error",
         Some(colIdx("fmt")),
-        concat(lit("The value \""), col("fmt"),
-          lit("\" in row "), col("_rn").cast(StringType),
-          lit(" and column 5 is not type string and format default"))
+        typeFmtMsg(col("fmt"), colIdx("fmt"), "string")
       ),
       viol(
         col("caption").isNull || col("caption") === "",
         "required-constraint",
         Some(colIdx("caption")),
-        concat(lit("Column 6 is a required field, but row "), col("_rn").cast(StringType), lit(" has no value"))
+        msg("required-constraint", "column_number" -> lit(colIdx("caption").toString))
       )
     ) ++ (if (checkCaption)
             Seq(
@@ -173,7 +179,7 @@ object ImageChecks {
                 col("caption").isNotNull && col("caption") =!= "" && col("caption") =!= expectedCaption,
                 "custom-constraint",
                 Some(colIdx("caption")),
-                concat(lit("Custom constraint \"caption-equality\" fails for row "), col("_rn").cast(StringType))
+                msg("custom-constraint", "constraint" -> lit("caption-equality"))
               )
             )
           else Nil)
@@ -199,17 +205,20 @@ object ImageChecks {
         lit(6).cast(IntegerType).as("column_number"),
         msg.as("message")
       ))
+    val rn = col("_rn").cast(StringType)
     val entries = Seq(
       viol(
         col("caption").isNull || col("caption") === "",
         "required-constraint",
-        concat(lit("Column 6 is a required field, but row "), col("_rn").cast(StringType), lit(" has no value"))
+        graft.checks.RowChecks.message("required-constraint",
+          Map("column_number" -> lit("6"), "row_number" -> rn))
       ),
       viol(
         col("caption").isNotNull && col("caption") =!= "" &&
           col("caption") =!= expectedCaptionCol(col("image_id")),
         "custom-constraint",
-        concat(lit("Custom constraint \"caption-equality\" fails for row "), col("_rn").cast(StringType))
+        graft.checks.RowChecks.message("custom-constraint",
+          Map("constraint" -> lit("caption-equality"), "row_number" -> rn))
       )
     )
     base

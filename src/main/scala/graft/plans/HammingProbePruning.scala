@@ -76,9 +76,19 @@ object HammingProbePruning extends Rule[LogicalPlan] {
         (sigAttr, qSig, h) <- probe
         if sigAttr.name == "sig" && h >= 0 && h <= MaxProbeHamming
         (numBits, prefixBits) <- sigGeometry(sigAttr)
-        prefixAttr <- child.output.collectFirst {
+        // attribution must be UNAMBIGUOUS: in a multi-relation plan (join /
+        // self-join of two stores) child.output can expose several sig /
+        // sig_prefix attributes, and pairing the probed sig with the OTHER
+        // store's partition column would silently drop valid rows. Rewrite
+        // only when exactly one of each exists and the probed sig IS it
+        // (exprId match — name equality alone is unsound).
+        sigAttrs = child.output.filter(_.name == "sig")
+        prefixAttrs = child.output.collect {
           case a: AttributeReference if a.name == "sig_prefix" => a
         }
+        if sigAttrs.size == 1 && sigAttrs.head.exprId == sigAttr.exprId &&
+          prefixAttrs.size == 1
+        prefixAttr = prefixAttrs.head
       } yield {
         // literals typed to the partition column (directory-name inference
         // usually yields IntegerType for small prefixes)
@@ -87,9 +97,14 @@ object HammingProbePruning extends Rule[LogicalPlan] {
           case org.apache.spark.sql.types.LongType    => Literal(p)
           case dt => Literal.create(p.toString, dt) // defensive; never hit for our stores
         }
+        // probe-prefix set = the Hamming ball of radius min(h, prefixBits)
+        // around the QUERY PREFIX over prefixBits bits — identical to
+        // enumerating all C(numBits, <=h) full signatures and projecting
+        // (any <=h flips touch <=h prefix bits), but C(prefixBits, <=h)
+        // instead of C(numBits, <=h) driver-side values (64-bit stores at
+        // h=4 would otherwise enumerate ~680k combinations per filter).
         val prefixes = Ann
-          .sigsWithin(qSig, numBits, h)
-          .map(_ >>> (numBits - prefixBits))
+          .sigsWithin(qSig >>> (numBits - prefixBits), prefixBits, math.min(h, prefixBits))
           .distinct
           .map(lit)
         Filter(And(In(prefixAttr, prefixes), cond), child)

@@ -40,9 +40,13 @@ object TableSource {
     ext match {
       case "csv" | "parquet" | "json" | "geojson" => Right(ext)
       // reference DEFAULT_SUPPORTED_FORMATS (settings.py:6) includes both
-      // Excel extensions; both route to the xlsx reader — a real BIFF (.xls)
-      // payload fails there with the reference's "Could not read your Excel
-      // file" format-error, matching pandas' behaviour on a broken workbook.
+      // Excel extensions and reads BIFF via pandas/xlrd; this engine
+      // deliberately DESCOPES the BIFF parser: both extensions route to the
+      // OOXML reader, which sniffs the OLE2 magic (D0 CF 11 E0) and fails
+      // closed with an explicit "Legacy BIFF (.xls) workbooks are not
+      // supported" format-error for a valid legacy workbook (parity gap
+      // documented in README; broken payloads get the reference's generic
+      // "Could not read your Excel file" error as before).
       case "xlsx" | "xls"                         => Right("xlsx")
       case other                                  => Left(FormatError(s"Unknown format '$other'"))
     }

@@ -80,6 +80,17 @@ object XlsxSource {
     val formatErr = FormatError(
       s"Could not read your Excel file. Are you sure your specified format ($extension) is correct?"
     )
+    // legacy BIFF (.xls) sniff: OLE2 compound-document magic D0 CF 11 E0.
+    // The reference reads BIFF via pandas/xlrd (settings.py:6 lists xls);
+    // this engine deliberately descopes the BIFF parser — a VALID legacy
+    // workbook fails closed with an explicit unsupported-format message
+    // instead of the generic broken-payload error (see README descope note).
+    if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+        (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
+      return Left(FormatError(
+        "Could not read your Excel file. Legacy BIFF (.xls) workbooks are not supported — please re-save as .xlsx."
+      ))
     val entries =
       try readZip(bytes)
       catch { case _: Exception => return Left(formatErr) }
@@ -227,7 +238,10 @@ object XlsxSource {
       if (curRow != null && cellCol >= 0) {
         val raw = text.toString
         val v = cellType match {
-          case "s"         => shared.lift(raw.trim.toInt).orNull
+          // a shared-string cell with no <v> payload (`<c t="s"/>`, emitted
+          // by some producers for blank cells) is a BLANK cell, not a broken
+          // workbook — only a non-empty index dereferences the shared table
+          case "s"         => if (raw.trim.isEmpty) null else shared.lift(raw.trim.toInt).orNull
           case "b"         => if (raw.trim == "1") "true" else "false"
           case _           => raw // n (default), str, inlineStr, e
         }

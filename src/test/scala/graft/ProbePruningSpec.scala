@@ -72,4 +72,39 @@ class ProbePruningSpec extends SparkSpec {
       assert("sig_prefix#\\d+ IN".r.findAllIn(opt).isEmpty, opt.take(400))
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("multi-relation plans: rule bails when sig/sig_prefix attribution is ambiguous") {
+    // a self-join exposes TWO sig and TWO sig_prefix attributes below the
+    // filter; pairing the probed sig with the wrong store's partition column
+    // would silently drop rows — the rule must not rewrite such a plan
+    val path = Files.createTempDirectory("graft_prune3").toString + "/store"
+    Ann.writeLshBucketed(vecs(50), col("embedding"), col("vec_id"), path,
+      numBits = 8, prefixBits = 4)
+    val store = spark.read.parquet(path)
+    val a = store.as("a")
+    val b = store.as("b")
+    val joined = a.join(b, col("a.id") === col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(lit(3L))) <= 1)
+    // apply the rule DIRECTLY to the analyzed plan (filter still above the
+    // join, both relations' outputs visible) — must be a no-op
+    val analyzed = joined.queryExecution.analyzed
+    val rewritten = graft.plans.HammingProbePruning(analyzed)
+    assert(rewritten.toString == analyzed.toString,
+      s"ambiguous multi-relation plan must not be rewritten:\n${rewritten.toString.take(400)}")
+  }
+
+  test("prefix ball == projected full-signature ball (the cheap computation is exact)") {
+    for {
+      numBits <- Seq(8, 16, 24)
+      prefixBits <- Seq(2, 4, numBits)
+      h <- 0 to 3
+      qSig <- Seq(0L, 0x5aL, (1L << numBits) - 1)
+    } {
+      val projected = Ann.sigsWithin(qSig, numBits, h)
+        .map(_ >>> (numBits - prefixBits)).distinct.toSet
+      val direct = Ann.sigsWithin(
+        qSig >>> (numBits - prefixBits), prefixBits, math.min(h, prefixBits)).toSet
+      assert(direct == projected, s"numBits=$numBits prefixBits=$prefixBits h=$h q=$qSig")
+    }
+  }
 }

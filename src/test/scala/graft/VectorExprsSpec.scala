@@ -99,4 +99,20 @@ class VectorExprsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.exprs.GraftExtensions().apply(ext) // builders shared with register()
   }
+
+  test("LshSignature: structural equality (canonicalization / CSE / exchange reuse)") {
+    // planes held as Seq — two independently-built but semantically identical
+    // expressions must compare equal (an Array param compares by reference,
+    // which silently defeats common-subexpression elimination)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def planes() = Seq(Seq(1.0, -2.0, 3.0), Seq(-0.5, 0.25, 4.0))
+    val child = Literal.create(Seq(1.0, 2.0, 3.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val e1 = VectorExprs.LshSignature(child, planes())
+    val e2 = VectorExprs.LshSignature(child, planes())
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    // and the math is unchanged
+    assert(e1.eval(null) == e2.eval(null))
+  }
 }

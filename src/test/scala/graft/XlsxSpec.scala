@@ -143,4 +143,53 @@ class XlsxSpec extends SparkSpec {
     assert(status == "error")
     assert(report.tables.isEmpty)
   }
+
+  test("legacy BIFF (.xls) payload sniffed by OLE2 magic → explicit unsupported message") {
+    // OLE2 compound-document magic D0 CF 11 E0 — what a REAL legacy .xls
+    // starts with (the reference reads these via pandas/xlrd, settings.py:6;
+    // the engine descopes BIFF and must fail closed with a CLEAR message,
+    // not the generic broken-payload error)
+    val path = tmp("legacy.xls")
+    val ole2 = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte) ++
+      Array.fill[Byte](512)(0)
+    Files.write(java.nio.file.Paths.get(path), ole2)
+    XlsxSource.readXlsx(spark, path) match {
+      case Left(e: TableSource.FormatError) =>
+        assert(e.message ==
+          "Could not read your Excel file. Legacy BIFF (.xls) workbooks are not supported — please re-save as .xlsx.")
+      case other => fail(s"expected BIFF format-error, got $other")
+    }
+  }
+
+  test("shared-string cell with no <v> payload is a BLANK cell, not a broken workbook") {
+    // some producers emit <c t="s"/> for blank cells; "".toInt used to throw
+    // and the outer catch converted the WHOLE workbook into a format error
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, content) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    val bytes = zip(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""",
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>ha</t></si><si><t>hb</t></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2" t="s"/><c r="B2" t="s"><v>0</v></c></row>
+          |</sheetData></worksheet>""".stripMargin
+    )
+    val table = XlsxSource.readXlsxBytes(spark, bytes).fold(e => fail(e.message), identity)
+    assert(table.headers == Seq("ha", "hb"))
+    val r = table.df.orderBy("_row_number").collect()(0)
+    assert(r.getString(0) == null, "empty shared-string cell must read as blank")
+    assert(r.getString(1) == "ha")
+  }
 }
