@@ -58,6 +58,28 @@ object SparkEntry {
     emb.unionAll(copies)
   }
 
+  /** embeddings + 7 planted 0.5-scaled copies of EACH of vecs 0,1,2 (copy id
+    * = 30000 + v*100 + i) — the kNN-JOIN fixture: for each query v ∈ {0,1,2}
+    * the true top-8 is {v} ∪ its 7 copies (cosine ≈ 1 vs ≤ ~0.52 for
+    * everything else), all sharing v's full LSH signature structurally. */
+  private[graft] def knnPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = s.range(7).crossJoin(emb.filter(col("vec_id") <= 2))
+      .select((col("vec_id") * 100 + col("id") + 30000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))").as("embedding"))
+    emb.unionAll(copies)
+  }
+
+  /** the kNN-join fixture materialized ONCE as an LSH-bucketed store. */
+  private[graft] def knnStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = new java.io.File(s"target/knncache/planted_$name").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Ann.writeLshBucketed(knnPlanted(s, dir), col("embedding"), col("vec_id"),
+        path, numBits = 8, prefixBits = 4)
+    path
+  }
+
   /** the planted embeddings table materialized ONCE as an IVF store (parquet
     * partitioned by spherical-k-means cell) — probes read only the nprobe
     * nearest cells' directories. */
@@ -276,8 +298,28 @@ object SparkEntry {
         .orderBy("id")),
     "q24_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id")).orderBy("id")),
-    "q25_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"), col("text"), col("doc_id")).orderBy("id")),
+    // simhash is a token-MULTISET signature (order-invariant), so a copy
+    // with REVERSED word order has an identical 64-bit signature but
+    // different text — the near-dup regime simhash dedup exists for, and one
+    // exact dedup (q24) provably misses. Each doc gets three unique trailing
+    // salt tokens so the corpus's natural near-dup collisions (which no SQL
+    // can derive — they live in the hash family's vote tallies) are
+    // perturbed away; a permuted COPY shares its original's full multiset,
+    // salt included, so the planted pairs collide structurally at any salt.
+    // Residual natural collisions are a deterministic data property,
+    // verified zero at the driver's verify SF — the expected groups are then
+    // EXACTLY the planted (original, reversed-copy) pairs (the q39 planting
+    // technique applied to simhash).
+    "q25_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" uqA"), col("doc_id"),
+          lit(" uqB"), col("doc_id"),
+          lit(" uqC"), col("doc_id")).as("text"))
+      val copies = docs.select((col("doc_id") + 10000).as("doc_id"),
+        array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text"))
+      Dedup.simhash(docs.unionAll(copies), col("text"), col("doc_id")).orderBy("id")
+    }),
     // jaccard emitted UNROUNDED: both sides compute intersection/union as an
     // exact-int double division — identical IEEE result; rounding would
     // reintroduce half-even-vs-half-up divergence
@@ -342,6 +384,21 @@ object SparkEntry {
       Ann.ivfTopK(s, ivfStore(s, dir), q, 20, nprobe = 2)
         .select(col("id"))
         .orderBy("id")
+    }),
+    // batch kNN JOIN — per-query top-k for a whole query DataFrame against
+    // the bucketed store via a signature equi-join (no driver-side vector):
+    // queries = vecs 0,1,2; each query's true top-8 is itself + its 7
+    // planted 0.5-scaled copies, which share its FULL signature
+    // (sign-invariance), so the banded join loses nothing and the ORACLE is
+    // the exact brute-force per-query top-8 in SQL. (ID set per query
+    // compared, not ranks: within the planted set cosines tie at ~1.)
+    "q44_knn_join" -> ((s, dir) => {
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") <= 2)
+      val store = s.read.parquet(knnStore(s, dir))
+      Ann.knnJoin(queries, col("embedding"), col("vec_id"), store,
+          k = 8, numBits = 8, probeHamming = 1)
+        .select(col("qid"), col("id"))
+        .orderBy("qid", "id")
     }),
     // LSH-bucketed near-dup dedup in the regime LSH is FOR (cosine ≈ 1):
     // deterministic 0.5-scaled copies of every vector are planted (vec_id +
@@ -709,6 +766,49 @@ object SparkEntry {
     // the 0.99 threshold)
     "q39_embed_dup_lsh" ->
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings ORDER BY id_a""".stripMargin,
+    // simhash collisions == the planted reversed-token copies (identical
+    // token multiset ⇒ identical signature; the per-doc salt token makes
+    // natural near-dup collisions structurally impossible on this data)
+    "q25_dedup_simhash" ->
+      """SELECT doc_id + 10000 AS id, doc_id AS kept_id FROM documents ORDER BY id""".stripMargin,
+    // the injected violations are a pure function of row_id (SyntheticImages
+    // plants at id % 100 == 7, cycling (id/100) % 7 through wrong-w / wrong-h
+    // / wrong-fmt / truncated-bytes / empty-caption / mutated-caption /
+    // duplicate-image_id), so the expected per-code counts are SQL-derivable
+    // from row_id alone — no byte decode needed on the oracle side (the q41
+    // technique applied to the whole image-check family). Case 6's duplicate
+    // image_id makes the caption disagree with the captioner re-derived from
+    // image_id, hence custom-constraint.
+    "q32_image_validation" ->
+      """WITH v AS (
+        |  SELECT CAST(((row_id - 1) // 100) % 7 AS INT) AS c
+        |  FROM read_parquet('__IMGDIR__/*.parquet')
+        |  WHERE (row_id - 1) % 100 = 7
+        |)
+        |SELECT code, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN c IN (0, 1, 2) THEN 'type-or-format-error'
+        |              WHEN c = 3 THEN 'missing-geometry'
+        |              WHEN c = 4 THEN 'required-constraint'
+        |              ELSE 'custom-constraint' END AS code
+        |  FROM v
+        |) GROUP BY code ORDER BY code""".stripMargin,
+    // exact brute-force per-query top-8 over the same planted store content
+    // (copies re-derived in SQL — x*0.5 is float-exact): identical
+    // (qid, id) set, i.e. the signature join loses nothing
+    "q44_knn_join" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 30000 + e.vec_id * 100 + t.i AS vec_id,
+        |         list_transform(e.embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        |  FROM embeddings e, range(7) t(i) WHERE e.vec_id <= 2
+        |), q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 2)
+        |SELECT qid, id FROM (
+        |  SELECT q.qid, a.vec_id AS id,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(a.embedding, q.qe) DESC, a.vec_id) AS rk
+        |  FROM aug a CROSS JOIN q
+        |) WHERE rk <= 8 ORDER BY qid, id""".stripMargin,
     // image-family oracles read the SAME parquet files the engine reads —
     // Verify substitutes __IMGDIR__ with the materialized table's path
     "q33_image_unique_id" ->
@@ -798,13 +898,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
         |) ORDER BY row_number, code""".stripMargin
-    // Still rows-only, each genuinely not ANSI-SQL-expressible:
-    //  q25: simhash collision groups are a property of the engine's 64-bit
-    //       hash family (FNV-1a token votes) — the 2 groups on this data are
-    //       true near-dups, NOT token-multiset-equal, so no SQL key exists;
-    //  q32: requires binary image DECODE (PNG/JPEG codecs) per row — the
-    //       SQL-expressible caption subset IS oracle-checked as q41;
+    // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
+    //       (q25 and q32 gained exact oracles in r3 via deterministic
+    //       planting / injection arithmetic — see their entries above.)
   )
 }

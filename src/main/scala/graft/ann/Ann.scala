@@ -167,6 +167,65 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: top-k store neighbors for EVERY row of a query
+    * DataFrame — the training-data-pipeline shape ("top-k for each of 10M
+    * query rows"), where the single-vector probes ([[lshTopKStored]],
+    * [[ivfTopK]]) don't apply because there is no driver-side query vector.
+    *
+    * Plan shape (never a driver loop, never a cross join):
+    *  1. query side: one codegen'd LSH signature per row, exploded into the
+    *     C(numBits, ≤probeHamming) probe signatures (a row-local expansion
+    *     of a few longs — the multi-probe trick trades a small fan-out for
+    *     recall, exactly like the single-vector probe's prefix set);
+    *  2. equi-join on `sig` against the store — an 8-byte join key. With a
+    *     small query batch AQE broadcasts the probe side (store is never
+    *     shuffled); at 10M+ queries both sides exchange on `sig`, each
+    *     store vector crossing the wire once per matching probe;
+    *  3. cosine on the surviving candidates (native codegen'd kernels);
+    *  4. per-query top-k via a window over (qid) — the window input is only
+    *     (qid, id, cosine), 24 B per CANDIDATE, not per store row.
+    * A (query, candidate) pair can match at most one probe signature (a
+    * store row has ONE sig), so no candidate dedup is needed.
+    *
+    * Recall follows the store's LSH geometry: guaranteed for candidates
+    * sharing the query's signature (e.g. scaled duplicates — sign-invariant),
+    * probabilistic beyond, tunable via numBits/probeHamming.
+    *
+    * Output: (qid, id, cosine, rank), rank 1..k per qid.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      qvec: Column,
+      qid: Column,
+      store: DataFrame,
+      k: Int,
+      numBits: Int = 8,
+      probeHamming: Int = 1,
+      seed: Long = 42L
+  ): DataFrame = {
+    val dim = queries.select(size(qvec.cast("array<double>"))).head().getInt(0)
+    val planes = hyperplanes(numBits, dim, seed)
+    val nb = numBits; val ph = probeHamming
+    val probesUdf = udf((sig: Long) => sigsWithin(sig, nb, ph).toArray)
+    val qside = queries
+      .select(qid.as("qid"), qvec.cast("array<double>").as("_qv"))
+      .withColumn("_qn", l2norm(col("_qv")))
+      .filter(col("_qn") > 0.0)
+      .withColumn("sig", explode(probesUdf(lshSignature(col("_qv"), planes))))
+    val cand = qside
+      .join(store.select(col("id"), col("embedding"), col("sig")), Seq("sig"))
+      .select(
+        col("qid"), col("id"),
+        (dot(col("embedding"), col("_qv")) / (l2norm(col("embedding")) * col("_qn"))).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    cand
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("_rk").as("rank"))
+  }
+
   // --------------------------------------------------------------------
   // IVF (inverted-file) coarse quantizer — the other classic ANN scale
   // path: spherical k-means partitions the vector space into k cells, the

@@ -106,4 +106,39 @@ class AnnStoreSpec extends SparkSpec {
       .toSeq
     assert(pairs == (0 until 40).map(i => (i.toLong, i + 1000L)))
   }
+
+  test("knnJoin: per-query top-k via signature join == exact brute force on planted data") {
+    // store: 60 hash-random base vectors + 4 scaled copies of each of the
+    // first 3 (copies share the original's FULL signature — sign-invariant),
+    // queries = the 3 originals; true top-5 per query = {original} ∪ copies
+    val base = Ann.hyperplanes(60, 16, seed = 11).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val copies = base.filter(col("vec_id") < 3)
+      .crossJoin(spark.range(4).withColumnRenamed("id", "c"))
+      .select((col("vec_id") * 10 + col("c") + 1000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))").as("embedding"))
+    val path = Files.createTempDirectory("graft_knn").toString + "/store"
+    Ann.writeLshBucketed(base.unionAll(copies), col("embedding"), col("vec_id"), path,
+      numBits = 8, prefixBits = 4)
+    val store = spark.read.parquet(path)
+    val queries = base.filter(col("vec_id") < 3)
+
+    val got = Ann.knnJoin(queries, col("embedding"), col("vec_id"), store,
+        k = 5, numBits = 8, probeHamming = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // exact per-query brute force over the same content
+    val all = base.unionAll(copies)
+    val exact = (0L until 3L).flatMap { q =>
+      val qv = queries.filter(col("vec_id") === q).head().getSeq[Float](1).map(_.toDouble)
+      Ann.bruteForceTopK(all, col("embedding"), col("vec_id"), qv, 5)
+        .collect().map(r => (q, r.getLong(0)))
+    }.sorted
+    assert(got == exact)
+    // rank column is 1..k per query
+    val ranks = Ann.knnJoin(queries, col("embedding"), col("vec_id"), store, k = 5)
+      .groupBy("qid").agg(collect_list("rank").as("rks")).collect()
+    ranks.foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 5)))
+  }
 }
