@@ -86,14 +86,28 @@ object Main {
       case Some(lineageDir) =>
         val key = col(a.getOrElse("key", rowCol))
         val runId = a.getOrElse("run-id", java.util.UUID.randomUUID().toString)
-        val res = Lineage.runResumable(
-          df, schema, cfg, key,
-          numPartitions = a.getOrElse("partitions", "64").toInt,
-          batchSize = a.getOrElse("batch", "16").toInt,
-          lineageDir = lineageDir,
-          runId = runId,
-          violationsDir = a.get("violations")
-        )
+        // an ingestPartitioned table (physical _pid directories + persisted
+        // bucket count) takes the PARTITION-PRUNED resume path: each batch
+        // reads only its own buckets' files instead of re-scanning the table
+        val stored = new java.io.File(input, "_graft_num_partitions.txt").exists()
+        val res =
+          if (stored)
+            Lineage.runResumableStored(
+              spark, input, schema, cfg,
+              batchSize = a.getOrElse("batch", "16").toInt,
+              lineageDir = lineageDir,
+              runId = runId,
+              violationsDir = a.get("violations")
+            )
+          else
+            Lineage.runResumable(
+              df, schema, cfg, key,
+              numPartitions = a.getOrElse("partitions", "64").toInt,
+              batchSize = a.getOrElse("batch", "16").toInt,
+              lineageDir = lineageDir,
+              runId = runId,
+              violationsDir = a.get("violations")
+            )
         println(
           s"""{"run_id":"$runId","partitions":${res.verdicts.size},"resumed":${res.resumedPartitions.size},"violations":${res.totalViolations},"valid":${res.valid}}"""
         )

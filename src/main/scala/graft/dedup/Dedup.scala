@@ -111,8 +111,14 @@ object Dedup {
     *     recall silently): their members are re-bucketed with the band
     *     prefix EXTENDED by the following band's hash — i.e. candidates in
     *     hot regions must agree on two bands instead of one. That narrows
-    *     (never widens) the probabilistic candidate set only where the data
-    *     is pathological, deterministically;
+    *     the candidate set only where the data is pathological and only
+    *     deterministically, but it IS a recall trade: a true pair whose
+    *     only agreeing band was hot is dropped (hammingPairs' interleaved
+    *     sub-banding has no such loss — its pigeonhole bound survives any
+    *     re-partition of the bits; no analogous exact split exists for
+    *     minhash bands, whose guarantee is probabilistic per band). The
+    *     rows taking this path are surfaced as the `graft.minhash.hot`
+    *     observation so the trade is never silent;
     *  4. candidates verified with exact Jaccard on the shingle sets, then
     *     expanded back through membership (members carry identical sets, so
     *     the representative's jaccard IS the members' jaccard). */
@@ -172,8 +178,18 @@ object Dedup {
 
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
-    // 3. hot buckets: extend the prefix with the following band's hash
+    // 3. hot buckets: extend the prefix with the following band's hash.
+    // RECALL TRADE (unlike hammingPairs, whose interleaved sub-banding is
+    // provably exact at any maxBucket): a hot-region candidate must agree on
+    // TWO consecutive bands instead of one, so a true pair whose ONLY
+    // agreeing band was hot is dropped. The trade is deterministic and
+    // bounded to pathological regions, but it is a cap — so it is never
+    // silent: the rows routed through prefix-extension surface as the named
+    // observation `graft.minhash.hot` (observedMetrics key `hot_rows`,
+    // readable from any QueryExecutionListener); 0 means the fast path was
+    // exact, > 0 means the two-band narrowing was live.
     val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
+      .observe("graft.minhash.hot", count(lit(1)).as("hot_rows"))
 
     def pairsOf(bk: DataFrame, keys: Seq[String]): DataFrame =
       bk.select((keys.map(col) ++ Seq(col("_shkey").as("_ka"), col("_id").as("id_a"))): _*)

@@ -65,13 +65,15 @@ object Lineage {
     def totalViolations: Long = verdicts.map(_.violation_count).sum
   }
 
-  /** Resumable validation run.
+  /** Resumable validation run over an ARBITRARY DataFrame.
     *
-    * Execution shape per batch (the `_pid` filter does NOT prune the scan —
-    * it is a computed column, so every batch re-reads the table; choose
-    * `batchSize = numPartitions` (one batch) unless you need finer crash
-    * granularity, and at real scale key the buckets off a PHYSICAL partition
-    * column so the filter prunes):
+    * Execution shape per batch (here the `_pid` filter does NOT prune the
+    * scan — it is a computed column, so every batch re-reads the table;
+    * choose `batchSize = numPartitions` (one batch) unless you need finer
+    * crash granularity). At real scale, ingest once with
+    * [[ingestPartitioned]] and resume with [[runResumableStored]]: `_pid`
+    * is then a PHYSICAL partition column and every batch filter prunes at
+    * the file listing (PartitionFilters), reading only its own buckets.
     *  1. the checks plan runs ONCE — its violations go straight to the sink
     *     (when `violationsDir` is set) or straight into one bounded
     *     per-partition aggregation (when not). No persist, no second run of
@@ -105,10 +107,65 @@ object Lineage {
       runId: String,
       violationsDir: Option[String] = None
   ): ResumableResult = {
-    val spark = df.sparkSession
+    val withPid = df.withColumn("_pid", stablePartitionId(key, numPartitions))
+    runBatches(withPid, schema, cfg, numPartitions, batchSize, lineageDir, runId, violationsDir)
+  }
+
+  private def numPartitionsFile(path: String) = new java.io.File(path, "_graft_num_partitions.txt")
+
+  /** Ingest `df` as a parquet table PHYSICALLY PARTITIONED by the stable
+    * bucket id (directory per `_pid`) — the scale path for resumable runs:
+    * [[runResumableStored]] batch filters then hit PartitionFilters, so a
+    * resume reads ONLY the pending buckets' files instead of re-scanning the
+    * whole table per batch (the honest cost [[runResumable]]'s scaladoc
+    * documents for computed `_pid`). One shuffle-free write pass; the bucket
+    * count is persisted next to the data (underscore file — invisible to the
+    * parquet reader). */
+  def ingestPartitioned(df: DataFrame, key: Column, numPartitions: Int, path: String): Unit = {
+    df.withColumn("_pid", stablePartitionId(key, numPartitions))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("_pid")
+      .parquet(path)
+    java.nio.file.Files.writeString(numPartitionsFile(path).toPath, numPartitions.toString)
+  }
+
+  def storedNumPartitions(path: String): Int =
+    java.nio.file.Files.readString(numPartitionsFile(path).toPath).trim.toInt
+
+  /** Resumable validation over an [[ingestPartitioned]] table: identical
+    * semantics to [[runResumable]], but `_pid` is a PHYSICAL partition
+    * column, so each batch's `isin` filter prunes at the file listing —
+    * the batch scan reads only its own buckets' directories. */
+  def runResumableStored(
+      spark: SparkSession,
+      path: String,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      batchSize: Int,
+      lineageDir: String,
+      runId: String,
+      violationsDir: Option[String] = None
+  ): ResumableResult = {
+    val numPartitions = storedNumPartitions(path)
+    runBatches(spark.read.parquet(path), schema, cfg, numPartitions, batchSize, lineageDir, runId, violationsDir)
+  }
+
+  /** Shared batch loop: `withPid` must carry an int `_pid` bucket column
+    * (computed for [[runResumable]], physical for [[runResumableStored]]). */
+  private def runBatches(
+      withPid: DataFrame,
+      schema: TableSchema,
+      cfg: ValidationConfig,
+      numPartitions: Int,
+      batchSize: Int,
+      lineageDir: String,
+      runId: String,
+      violationsDir: Option[String]
+  ): ResumableResult = {
+    val spark = withPid.sparkSession
     val done = completedPartitions(spark, lineageDir, runId)
     val pending = (0 until numPartitions).filterNot(done.contains)
-    val withPid = df.withColumn("_pid", stablePartitionId(key, numPartitions))
     val cfgPid = cfg.copy(partitionIdCol = Some("_pid"))
 
     val verdicts = Seq.newBuilder[Verdict]

@@ -286,9 +286,23 @@ object ValidationRunner {
     // misleading-uniqueness filter (jobs.py:174-176, 545-569): if a PK column
     // also has required-constraint errors, unique-constraint errors are noise
     val pkCols = schema.primaryKey.flatMap(n => Option(result.headers.indexOf(n) + 1).filter(_ > 0))
-    val pkHasRequiredErrors = collected.exists(v =>
-      v.code == "required-constraint" && v.columnNumber.exists(pkCols.contains)
-    )
+    val pkHasRequiredErrors = {
+      val inCollected = collected.exists(v =>
+        v.code == "required-constraint" && v.columnNumber.exists(pkCols.contains))
+      // the per-code cap can hide the PK required error that should suppress
+      // unique-constraint noise (>cap required errors, none on the PK column
+      // within the capped prefix). Only in that saturated case, probe the
+      // UNCAPPED violation stream with a limit-1 existence check — the flag
+      // is then computed from full evidence, never from a truncated sample.
+      def capSaturated = cfg.options.errorLimitPerCode.exists(cap =>
+        collected.count(_.code == "required-constraint") >= cap)
+      if (inCollected) true
+      else if (pkCols.nonEmpty && collected.exists(_.code == "unique-constraint") && capSaturated)
+        !result.violations
+          .filter(col("code") === "required-constraint" && col("column_number").isin(pkCols: _*))
+          .isEmpty
+      else false
+    }
     val filtered =
       if (pkHasRequiredErrors) collected.filterNot(_.code == "unique-constraint")
       else collected

@@ -113,6 +113,53 @@ class LineageSpec extends SparkSpec {
     assert(spark.read.parquet(violDir).filter(col("run_id") === "run1").count() == 20)
   }
 
+  test("ingestPartitioned + runResumableStored: batch scans are PARTITION-PRUNED to the batch's buckets") {
+    val base = tmp()
+    val tableDir = base + "/table"
+    val df = (1L to 400L).map(i => (i, if (i % 40 == 0) "" else s"v$i")).toDF("_rid", "a")
+    Lineage.ingestPartitioned(df, col("_rid"), numPartitions = 8, tableDir)
+    assert(Lineage.storedNumPartitions(tableDir) == 8)
+
+    // the physical layout: one directory per bucket, and a batch filter
+    // lists ONLY the batch's files — the resume-path promise runResumable's
+    // computed _pid cannot keep
+    val stored = spark.read.parquet(tableDir)
+    val batchScan = stored.filter(col("_pid").isin(0, 3))
+    val plan = batchScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && "_pid#\\d+ IN \\(0,3\\)".r.findFirstIn(plan).isDefined,
+      s"batch filter must be a partition filter:\n${plan.take(600)}")
+    batchScan.collect()
+    val scan = batchScan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val scannedFiles = scan.metrics("numFiles").value
+    val batchFilesOnDisk = Seq(0, 3).map { p =>
+      new java.io.File(tableDir, s"_pid=$p").listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+    val allFilesOnDisk = (0 until 8).map { p =>
+      new java.io.File(tableDir, s"_pid=$p").listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(scannedFiles == batchFilesOnDisk && batchFilesOnDisk < allFilesOnDisk,
+      s"batch scan must read only the batch's files: read $scannedFiles, batch has $batchFilesOnDisk of $allFilesOnDisk")
+
+    // end-to-end: stored resume produces the same verdicts as the computed-
+    // _pid path on the same data
+    val schema = TableSchema(Seq(Field("a", constraints = fc.copy(required = true))))
+    val cfg = ValidationConfig(rowNumberCol = "_rid", options = ValidationOptions(checks = Seq("schema")))
+    val storedRes = Lineage.runResumableStored(spark, tableDir, schema, cfg,
+      batchSize = 3, base + "/lineage_stored", "run1")
+    val computedRes = Lineage.runResumable(df, schema, cfg, col("_rid"), 8, 3, base + "/lineage_computed", "run1")
+    def norm(r: Lineage.ResumableResult) =
+      r.verdicts.map(v => (v.partition_id, v.row_count, v.violation_count, v.valid)).sortBy(_._1)
+    assert(norm(storedRes) == norm(computedRes))
+    assert(storedRes.totalViolations == 10)
+
+    // resume skips committed buckets and still prunes
+    val resumed = Lineage.runResumableStored(spark, tableDir, schema, cfg,
+      batchSize = 8, base + "/lineage_stored", "run1")
+    assert(resumed.verdicts.isEmpty && resumed.resumedPartitions == (0 until 8).toSet)
+  }
+
   test("per-partition row-count scan is column-pruned to the bucket key") {
     val df = (1L to 100L).map(i => (i, s"v$i", i * 2.0)).toDF("_rid", "a", "b")
     val tmpDir = tmp() + "/t"

@@ -140,6 +140,63 @@ class TextDedupSpec extends SparkSpec {
     assert(run(1) == full) // every bucket "hot": prefix extension, not drop
   }
 
+  test("minHashPairs hot path: two-band narrowing documented + surfaced via graft.minhash.hot") {
+    // DISTINCT near-dup variants of one base text (distinct shingle sets, so
+    // the identical-set collapse does NOT absorb them): maxBucket=1 forces
+    // every bucket through the prefix-extension path, where candidates must
+    // agree on two CONSECUTIVE bands instead of one. This pins the exact
+    // recall trade the scaladoc documents — pairs with an agreeing band but
+    // no two consecutive agreeing bands are dropped under the hot regime —
+    // and checks the "no silent caps" beacon fires.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val variants = (0 until 12).map(i => (i.toLong + 1, s"$base extra$i tail$i"))
+    val df = variants.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup
+      .minHashPairs(df, col("text"), col("doc_id"), threshold = 0.3, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // expected agreement structure from the engine's own banding math
+    val bands = 8; val rows = 32 / bands
+    val sigs = df.select(col("doc_id"),
+        Dedup.minhashSignature(TextOps.wordShingleHashes(col("text"), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bandHashes(id: Long): Seq[Seq[Long]] = (0 until bands).map(b => sigs(id).slice(b * rows, (b + 1) * rows))
+    def agreeing(a: Long, b: Long): Seq[Int] =
+      (0 until bands).filter(i => bandHashes(a)(i) == bandHashes(b)(i))
+    val idPairs = for (a <- 1L to 12L; b <- (a + 1) to 12L) yield (a, b)
+    val oneBand = idPairs.filter(p => agreeing(p._1, p._2).nonEmpty)
+    val twoConsecutive = idPairs.filter { p =>
+      val ag = agreeing(p._1, p._2).toSet
+      ag.exists(i => ag.contains((i + 1) % bands))
+    }
+    assume(oneBand.nonEmpty, "fixture must produce banded candidates")
+
+    val full = run(1000)
+    val hot = run(1)
+    // full recall = one agreeing band (all variants pass the 0.3 jaccard
+    // verify — they share the long base shingle run)
+    assert(full == oneBand.sorted)
+    // hot regime = exactly the consecutive-two-band survivors: the
+    // documented narrowing, nothing more, nothing less
+    assert(hot == twoConsecutive.sorted)
+    assert(hot.toSet.subsetOf(full.toSet))
+
+    // the beacon: hot_rows > 0 whenever the narrowing was live
+    @volatile var hotRows: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.minhash.hot").foreach(row => hotRows = Some(row.getLong(0)))
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.minHashPairs(df, col("text"), col("doc_id"), threshold = 0.3, maxBucket = 1).collect()
+      val deadline = System.currentTimeMillis() + 15000
+      while (hotRows.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(hotRows.exists(_ > 0), s"hot-bucket observation must fire, got $hotRows")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("fingerprint is whitespace/case-insensitive-normalised and stable") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
     val f = df.select(col("id"), TextOps.fingerprint(col("t"))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

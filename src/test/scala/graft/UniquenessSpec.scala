@@ -97,4 +97,31 @@ class UniquenessSpec extends SparkSpec {
     assert(codes.contains("required-constraint"))
     assert(!codes.contains("unique-constraint"))
   }
+
+  test("misleading-uniqueness flag computed from UNCAPPED evidence when the per-code cap saturates") {
+    // the capped prefix (first 5 required errors by row_number) lands
+    // entirely on the non-PK column `a`; the PK required error sits at row
+    // 15, BEYOND the cap — the suppression decision must probe the uncapped
+    // stream, not the truncated sample
+    val rows =
+      (1L to 10L).map(i => (i, "", Some(s"k$i"))) ++            // required errors on a
+        Seq((15L, "x", None),                                    // PK required error (beyond cap)
+          (16L, "x", Some("dup")), (17L, "x", Some("dup")))      // PK duplicate → unique noise
+    val df = rows.toDF("_rid", "a", "k")
+    val schema = TableSchema(
+      Seq(
+        Field("a", constraints = fc.copy(required = true)),
+        Field("k", constraints = fc.copy(unique = true, required = true))
+      ),
+      primaryKey = Seq("k")
+    )
+    val cfg = ValidationConfig(rowNumberCol = "_rid",
+      options = ValidationOptions(errorLimitPerCode = Some(5)))
+    val (report, status) = ValidationRunner.run(df, schema, cfg)
+    assert(status == "failure")
+    val errs = report.tables.head.errors
+    assert(errs.count(_.code == "required-constraint") == 5) // cap honoured
+    assert(!errs.exists(_.code == "unique-constraint"),
+      "PK required error beyond the cap must still suppress unique-constraint noise")
+  }
 }
