@@ -45,6 +45,7 @@ object ScalingBench {
       val s = session(low)
       Bench.scaleThroughput(s, math.min(n / 10, 2000000L), low)
       Bench.embeddingThroughput(s, math.min(nEmb / 10, 200000L))
+      Bench.knnJoinThroughput(s, math.min(nEmb / 10, 200000L))
       s.stop()
     }
 
@@ -52,11 +53,12 @@ object ScalingBench {
     // standard capacity measure on a host with noisy-neighbor CPU steal
     // (observed 2.6x spread between repeats of the identical job)
     val times = collection.mutable.Map[(String, Int), List[Double]]().withDefaultValue(Nil)
-    val modes = Seq("rowchecks", "full", "salted", "embedding")
+    val modes = Seq("rowchecks", "full", "salted", "embedding", "knnjoin")
     for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- modes) {
       val s = session(cpus)
       val (_, sec, _) =
         if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
+        else if (mode == "knnjoin") Bench.knnJoinThroughput(s, nEmb)
         else Bench.scaleThroughput(s, n, cpus,
           withUniqueness = mode != "rowchecks",
           uniquenessSalts = if (mode == "salted") 16 else 0)
@@ -66,7 +68,7 @@ object ScalingBench {
     }
 
     val parts = modes.map { mode =>
-      val nm = if (mode == "embedding") nEmb else n
+      val nm = if (mode == "embedding" || mode == "knnjoin") nEmb else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min
       val eff = (tLow / tHigh) / (high.toDouble / low)
