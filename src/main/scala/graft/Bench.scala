@@ -41,6 +41,7 @@ object Bench {
       SparkEntry.lshStore(spark, sfDir)
       SparkEntry.ivfStore(spark, sfDir)
       SparkEntry.knnStore(spark, sfDir)
+      SparkEntry.knnIvfStore(spark, sfDir)
     } catch { case _: Throwable => () }
 
     // min-of-N with per-sample values: the sandbox host shows one-off
@@ -242,7 +243,9 @@ object Bench {
     val planes = Ann.hyperplanes(numBits, 16)
     val store = df.select(col("vec_id").as("id"), col("embedding"),
       Ann.lshSignature(col("embedding").cast("array<double>"), planes).as("sig"))
-    val queries = df.filter(col("vec_id") % 100 === 7 && (col("vec_id") / 100) % 2 === 1)
+    // NB: `/` on longs is DOUBLE division in Spark — use floor for the
+    // integer block index or the odd-block test silently matches nothing
+    val queries = df.filter(col("vec_id") % 100 === 7 && floor(col("vec_id") / 100) % 2 === 1)
     val t0 = System.nanoTime()
     val out = Ann
       .knnJoin(queries, col("embedding"), col("vec_id"), store,

@@ -80,6 +80,16 @@ object SparkEntry {
     path
   }
 
+  /** the same kNN-join fixture as an IVF store (cell-partitioned). */
+  private[graft] def knnIvfStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = new java.io.File(s"target/knnivfcache/planted_$name").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Ann.writeIvfBucketed(knnPlanted(s, dir), col("embedding"), col("vec_id"),
+        path, k = 10, iters = 5)
+    path
+  }
+
   /** the planted embeddings table materialized ONCE as an IVF store (parquet
     * partitioned by spherical-k-means cell) — probes read only the nprobe
     * nearest cells' directories. */
@@ -397,6 +407,19 @@ object SparkEntry {
       val store = s.read.parquet(knnStore(s, dir))
       Ann.knnJoin(queries, col("embedding"), col("vec_id"), store,
           k = 8, numBits = 8, probeHamming = 1)
+        .select(col("qid"), col("id"))
+        .orderBy("qid", "id")
+    }),
+    // the IVF sibling of q44: queries assigned to their nprobe nearest
+    // cells, cluster equi-join, per-query top-k. Recall is structural: a
+    // 0.5-scaled copy shares its original's DIRECTION, so it lives in the
+    // original's cell, and the query's own top-ranked cell IS that cell
+    // (same argmax over the same unit centroids) — nprobe ≥ 1 already
+    // retains all 8 truths; same exact brute-force oracle as q44.
+    "q45_knn_join_ivf" -> ((s, dir) => {
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") <= 2)
+      Ann.knnJoinIvf(s, queries, col("embedding"), col("vec_id"), knnIvfStore(s, dir),
+          k = 8, nprobe = 2)
         .select(col("qid"), col("id"))
         .orderBy("qid", "id")
     }),
@@ -796,6 +819,22 @@ object SparkEntry {
     // (copies re-derived in SQL — x*0.5 is float-exact): identical
     // (qid, id) set, i.e. the signature join loses nothing
     "q44_knn_join" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 30000 + e.vec_id * 100 + t.i AS vec_id,
+        |         list_transform(e.embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        |  FROM embeddings e, range(7) t(i) WHERE e.vec_id <= 2
+        |), q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 2)
+        |SELECT qid, id FROM (
+        |  SELECT q.qid, a.vec_id AS id,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(a.embedding, q.qe) DESC, a.vec_id) AS rk
+        |  FROM aug a CROSS JOIN q
+        |) WHERE rk <= 8 ORDER BY qid, id""".stripMargin,
+    // identical exact brute-force oracle — the IVF-joined probe must
+    // retrieve the same per-query top-8 set as the LSH-joined one
+    "q45_knn_join_ivf" ->
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL

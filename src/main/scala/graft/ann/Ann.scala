@@ -203,7 +203,9 @@ object Ann {
       probeHamming: Int = 1,
       seed: Long = 42L
   ): DataFrame = {
-    val dim = queries.select(size(qvec.cast("array<double>"))).head().getInt(0)
+    val dimRows = queries.select(size(qvec.cast("array<double>"))).head(1)
+    require(dimRows.nonEmpty, "knnJoin: empty query batch (cannot derive vector dimension)")
+    val dim = dimRows.head.getInt(0)
     val planes = hyperplanes(numBits, dim, seed)
     val nb = numBits; val ph = probeHamming
     val probesUdf = udf((sig: Long) => sigsWithin(sig, nb, ph).toArray)
@@ -367,6 +369,58 @@ object Ann {
       .filter(!isnan(col("cosine")))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
+  }
+
+  /** Batch kNN JOIN against a [[writeIvfBucketed]] store — the IVF sibling
+    * of [[knnJoin]]: each query row is assigned its `nprobe` nearest cells
+    * (a row-local kernel over the k unit centroids, broadcast as plain
+    * closure state), exploded, and equi-joined on the store's `cluster`
+    * partition column; cosine + per-query window top-k over candidates only.
+    * With a small query batch AQE broadcasts the probe side and dynamic
+    * partition pruning can skip unprobed cell directories; at 10M+ queries
+    * both sides exchange on `cluster`. Recall is governed by nprobe exactly
+    * as in [[ivfTopK]] (nprobe == k cells is exact).
+    *
+    * Output: (qid, id, cosine, rank), rank 1..k per qid.
+    */
+  def knnJoinIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      qvec: Column,
+      qid: Column,
+      path: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = readCentroids(path)
+    val np = math.min(nprobe, centroids.size)
+    // cell ranking by dot(v, c) — |v| is constant per row, so normalization
+    // cannot change the argmax ordering (centroids are unit vectors)
+    val cellsUdf = udf { (v: Seq[Double]) =>
+      centroids.indices
+        .map(c => (c, dotK(v, centroids(c))))
+        .sortBy(-_._2)
+        .take(np)
+        .map(_._1)
+        .toArray
+    }
+    val qside = queries
+      .select(qid.as("qid"), qvec.cast("array<double>").as("_qv"))
+      .withColumn("_qn", l2norm(col("_qv")))
+      .filter(col("_qn") > 0.0)
+      .withColumn("cluster", explode(cellsUdf(col("_qv"))))
+    val cand = qside
+      .join(spark.read.parquet(path), Seq("cluster"))
+      .select(
+        col("qid"), col("id"),
+        (dot(col("embedding"), col("_qv")) / (l2norm(col("embedding")) * col("_qn"))).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    cand
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("_rk").as("rank"))
   }
 
   /** LSH-bucketed top-k: compute the query's bucket, scan only rows whose

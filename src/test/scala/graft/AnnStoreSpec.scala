@@ -141,4 +141,26 @@ class AnnStoreSpec extends SparkSpec {
       .groupBy("qid").agg(collect_list("rank").as("rks")).collect()
     ranks.foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 5)))
   }
+
+  test("knnJoinIvf: nprobe == cells is exact; clustered queries recall at nprobe=2") {
+    val df = clustered(240)
+    val path = Files.createTempDirectory("graft_knnivf").toString + "/store"
+    Ann.writeIvfBucketed(df, col("embedding"), col("vec_id"), path, k = 6, iters = 4)
+    val queries = df.filter(col("vec_id") < 4).select(col("vec_id"), col("embedding"))
+
+    def runIvf(nprobe: Int) = Ann
+      .knnJoinIvf(spark, queries, col("embedding"), col("vec_id"), path, k = 4, nprobe = nprobe)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val exact = (0L until 4L).flatMap { q =>
+      val qv = queries.filter(col("vec_id") === q).head().getSeq[Float](1).map(_.toDouble)
+      Ann.bruteForceTopK(df, col("embedding"), col("vec_id"), qv, 4)
+        .collect().map(r => (q, r.getLong(0)))
+    }.sorted
+
+    // nprobe = all cells degenerates to an exact search (any data)
+    assert(runIvf(6) == exact)
+    // on well-separated clusters the true neighbors live in the query's own
+    // cell, so a 2-cell probe already matches the exact answer
+    assert(runIvf(2) == exact)
+  }
 }
