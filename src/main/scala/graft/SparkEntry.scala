@@ -561,6 +561,47 @@ object SparkEntry {
         .violations
         .select(col("code"), col("row_number"))
         .orderBy("row_number", "code")
+    }),
+    // ---- Shapefile source (reference jobs.py:335-387): a zipped
+    // point-shapefile generated deterministically from nation (record i ←
+    // rank-by-nationkey, shp row = i+2, header row 1; NULL shapes planted
+    // at record index i % 5 == 2) is read back through the pure-JDK
+    // shp/dbf parser and validated like any CSV-path table —
+    // missing-geometry (custom_checks.py:177-203) fires on the planted
+    // null shapes via the synthesized adr_geometry_check column; the
+    // oracle recomputes every violation straight off nation.parquet, so
+    // the round trip (write → unzip → parse → validate) is what's checked
+    "q46_shapefile_validation" -> ((s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+        .collect() // nation is a constant 25-row dimension at every SF
+        .map(r => Seq(r.get(0).toString, r.getString(1), r.get(2).toString))
+        .toSeq
+      val path = s"target/shpcache/${new java.io.File(dir).getName}/nation.shp"
+      // DBF caps field names at 10 bytes — use short names in the fixture
+      graft.sources.ShapefileSource.writeShapefile(
+        path,
+        Seq("nationkey", "name", "regionkey"),
+        rows,
+        nullShapeAt = i => i % 5 == 2,
+        baseName = "nation"
+      )
+      val table = graft.sources.ShapefileSource.readShapefile(s, path)
+        .fold(e => sys.error(e.message), identity)
+      ValidationRunner
+        .plan(
+          table.df,
+          TableSchema(fields = Seq(
+            Field("name", constraints = fc(maxLength = Some(8))),
+            Field("regionkey", ftype = "integer", constraints = fc(maximum = Some(3))),
+            Field("adr_geometry_check")
+          )),
+          ValidationConfig(rowNumberCol = "_row_number")
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number", "code")
     })
   )
 
@@ -936,6 +977,21 @@ object SparkEntry {
         |  SELECT 'maximum-constraint' AS code, rn AS row_number FROM numbered WHERE n_regionkey > 3
         |  UNION ALL
         |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
+        |) ORDER BY row_number, code""".stripMargin,
+    // shapefile record i = rank-by-nationkey (0-based), row = i+2 (header
+    // is row 1); null shapes planted at i % 5 == 2 → missing-geometry
+    "q46_shapefile_validation" ->
+      """WITH numbered AS (
+        |  SELECT n_name, n_regionkey,
+        |         1 + row_number() OVER (ORDER BY n_nationkey) AS rn
+        |  FROM nation
+        |)
+        |SELECT code, row_number FROM (
+        |  SELECT 'maximum-constraint' AS code, rn AS row_number FROM numbered WHERE n_regionkey > 3
+        |  UNION ALL
+        |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
+        |  UNION ALL
+        |  SELECT 'missing-geometry', rn FROM numbered WHERE (rn - 2) % 5 = 2
         |) ORDER BY row_number, code""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL

@@ -384,7 +384,21 @@ object ValidationRunner {
   ): (graft.report.ValidationReport, String) =
     runParsed(graft.sources.XlsxSource.readXlsx(spark, path), path, schema, options, sourceLabel)
 
-  /** Shared read→header→body assembly for parsed (CSV/xlsx) sources. */
+  /** End-to-end zipped-shapefile validation (`jobs.py:335-387`): the DBF
+    * attribute table + synthesized `adr_geometry_check` geometry-presence
+    * column run through the same pipeline as the CSV path; unzip / not-one-
+    * `.shp` / unparsable payloads surface as the zero-table ERROR report
+    * with the reference's message strings. */
+  def runShapefile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: TableSchema,
+      options: ValidationOptions = ValidationOptions.default,
+      sourceLabel: Option[String] = None
+  ): (graft.report.ValidationReport, String) =
+    runParsed(graft.sources.ShapefileSource.readShapefile(spark, path), path, schema, options, sourceLabel)
+
+  /** Shared read→header→body assembly for parsed (CSV/xlsx/shapefile) sources. */
   private def runParsed(
       parsed: Either[graft.sources.TableSource.SourceError, graft.sources.TableSource.CsvTable],
       path: String,

@@ -40,14 +40,14 @@ object TableSource {
     ext match {
       case "csv" | "parquet" | "json" | "geojson" => Right(ext)
       // reference DEFAULT_SUPPORTED_FORMATS (settings.py:6) includes both
-      // Excel extensions and reads BIFF via pandas/xlrd; this engine
-      // deliberately DESCOPES the BIFF parser: both extensions route to the
-      // OOXML reader, which sniffs the OLE2 magic (D0 CF 11 E0) and fails
-      // closed with an explicit "Legacy BIFF (.xls) workbooks are not
-      // supported" format-error for a valid legacy workbook (parity gap
-      // documented in README; broken payloads get the reference's generic
-      // "Could not read your Excel file" error as before).
+      // Excel extensions and reads them via pandas.ExcelFile; both route to
+      // the Excel reader, which sniffs the payload — OOXML zip → XlsxSource's
+      // StAX parser, OLE2 magic (D0 CF 11 E0) → BiffSource's [MS-CFB]+[MS-XLS]
+      // BIFF8 parser — so a mislabeled upload still reads (pandas behaves
+      // the same way: it dispatches on content, not extension).
       case "xlsx" | "xls"                         => Right("xlsx")
+      // reference jobs.py:231-232: extension "shp" → zipped shapefile read
+      case "shp"                                  => Right("shapefile")
       case other                                  => Left(FormatError(s"Unknown format '$other'"))
     }
   }

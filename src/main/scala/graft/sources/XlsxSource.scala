@@ -80,17 +80,15 @@ object XlsxSource {
     val formatErr = FormatError(
       s"Could not read your Excel file. Are you sure your specified format ($extension) is correct?"
     )
-    // legacy BIFF (.xls) sniff: OLE2 compound-document magic D0 CF 11 E0.
-    // The reference reads BIFF via pandas/xlrd (settings.py:6 lists xls);
-    // this engine deliberately descopes the BIFF parser — a VALID legacy
-    // workbook fails closed with an explicit unsupported-format message
-    // instead of the generic broken-payload error (see README descope note).
+    // legacy BIFF (.xls) sniff: OLE2 compound-document magic D0 CF 11 E0
+    // routes to the BIFF8 parser (BiffSource) — the reference reads both
+    // Excel generations through pandas.ExcelFile (settings.py:6 lists xls),
+    // so a valid legacy workbook must parse, with the same single-worksheet
+    // invariant and error taxonomy as the OOXML path.
     if (bytes.length >= 4 &&
         (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
         (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
-      return Left(FormatError(
-        "Could not read your Excel file. Legacy BIFF (.xls) workbooks are not supported — please re-save as .xlsx."
-      ))
+      return BiffSource.parseGrid(bytes, extension)
     val entries =
       try readZip(bytes)
       catch { case _: Exception => return Left(formatErr) }

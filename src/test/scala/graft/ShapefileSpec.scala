@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.runner.ValidationRunner
+import graft.schema._
+import graft.sources.{ShapefileSource, TableSource}
+
+/** Zipped-shapefile reader: reference semantics from jobs.py:335-387 —
+  * DBF attribute table read header-less (field names are data row 1),
+  * synthesized adr_geometry_check geometry-presence column, exactly-one-.shp
+  * invariant, reference failure messages — plus writer round-trips with
+  * planted null shapes feeding the missing-geometry check. */
+class ShapefileSpec extends SparkSpec {
+
+  private def fc = FieldConstraints()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_shp").resolve(name).toString
+
+  private val fields = Seq("id", "name", "region")
+  private val records: Seq[Seq[String]] = Seq(
+    Seq("1", "alpha", "2"),
+    Seq("2", "beta", "4"),
+    Seq("3", "gamma longer than eight", "1"),
+    Seq("4", null, "3")
+  )
+
+  test("round trip: DBF attribute table + adr_geometry_check header injection") {
+    val path = tmp("t.shp")
+    ShapefileSource.writeShapefile(path, fields, records)
+    val table = ShapefileSource.readShapefile(spark, path).fold(e => fail(e.message), identity)
+    assert(table.headers == Seq("id", "name", "region", "adr_geometry_check"))
+    val rows = table.df.orderBy("_row_number").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 3L, 4L, 5L)) // header is row 1
+    assert(rows(0).getString(1) == "alpha")
+    assert(rows(2).getString(1) == "gamma longer than eight")
+    assert(rows(3).getString(1) == "") // null cell → space-padded DBF → ""
+    assert(rows.map(_.getString(3)).toSeq == Seq.fill(4)("True")) // all point shapes
+  }
+
+  test("planted null shapes surface as adr_geometry_check=False at the right rows") {
+    val path = tmp("nulls.shp")
+    ShapefileSource.writeShapefile(path, fields, records, nullShapeAt = i => i % 2 == 1)
+    val table = ShapefileSource.readShapefile(spark, path).fold(e => fail(e.message), identity)
+    val geo = table.df.orderBy("_row_number").collect().map(_.getString(3)).toSeq
+    assert(geo == Seq("True", "False", "True", "False"))
+  }
+
+  test("zip without exactly one .shp rejected with the reference message (jobs.py:351-355)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt")); zos.write("hi".getBytes); zos.closeEntry()
+    zos.close()
+    ShapefileSource.readShapefileBytes(spark, bos.toByteArray) match {
+      case Left(e: TableSource.SourceContentError) =>
+        assert(e.message == "Zipped archive must contain exactly one .shp file.")
+      case other => fail(s"expected exactly-one-shp rejection, got $other")
+    }
+  }
+
+  test("garbage payload → unzip failure with the reference message (jobs.py:345-349)") {
+    ShapefileSource.readShapefileBytes(spark, "this is not a zip".getBytes) match {
+      case Left(e: TableSource.FormatError) =>
+        assert(e.message.startsWith("Could not unzip file: "))
+      case other => fail(s"expected unzip format-error, got $other")
+    }
+  }
+
+  test("zip with .shp but corrupt/missing siblings → 'Not a valid shp file' (jobs.py:383-387)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("x.shp")); zos.write(Array[Byte](1, 2, 3)); zos.closeEntry()
+    zos.close()
+    ShapefileSource.readShapefileBytes(spark, bos.toByteArray) match {
+      case Left(e: TableSource.FormatError) =>
+        assert(e.message.startsWith("Not a valid shp file: "))
+      case other => fail(s"expected not-a-valid-shp error, got $other")
+    }
+  }
+
+  test("dispatch: shp routes to the shapefile reader") {
+    assert(TableSource.formatOf("data.shp") == Right("shapefile"))
+  }
+
+  test("runShapefile end-to-end: schema violations + missing-geometry (same pipeline as CSV)") {
+    val path = tmp("val.shp")
+    ShapefileSource.writeShapefile(path, fields, records, nullShapeAt = i => i == 2)
+    val schema = TableSchema(Seq(
+      Field("id", ftype = "integer"),
+      Field("name", constraints = fc.copy(maxLength = Some(8))),
+      Field("region", ftype = "integer", constraints = fc.copy(maximum = Some(3.0))),
+      Field("adr_geometry_check")
+    ))
+    val (report, status) = ValidationRunner.runShapefile(spark, path, schema)
+    assert(status == "failure")
+    val errs = report.tables.head.errors
+    assert(errs.map(v => (v.code, v.rowNumber.get)).toSet == Set(
+      ("maximum-constraint", 3L),         // region 4 > 3
+      ("maximum-length-constraint", 4L),  // long name
+      ("missing-geometry", 4L)            // planted null shape at record 2 → row 4
+    ))
+    assert(report.tables.head.rowCount == 5) // header + 4 data rows
+  }
+
+  test("runShapefile on an unreadable payload → zero-table ERROR report") {
+    val path = tmp("bad.shp")
+    Files.write(java.nio.file.Paths.get(path), Array[Byte](9, 9, 9))
+    val (report, status) = ValidationRunner.runShapefile(spark, path, TableSchema(Seq(Field("a"))))
+    assert(status == "error")
+    assert(report.tables.isEmpty)
+  }
+
+  test("deleted DBF records (0x2A flag) are skipped like pyshp") {
+    val path = tmp("del.shp")
+    ShapefileSource.writeShapefile(path, Seq("id"), Seq(Seq("1"), Seq("2"), Seq("3")))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // rewrite the zip, flagging the 2nd DBF record deleted
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map { e =>
+      (e.getName, Iterator.continually(zin.read()).takeWhile(_ >= 0).map(_.toByte).toArray)
+    }.toMap
+    val dbf = entries("layer.dbf").clone()
+    val headerLen = (dbf(8) & 0xff) | ((dbf(9) & 0xff) << 8)
+    val recordLen = (dbf(10) & 0xff) | ((dbf(11) & 0xff) << 8)
+    dbf(headerLen + recordLen) = 0x2a // delete record index 1
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    (entries + ("layer.dbf" -> dbf)).foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+    val table = ShapefileSource.readShapefileBytes(spark, bos.toByteArray).fold(e => fail(e.message), identity)
+    assert(table.df.orderBy("_row_number").collect().map(_.getString(0)).toSeq == Seq("1", "3"))
+  }
+}

@@ -144,21 +144,72 @@ class XlsxSpec extends SparkSpec {
     assert(report.tables.isEmpty)
   }
 
-  test("legacy BIFF (.xls) payload sniffed by OLE2 magic → explicit unsupported message") {
-    // OLE2 compound-document magic D0 CF 11 E0 — what a REAL legacy .xls
-    // starts with (the reference reads these via pandas/xlrd, settings.py:6;
-    // the engine descopes BIFF and must fail closed with a CLEAR message,
-    // not the generic broken-payload error)
+  test("legacy BIFF (.xls) round trip: writeXls → CFB+BIFF8 parse reads like the xlsx path") {
+    // the reference reads BIFF via pandas/xlrd (settings.py:6 lists xls);
+    // the OLE2 magic (D0 CF 11 E0) routes the payload to BiffSource
     val path = tmp("legacy.xls")
+    graft.sources.BiffSource.writeXls(path, Seq(("Sheet1", grid)))
+    val table = XlsxSource.readXlsx(spark, path).fold(e => fail(e.message), identity)
+    assert(table.headers == Seq("id", "name", "score"))
+    val rows = table.df.orderBy("_row_number").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 3L, 4L)) // header is row 1
+    assert(rows(0).getString(2) == "3.5")
+    assert(rows(1).getString(1) == "beta <&> \"quoted\"") // SST round-trips raw text
+    assert(rows(2).getString(2) == "-7") // RK/NUMBER integers keep integral lexical form
+  }
+
+  test("legacy BIFF multi-sheet workbook rejected with the reference message") {
+    val path = tmp("legacy2.xls")
+    graft.sources.BiffSource.writeXls(path, Seq(("A", grid), ("B", grid)))
+    XlsxSource.readXlsx(spark, path) match {
+      case Left(e: TableSource.SourceContentError) =>
+        assert(e.message == "Your Excel file must contain only one worksheet for validation.")
+      case other => fail(s"expected single-worksheet rejection, got $other")
+    }
+  }
+
+  test("corrupt OLE2 payload (magic only, no workbook stream) → generic format-error") {
+    val path = tmp("corrupt.xls")
     val ole2 = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte) ++
       Array.fill[Byte](512)(0)
     Files.write(java.nio.file.Paths.get(path), ole2)
     XlsxSource.readXlsx(spark, path) match {
       case Left(e: TableSource.FormatError) =>
         assert(e.message ==
-          "Could not read your Excel file. Legacy BIFF (.xls) workbooks are not supported — please re-save as .xlsx.")
-      case other => fail(s"expected BIFF format-error, got $other")
+          "Could not read your Excel file. Are you sure your specified format (xls) is correct?")
+      case other => fail(s"expected format-error, got $other")
     }
+  }
+
+  test("BIFF SST strings split across CONTINUE records parse correctly (MS-XLS 2.5.293)") {
+    // hand-craft a workbook whose SST splits a string at a CONTINUE
+    // boundary, restarting the grbit flags byte — the trickiest corner of
+    // the BIFF format and the one naive parsers get wrong
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def rec(id: Int, p: Array[Byte]) = le16(id) ++ le16(p.length) ++ p
+    val bof = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ Array.fill[Byte](12)(0))
+    val sheetBof = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ Array.fill[Byte](12)(0))
+    val eof = rec(0x000a, Array.emptyByteArray)
+    // SST: 2 strings; the second ("helloWORLD") splits after "hello":
+    // first half compressed (flags 0), continuation restarts flags as wide
+    val sstPayload = le32(2) ++ le32(2) ++
+      (le16(2) ++ Array(0x00.toByte) ++ "ab".getBytes("ISO-8859-1")) ++
+      (le16(10) ++ Array(0x00.toByte) ++ "hello".getBytes("ISO-8859-1"))
+    val continuePayload = Array(0x01.toByte) ++ "WORLD".getBytes("UTF-16LE")
+    // globals length: bof + boundsheet + sst + continue + eof
+    val bsLen = 4 + 8 + 2 // header + fixed + 1-char wide name
+    val globalsLen = bof.length + bsLen + (4 + sstPayload.length) + (4 + continuePayload.length) + eof.length
+    val boundSheet = rec(0x0085, le32(globalsLen) ++ Array[Byte](0, 0) ++ Array(1.toByte, 1.toByte) ++ "S".getBytes("UTF-16LE"))
+    val sheet = sheetBof ++
+      rec(0x00fd, le16(0) ++ le16(0) ++ le16(0) ++ le32(1)) ++ // A1 = sst[1]
+      rec(0x00fd, le16(1) ++ le16(0) ++ le16(0) ++ le32(0)) ++ // A2 = sst[0]
+      eof
+    val stream = bof ++ boundSheet ++ rec(0x00fc, sstPayload) ++ rec(0x003c, continuePayload) ++ eof ++ sheet
+    val grid2 = graft.sources.BiffSource.parseWorkbook(stream)
+    assert(grid2.size == 1)
+    assert(grid2.head._2 == IndexedSeq(IndexedSeq("helloWORLD"), IndexedSeq("ab")))
   }
 
   test("shared-string cell with no <v> payload is a BLANK cell, not a broken workbook") {
