@@ -503,6 +503,19 @@ object SparkEntry {
           col("phash"), col("row_id"), maxHamming = 1, bands = 2)
         .groupBy("hamming").agg(count(lit(1)).as("pairs"))
         .orderBy("hamming")),
+    // ---- Hamming-space batch kNN join over the stored image phashes:
+    // per-query top-k nearest neighbors within distance <= bands-1, where
+    // banding makes the candidate set provably exact at that radius
+    // (pigeonhole) — so the DuckDB brute-force bit_count join is an
+    // EQUALITY oracle, not a recall bound
+    "q47_phash_knn_join" -> ((s, dir) => {
+      val imgs = images(s, dir).select(col("row_id"), col("phash"))
+      Ann.hammingKnnJoin(
+        imgs.filter(col("row_id") % 97 === 3), col("phash"), col("row_id"),
+        imgs, col("phash"), col("row_id"),
+        k = 5, bands = 4, maxDistance = 3)
+        .orderBy("qid", "rank")
+    }),
     "q33_image_unique_id" -> ((s, dir) => {
       val imgs = images(s, dir).select(col("row_id").as("_rid"), col("image_id"))
       ValidationRunner
@@ -521,6 +534,13 @@ object SparkEntry {
     // plain GROUP BY with the same (cnt desc, item asc) tie-break
     "q43_heavy_hitters" -> ((s, dir) =>
       ColumnStats.heavyHitters(t(s, dir, "documents"), col("lang"), k = 5)),
+    // schema/type inference (pre-validation profiling): one wide pass
+    // counting per-column lexical-space membership; regexes are anchored and
+    // restated verbatim in the oracle
+    "q48_infer_types" -> ((s, dir) =>
+      ColumnStats
+        .inferTypes(t(s, dir, "events"), Seq("event_id", "event_type", "props"))
+        .orderBy("col_name")),
     // caption checks (required + caption-equality) with NO byte decode —
     // the SQL-expressible subset of q32, fully oracle-checked: the DuckDB
     // oracle re-derives the deterministic captioner from image_id in SQL
@@ -911,6 +931,50 @@ object SparkEntry {
     "q43_heavy_hitters" ->
       """SELECT lang AS item, count(*) AS cnt FROM documents WHERE lang IS NOT NULL
         |GROUP BY lang ORDER BY cnt DESC, item LIMIT 5""".stripMargin,
+    // exact per-query top-k by Hamming distance: the banded join's candidate
+    // set is provably complete at maxDistance <= bands-1, so brute force is
+    // an equality oracle
+    "q47_phash_knn_join" ->
+      """WITH q AS (SELECT row_id AS qid, phash AS qsig
+        |           FROM read_parquet('__IMGDIR__/*.parquet')
+        |           WHERE row_id % 97 = 3 AND phash IS NOT NULL),
+        |     s AS (SELECT row_id AS id, phash AS sig
+        |           FROM read_parquet('__IMGDIR__/*.parquet') WHERE phash IS NOT NULL),
+        |     cand AS (
+        |  SELECT q.qid, s.id, CAST(bit_count(xor(q.qsig, s.sig)) AS INT) AS distance
+        |  FROM q JOIN s ON bit_count(xor(q.qsig, s.sig)) <= 3
+        |), ranked AS (
+        |  SELECT qid, id, distance,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS INT) AS rank
+        |  FROM cand
+        |)
+        |SELECT qid, id, distance, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // count(*) FILTER keeps every counter BIGINT (a DuckDB sum(CASE..) is
+    // HUGEINT → float64 through pandas, which the hash compare rejects)
+    "q48_infer_types" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS event_id, event_type, props FROM events
+        |), per(col_name, c) AS (
+        |  SELECT 'event_id', event_id FROM src UNION ALL
+        |  SELECT 'event_type', event_type FROM src UNION ALL
+        |  SELECT 'props', props FROM src
+        |), agg AS (
+        |  SELECT col_name,
+        |         count(*) FILTER (c IS NOT NULL AND c <> '') AS non_empty,
+        |         count(*) FILTER (c IS NOT NULL AND c <> '' AND regexp_matches(c, '^[+-]?\d+$')) AS as_integer,
+        |         count(*) FILTER (c IS NOT NULL AND c <> '' AND regexp_matches(c, '^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$')) AS as_number,
+        |         count(*) FILTER (c IS NOT NULL AND c <> '' AND regexp_matches(c, '^\d{4}-\d{2}-\d{2}$')) AS as_date,
+        |         count(*) FILTER (c IS NOT NULL AND c <> '' AND lower(c) IN ('true','false')) AS as_boolean
+        |  FROM per GROUP BY col_name
+        |)
+        |SELECT col_name, non_empty, as_integer, as_number, as_date, as_boolean,
+        |       CASE WHEN non_empty = 0 THEN 'empty'
+        |            WHEN as_integer = non_empty THEN 'integer'
+        |            WHEN as_number = non_empty THEN 'number'
+        |            WHEN as_date = non_empty THEN 'date'
+        |            WHEN as_boolean = non_empty THEN 'boolean'
+        |            ELSE 'string' END AS inferred
+        |FROM agg ORDER BY col_name""".stripMargin,
     // LSH probe vs exact brute force over the same planted table (copies
     // re-derived in SQL — x*0.5 is float-exact): identical top-20 ID set,
     // i.e. the partition-pruned probe loses nothing

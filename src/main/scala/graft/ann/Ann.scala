@@ -423,6 +423,70 @@ object Ann {
       .select(col("qid"), col("id"), col("cosine"), col("_rk").as("rank"))
   }
 
+  /** Batch kNN JOIN in Hamming space — the perceptual-hash sibling of
+    * [[knnJoin]] for image near-dup search: per query row, the top-k store
+    * rows by Hamming distance over a 64-bit signature column (phash),
+    * restricted to `distance <= maxDistance`.
+    *
+    * Plan shape (never a cross join):
+    *  1. both sides split their signature into `bands` contiguous sub-bands
+    *     (posexplode of a few masked shifts — row-local, codegen'd);
+    *  2. equi-join on (band index, band value): by the pigeonhole principle a
+    *     pair within Hamming distance < bands agrees exactly on ≥ 1 band, so
+    *     with `maxDistance <= bands - 1` the candidate set is EXACT — the
+    *     guarantee Dedup.hammingPairs carries, which is why the brute-force
+    *     bit_count cross join is an equality oracle (q47), not a recall bound;
+    *  3. distinct (a pair can agree on several bands), codegen'd bit_count
+    *     distance, threshold filter, per-query top-k via a window over
+    *     (qid, id, distance) — 20 B per CANDIDATE, never per store row.
+    * Shuffle: `bands` 12-byte keys per row on each side; the store is never
+    * replicated per query. Distance-0 mega-clusters (mass-duplicated images)
+    * inflate one query's candidate list but the window caps output at k;
+    * at extreme skew pre-collapse identical signatures as hammingPairs does.
+    *
+    * Output: (qid, id, distance, rank), rank 1..k per qid.
+    */
+  def hammingKnnJoin(
+      queries: DataFrame,
+      qsig: Column,
+      qid: Column,
+      store: DataFrame,
+      ssig: Column,
+      sid: Column,
+      k: Int,
+      bands: Int = 4,
+      numBits: Int = 64,
+      maxDistance: Int = 3
+  ): DataFrame = {
+    require(bands >= 1 && bands <= numBits, "1 <= bands <= numBits")
+    require(maxDistance < bands,
+      s"maxDistance ($maxDistance) must be < bands ($bands): the pigeonhole guarantee needs one agreeing band")
+    val width = numBits / bands
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def bandVals(sig: Column): Column =
+      array((0 until bands).map(b => shiftrightunsigned(sig, b * width).bitwiseAND(lit(mask))): _*)
+    val qside = queries
+      .select(qid.as("qid"), qsig.as("_qsig"))
+      .filter(col("_qsig").isNotNull)
+      .select(col("qid"), col("_qsig"), posexplode(bandVals(col("_qsig"))).as(Seq("bidx", "bval")))
+    val sside = store
+      .select(sid.as("id"), ssig.as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col("id"), col("_sig"), posexplode(bandVals(col("_sig"))).as(Seq("bidx", "bval")))
+    val cand = qside
+      .join(sside, Seq("bidx", "bval"))
+      .select(col("qid"), col("id"),
+        bit_count(col("_qsig").bitwiseXOR(col("_sig"))).as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))
+    cand
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("qid"), col("id"), col("distance"), col("_rk").as("rank"))
+  }
+
   /** LSH-bucketed top-k: compute the query's bucket, scan only rows whose
     * signature matches within `probeHamming` bits, brute-force inside.
     * Approximate: recall depends on numBits/probeHamming. Prefer

@@ -75,6 +75,58 @@ object ColumnStats {
     rows.toDF("item", "cnt")
   }
 
+  /** Schema/type inference over (stringified) columns — the profiling step a
+    * pipeline runs BEFORE it has a Table Schema to validate against: for each
+    * column, count the values parseable as integer / number / date / boolean
+    * and infer the dominant type (a type wins only when EVERY non-empty value
+    * parses as it; priority integer > number > date > boolean > string, empty
+    * columns report `empty`). Lexical spaces are regex-pinned (anchored) so a
+    * SQL oracle can restate them verbatim.
+    *
+    * ONE wide aggregation pass: a single scan, one partial-agg shuffle of
+    * 5 longs per column per partition — scale-independent output (one row per
+    * profiled column). Output: (col_name, non_empty, as_integer, as_number,
+    * as_date, as_boolean, inferred). */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val intRe = "^[+-]?\\d+$"
+    val numRe = "^[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$"
+    val dateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+    def cnt(cond: Column): Column = count(when(cond, lit(1)))
+    val aggs = cols.flatMap { name =>
+      val c = col(name).cast("string")
+      val nonEmpty = c.isNotNull && c =!= ""
+      Seq(
+        cnt(nonEmpty).as(s"__${name}_ne"),
+        cnt(nonEmpty && c.rlike(intRe)).as(s"__${name}_int"),
+        cnt(nonEmpty && c.rlike(numRe)).as(s"__${name}_num"),
+        cnt(nonEmpty && c.rlike(dateRe)).as(s"__${name}_date"),
+        cnt(nonEmpty && lower(c).isin("true", "false")).as(s"__${name}_bool")
+      )
+    }
+    val structs = array(cols.map { name =>
+      struct(
+        lit(name).as("col_name"),
+        col(s"__${name}_ne").as("non_empty"),
+        col(s"__${name}_int").as("as_integer"),
+        col(s"__${name}_num").as("as_number"),
+        col(s"__${name}_date").as("as_date"),
+        col(s"__${name}_bool").as("as_boolean")
+      )
+    }: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(structs).as("t"))
+      .select(col("t.*"))
+      .withColumn(
+        "inferred",
+        when(col("non_empty") === 0, "empty")
+          .when(col("as_integer") === col("non_empty"), "integer")
+          .when(col("as_number") === col("non_empty"), "number")
+          .when(col("as_date") === col("non_empty"), "date")
+          .when(col("as_boolean") === col("non_empty"), "boolean")
+          .otherwise("string")
+      )
+  }
+
   /** Equal-width histogram over [lo, hi): bucket → count. Values outside the
     * range clamp to the edge buckets. One groupBy over a computed bucket id —
     * partial agg keeps the shuffle at `buckets` rows per partition. */

@@ -163,4 +163,40 @@ class AnnStoreSpec extends SparkSpec {
     // cell, so a 2-cell probe already matches the exact answer
     assert(runIvf(2) == exact)
   }
+
+  test("hammingKnnJoin equals brute-force top-k at maxDistance <= bands-1 (pigeonhole)") {
+    // deterministic 64-bit signatures with planted near-neighbors: every
+    // 10th signature is its predecessor with 1-3 bits flipped
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val sigs = (0 until 400).map { i =>
+      val base = mix((i / 10).toLong * 10)
+      val flips = i % 10 match {
+        case 0 => 0L
+        case f => (1 to (f % 3 + 1)).map(j => 1L << ((i * 7 + j * 13) % 64)).reduce(_ | _)
+      }
+      (i.toLong, base ^ flips)
+    }.toDF("id", "sig")
+    val queries = sigs.filter(col("id") % 10 === 0)
+    val got = Ann
+      .hammingKnnJoin(queries, col("sig"), col("id"), sigs, col("sig"), col("id"),
+        k = 4, bands = 4, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+    // brute force: all pairs, distance <= 3, rank by (distance, id), top 4
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = all.filter(_._1 % 10 == 0).flatMap { case (qid, qsig) =>
+      all.map { case (id, sig) => (qid, id, java.lang.Long.bitCount(qsig ^ sig)) }
+        .filter(_._3 <= 3)
+        .sortBy(t => (t._3, t._2))
+        .take(4)
+        .zipWithIndex
+        .map { case ((q, i, d), rk) => (q, i, d, rk + 1) }
+    }.sorted.toSeq
+    assert(got == exact)
+    assert(got.nonEmpty && got.exists(_._3 > 0), "planted flips must produce non-trivial neighbors")
+  }
 }

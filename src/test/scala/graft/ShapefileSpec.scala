@@ -112,6 +112,36 @@ class ShapefileSpec extends SparkSpec {
     assert(report.tables.isEmpty)
   }
 
+  test("property: arbitrary grids round-trip through writeShapefile → parse") {
+    def randomCell(r: scala.util.Random): String = r.nextInt(5) match {
+      case 0 => null // space-padded → reads back ""
+      case 1 => r.nextInt(2000).toString
+      case 2 => "" // empty
+      case 3 => (0 to r.nextInt(12)).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+      case _ => "x y" + r.nextInt(100) // inner spaces survive the trim (only edges trimmed)
+    }
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val rows = 1 + r.nextInt(8)
+      val cols = 1 + r.nextInt(5)
+      val flds = (0 until cols).map(i => s"f$i")
+      val recs = (0 until rows).map(_ => (0 until cols).map(_ => randomCell(r)))
+      val nulls = (0 until rows).map(_ => r.nextBoolean())
+      val path = tmp(s"prop_$seed.shp")
+      ShapefileSource.writeShapefile(path, flds, recs.map(_.toSeq), nullShapeAt = nulls(_))
+      val table = ShapefileSource.readShapefile(spark, path).fold(e => fail(e.message), identity)
+      val got = table.df.orderBy("_row_number").collect()
+      assert(got.length == rows, s"seed=$seed")
+      got.zipWithIndex.foreach { case (row, i) =>
+        (0 until cols).foreach { c =>
+          val exp = Option(recs(i)(c)).getOrElse("")
+          assert(row.getString(c) == exp, s"seed=$seed row=$i col=$c")
+        }
+        assert(row.getString(cols) == (if (nulls(i)) "False" else "True"), s"seed=$seed row=$i geom")
+      }
+    }
+  }
+
   test("deleted DBF records (0x2A flag) are skipped like pyshp") {
     val path = tmp("del.shp")
     ShapefileSource.writeShapefile(path, Seq("id"), Seq(Seq("1"), Seq("2"), Seq("3")))

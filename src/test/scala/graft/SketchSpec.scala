@@ -74,6 +74,25 @@ class SketchSpec extends SparkSpec {
     assert(got2.head.getString(0) == "item_0" && got2.head.getLong(1) == 2000L)
   }
 
+  test("inferTypes: dominant-type inference with priority int > num > date > bool > string") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "1.5", "2024-01-02", "true", "abc", null: String, ""),
+      ("-7", "2", "1999-12-31", "False", "1", null: String, ""),
+      ("+42", "3e4", "2000-06-15", "TRUE", "", null: String, "x")
+    ).toDF("ints", "nums", "dates", "bools", "mixed", "allnull", "mostlyempty")
+    val byName = graft.stats.ColumnStats
+      .inferTypes(df, Seq("ints", "nums", "dates", "bools", "mixed", "allnull", "mostlyempty"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getString(6)))).toMap
+    assert(byName("ints") == (3L, "integer"))
+    assert(byName("nums") == (3L, "number")) // "2" is int but "1.5"/"3e4" are not → number wins
+    assert(byName("dates") == (3L, "date"))
+    assert(byName("bools") == (3L, "boolean")) // case-insensitive lexical space
+    assert(byName("mixed") == (2L, "string")) // "abc" breaks every type; "" not counted
+    assert(byName("allnull") == (0L, "empty"))
+    assert(byName("mostlyempty") == (1L, "string"))
+  }
+
   test("sketch aggregate composes with groupBy (per-group baselines)") {
     val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
     val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()

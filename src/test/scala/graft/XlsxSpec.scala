@@ -212,6 +212,36 @@ class XlsxSpec extends SparkSpec {
     assert(grid2.head._2 == IndexedSeq(IndexedSeq("helloWORLD"), IndexedSeq("ab")))
   }
 
+  test("property: arbitrary grids round-trip through writeXls → BIFF8 parse") {
+    // BIFF stores numbers as IEEE doubles, so numeric cells must use
+    // canonical lexical forms (no trailing zeros) to round-trip exactly
+    def randomCell(r: scala.util.Random): String = r.nextInt(6) match {
+      case 0 => null
+      case 1 => r.nextInt(2000).toString
+      case 2 => (r.nextInt(4000) - 2000).toString
+      case 3 => "" // empty string → SST
+      case 4 => s"${r.nextInt(100)}.${1 + r.nextInt(8)}" // no trailing zero
+      case _ => (0 to r.nextInt(12)).map(_ => "αβ<&\"'x yé中"(r.nextInt(11))).mkString
+    }
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val rows = 1 + r.nextInt(8)
+      val cols = 1 + r.nextInt(5)
+      val header = (0 until cols).map(i => s"h$i")
+      // pin the last row's first cell: a trailing all-null row has no cell
+      // records in BIFF, so the parser (like xlrd) cannot know it exists
+      val grid = header +: (0 until rows).map(ri =>
+        (0 until cols).map(ci => if (ri == rows - 1 && ci == 0) "end" else randomCell(r)))
+      val path = tmp(s"prop_biff_$seed.xls")
+      graft.sources.BiffSource.writeXls(path, Seq(("S", grid.map(_.toSeq))))
+      val table = XlsxSource.readXlsx(spark, path).fold(e => fail(e.message), identity)
+      val got = table.df.orderBy("_row_number").collect()
+        .map(row => (0 until cols).map(i => row.getString(i)))
+      val expected = grid.drop(1)
+      assert(got.map(_.toList).toList == expected.map(_.toList).toList, s"seed=$seed")
+    }
+  }
+
   test("shared-string cell with no <v> payload is a BLANK cell, not a broken workbook") {
     // some producers emit <c t="s"/> for blank cells; "".toInt used to throw
     // and the outer catch converted the WHOLE workbook into a format error
