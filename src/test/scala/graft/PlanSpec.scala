@@ -148,6 +148,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hammingKnnJoin plan: banded equi-join, never a cartesian/nested-loop product") {
+    import spark.implicits._
+    val sigs = (0 until 100).map(i => (i.toLong, i.toLong * 0x9e3779b97f4a7c15L)).toDF("id", "sig")
+    val out = graft.ann.Ann.hammingKnnJoin(
+      sigs.filter(col("id") % 10 === 0), col("sig"), col("id"),
+      sigs, col("sig"), col("id"), k = 3, bands = 4, maxDistance = 3)
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct"), "candidate generation must not cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate generation must not nested-loop")
+    // per-query ranking is ONE window over candidates only
+    assert("Window".r.findAllIn(plan).length >= 1)
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).length
+    assert(joins == 1, s"exactly one equi-join expected, got $joins:\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
