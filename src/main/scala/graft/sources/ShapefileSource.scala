@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import scala.collection.mutable
 
@@ -35,7 +35,6 @@ import graft.sources.TableSource.{CsvTable, FormatError, IoError, SourceContentE
   */
 object ShapefileSource {
 
-  private val MaxUncompressedBytes = 256L * 1024 * 1024 // driver-side guard
 
   /** Read a zipped shapefile into the CSV-path table shape: all-string
     * columns named by data row 1 (the DBF field names +
@@ -70,7 +69,7 @@ object ShapefileSource {
     * the missing-geometry check accepts). Exposed for tests. */
   private[graft] def parseGrid(bytes: Array[Byte]): Either[SourceError, IndexedSeq[IndexedSeq[String]]] = {
     val entries =
-      try readZip(bytes)
+      try ZipPayload.readAll(bytes, "shapefile zip")
       catch { case e: Exception => return Left(FormatError(s"Could not unzip file: ${e.getMessage}")) }
     // reference jobs.py:351-355: substring match, exactly one .shp
     val shpNames = entries.keys.filter(_.contains(".shp")).filterNot(_.contains(".shx")).toSeq.sorted
@@ -94,30 +93,6 @@ object ShapefileSource {
     } catch {
       case e: Exception => Left(FormatError(s"Not a valid shp file: ${e.getMessage}"))
     }
-  }
-
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = mutable.Map.empty[String, Array[Byte]]
-    var total = 0L
-    var e = zin.getNextEntry
-    if (e == null) throw new IllegalArgumentException("not a zip archive")
-    while (e != null) {
-      if (!e.isDirectory) {
-        val buf = new ByteArrayOutputStream()
-        val chunk = new Array[Byte](65536)
-        var n = zin.read(chunk)
-        while (n >= 0) {
-          total += n
-          require(total <= MaxUncompressedBytes, "shapefile zip exceeds driver-side size guard")
-          buf.write(chunk, 0, n)
-          n = zin.read(chunk)
-        }
-        out(e.getName) = buf.toByteArray
-      }
-      e = zin.getNextEntry
-    }
-    out.toMap
   }
 
   private def leInt(b: Array[Byte], off: Int): Int =

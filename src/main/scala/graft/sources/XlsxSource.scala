@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import scala.collection.mutable
 
@@ -35,7 +35,6 @@ import graft.sources.TableSource.{CsvTable, FormatError, IoError, SourceContentE
   */
 object XlsxSource {
 
-  private val MaxUncompressedBytes = 256L * 1024 * 1024 // driver-side guard
 
   /** Read a single-sheet xlsx into the CSV-path table shape: all-string
     * columns named by row 1, `_row_number` (header = 1, first data row = 2).
@@ -90,7 +89,7 @@ object XlsxSource {
         (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
       return BiffSource.parseGrid(bytes, extension)
     val entries =
-      try readZip(bytes)
+      try ZipPayload.readAll(bytes, "xlsx")
       catch { case _: Exception => return Left(formatErr) }
     try {
       val workbook = entries.getOrElse("xl/workbook.xml", return Left(formatErr))
@@ -113,30 +112,6 @@ object XlsxSource {
       val shared = entries.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(IndexedSeq.empty)
       Right(parseSheet(entries(sheetPath), shared))
     } catch { case _: Exception => Left(formatErr) }
-  }
-
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = mutable.Map.empty[String, Array[Byte]]
-    var total = 0L
-    var e = zin.getNextEntry
-    if (e == null) throw new IllegalArgumentException("not a zip archive")
-    while (e != null) {
-      if (!e.isDirectory) {
-        val buf = new ByteArrayOutputStream()
-        val chunk = new Array[Byte](65536)
-        var n = zin.read(chunk)
-        while (n >= 0) {
-          total += n
-          require(total <= MaxUncompressedBytes, "xlsx exceeds driver-side size guard")
-          buf.write(chunk, 0, n)
-          n = zin.read(chunk)
-        }
-        out(e.getName) = buf.toByteArray
-      }
-      e = zin.getNextEntry
-    }
-    out.toMap
   }
 
   private def xmlReader(xml: Array[Byte]): javax.xml.stream.XMLStreamReader = {

@@ -212,6 +212,50 @@ class XlsxSpec extends SparkSpec {
     assert(grid2.head._2 == IndexedSeq(IndexedSeq("helloWORLD"), IndexedSeq("ab")))
   }
 
+  test("BIFF cell records the fixture writer never emits: RK, MULRK, BOOLERR, LABEL, FORMULA+STRING") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def rec(id: Int, p: Array[Byte]) = le16(id) ++ le16(p.length) ++ p
+    val bof = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ Array.fill[Byte](12)(0))
+    val sheetBof = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ Array.fill[Byte](12)(0))
+    val eof = rec(0x000a, Array.emptyByteArray)
+    val sstPayload = le32(0) ++ le32(0) // empty SST
+    val bsLen = 4 + 8 + 2
+    val globalsLen = bof.length + bsLen + (4 + sstPayload.length) + eof.length
+    val boundSheet = rec(0x0085, le32(globalsLen) ++ Array[Byte](0, 0) ++ Array(1.toByte, 1.toByte) ++ "S".getBytes("UTF-16LE"))
+    def cellHdr(r: Int, c: Int) = le16(r) ++ le16(c) ++ le16(0)
+    // RK encodings ([MS-XLS] 2.5.276): int -> v<<2|2, cents -> v<<2|3,
+    // double -> top 30 bits of the IEEE bits
+    val rkInt42 = (42 << 2) | 0x2
+    val rkCents = (1234 << 2) | 0x3 // 12.34
+    val rkDouble25 = 0x40040000 // 2.5's top 32 bits, low 2 already 0
+    val labelStr = "plain label"
+    val formulaStr = "fx result"
+    val sheet = sheetBof ++
+      rec(0x027e, cellHdr(0, 0) ++ le32(rkInt42)) ++ // A1 = 42
+      rec(0x00bd, le16(1) ++ le16(0) ++ // MULRK row 1, cols 0-1: 12.34, 2.5
+        le16(0) ++ le32(rkCents) ++ le16(0) ++ le32(rkDouble25) ++ le16(1)) ++
+      rec(0x0205, cellHdr(2, 0) ++ Array[Byte](1, 0)) ++ // BOOLERR true
+      rec(0x0205, cellHdr(2, 1) ++ Array[Byte](0x2a, 1)) ++ // BOOLERR error -> blank
+      rec(0x0204, cellHdr(3, 0) ++ le16(labelStr.length) ++ Array(0x01.toByte) ++ labelStr.getBytes("UTF-16LE")) ++
+      rec(0x0006, cellHdr(4, 0) ++ Array[Byte](0, 0, 0, 0, 0, 0, -1, -1)) ++ // FORMULA string result
+      rec(0x0207, le16(formulaStr.length) ++ Array(0x01.toByte) ++ formulaStr.getBytes("UTF-16LE")) ++
+      rec(0x0006, cellHdr(4, 1) ++ Array[Byte](1, 0, 1, 0, 0, 0, -1, -1)) ++ // FORMULA bool result true
+      rec(0x0006, cellHdr(4, 2) ++ le16(0) ++ le16(0) ++ le32(0x40450000)) ++ // FORMULA numeric 42.0 (IEEE 0x4045000000000000 = 42.0)
+      eof
+    val stream = bof ++ boundSheet ++ rec(0x00fc, sstPayload) ++ eof ++ sheet
+    val grids = graft.sources.BiffSource.parseWorkbook(stream)
+    assert(grids.size == 1)
+    val g = grids.head._2
+    assert(g(0)(0) == "42") // RK int
+    assert(g(1)(0) == "12.34" && g(1)(1) == "2.5") // MULRK cents + double
+    assert(g(2)(0) == "true" && g(2)(1) == null) // BOOLERR value / error
+    assert(g(3)(0) == "plain label") // LABEL inline string
+    assert(g(4)(0) == "fx result") // FORMULA + STRING
+    assert(g(4)(1) == "true") // FORMULA cached boolean
+    assert(g(4)(2) == "42") // FORMULA cached numeric
+  }
+
   test("property: arbitrary grids round-trip through writeXls → BIFF8 parse") {
     // BIFF stores numbers as IEEE doubles, so numeric cells must use
     // canonical lexical forms (no trailing zeros) to round-trip exactly
