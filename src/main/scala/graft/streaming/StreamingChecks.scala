@@ -56,6 +56,47 @@ object StreamingChecks {
       .agg(count(lit(1)).as("violations"))
   }
 
+  /** Event-time windowed DRIFT monitor: per window, ONE mergeable KLL sketch
+    * of the value column (the same `TypedImperativeAggregate` the batch
+    * profiler uses — partial sketches merge inside the streaming aggregation
+    * state exactly like percentile_approx does), then PSI and KS against a
+    * FIXED baseline sketch (serialized bytes captured in the closure, e.g.
+    * yesterday's `SketchDrift.writeSnapshot` entry) computed on the few-KB
+    * sketch — never re-reading baseline data. Append mode: each window emits
+    * once the watermark finalizes it — the continuous counterpart of
+    * `SketchDrift.driftAgainstSnapshot`.
+    *
+    * At scale the aggregation state per window is one few-KB sketch; the
+    * shuffle is keyed by window (merge-friendly partial sketches), and the
+    * drift math runs once per FINALIZED window on a few KB. Output:
+    * (window, n, psi, ks, drifted). */
+  def windowedSketchDrift(
+      df: DataFrame,
+      valueCol: Column,
+      tsCol: String,
+      baseline: Array[Byte],
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes",
+      psiThreshold: Double = 0.2,
+      k: Int = 200
+  ): DataFrame = {
+    val psiUdf = udf { (bytes: Array[Byte]) =>
+      graft.stats.SketchDrift.psi(
+        graft.exprs.SketchAgg.deserialize(bytes),
+        graft.exprs.SketchAgg.deserialize(baseline))
+    }
+    val ksUdf = udf { (bytes: Array[Byte]) =>
+      graft.stats.SketchDrift.ks(
+        graft.exprs.SketchAgg.deserialize(bytes),
+        graft.exprs.SketchAgg.deserialize(baseline))
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("window"))
+      .agg(graft.exprs.SketchAgg.kll(valueCol, k).as("_sk"), count(valueCol).as("n"))
+      .select(col("window"), col("n"), psiUdf(col("_sk")).as("psi"), ksUdf(col("_sk")).as("ks"))
+      .withColumn("drifted", col("psi") >= psiThreshold)
+  }
+
   /** Stateful streaming uniqueness: first-occurrence-wins across the whole
     * stream (the unique-constraint semantics of the batch engine,
     * custom_checks.py:121-143 — first cache hit wins, later rows violate).

@@ -98,6 +98,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed sketch drift: shifted window alerts, matching window does not") {
+    import graft.streaming.StreamingChecks
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform-ish values 0..999 (batch sketch, serialized bytes —
+    // what a SketchDrift snapshot holds)
+    val baseline = spark.range(1000).select(col("id").cast("double").as("v"))
+      .agg(graft.exprs.SketchAgg.kll(col("v"))).head().getAs[Array[Byte]](0)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "v")
+    val drift = StreamingChecks.windowedSketchDrift(
+      df, col("v"), "ts", baseline,
+      windowDuration = "1 minute", watermarkDelay = "0 seconds", psiThreshold = 0.2)
+    assert(drift.isStreaming)
+    val q = drift
+      .selectExpr("CAST(window.start AS STRING) AS w", "n", "psi", "ks", "drifted")
+      .writeStream.format("memory").queryName("graft_stream_drift").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window 1: same distribution as baseline; window 2: shifted far right
+      input.addData((0 until 200).map(i => (ts("2026-01-01 10:00:30"), (i * 5).toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((0 until 200).map(i => (ts("2026-01-01 10:01:30"), 5000.0 + i)): _*)
+      q.processAllAvailable()
+      input.addData((ts("2026-01-01 10:05:00"), 1.0)) // advance watermark past both
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_drift")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(4))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2026-01-01 10:00:00", 200L, false),
+        ("2026-01-01 10:01:00", 200L, true)
+      ))
+      // psi of the shifted window is large, matching window small
+      val psis = spark.table("graft_stream_drift")
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+      assert(psis("2026-01-01 10:00:00") < 0.1)
+      assert(psis("2026-01-01 10:01:00") > 1.0)
+    } finally q.stop()
+  }
+
   test("stateful streaming uniqueness: first occurrence wins ACROSS batches") {
     import graft.streaming.StreamingChecks
     implicit val sqlCtx = spark.sqlContext
