@@ -234,11 +234,18 @@ object Bench {
     * computed with the store geometry knnJoin derives from the same seed)
     * probed by its ~n/200 planted scaled copies as the query batch, k=5.
     * Cost profile: two codegen'd signature scans + the 8-byte sig equi-join
-    * + per-query window top-k. Returns (storeRows, seconds, resultRows). */
+    * + per-query window top-k. Returns (storeRows, seconds, resultRows).
+    *
+    * Signature bits SCALE WITH log2(n) (16 at 2M rows — the ScalingBench
+    * size — 20 at 20M): with fixed bits, bucket occupancy grows linearly in
+    * n and candidate verification per query grows with it, turning a 10×
+    * data scale-up into ~100× join work (measured: 44k vec/s at 20M with 16
+    * bits vs ~200k at 2M). Sizing bits to hold occupancy ~constant is
+    * exactly what a real deployment does when it sizes an LSH index. */
   def knnJoinThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     import graft.ann.Ann
-    val numBits = 16
+    val numBits = math.max(12, math.ceil(math.log(n.toDouble) / math.log(2)).toInt - 5)
     val df = syntheticVectors(spark, n, slices)
     val planes = Ann.hyperplanes(numBits, 16)
     val store = df.select(col("vec_id").as("id"), col("embedding"),

@@ -191,6 +191,14 @@ object Ann {
     * sharing the query's signature (e.g. scaled duplicates — sign-invariant),
     * probabilistic beyond, tunable via numBits/probeHamming.
     *
+    * SIZE numBits WITH log2(storeRows): expected bucket occupancy is
+    * n / 2^numBits, and per-query verification work is occupancy ×
+    * (numBits+… probes) — with FIXED bits a 10× store means 10× candidates
+    * per query, i.e. ~100× total join work (measured in Bench: 44k vec/s at
+    * 20M rows with 16 bits vs ~200k vec/s at 2M). Keeping occupancy
+    * constant (numBits ≈ log2(n) − 5 for ~30/bucket) keeps per-row cost
+    * flat, exactly like sizing a real LSH index.
+    *
     * Output: (qid, id, cosine, rank), rank 1..k per qid.
     */
   def knnJoin(
