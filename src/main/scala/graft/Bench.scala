@@ -186,18 +186,25 @@ object Bench {
     * 16-dim vectors (splitmix64-mixed components: uniform directions, no
     * trigonometric aliasing), with every 100th row a 0.5-scaled copy of the
     * row 100 before it (planted exact-direction dups, ~1%). Runs
-    * `Dedup.embeddingCosinePairsLsh` (2 tables × 24 bits — bucket count
-    * sized to n so random collisions stay rare) and counts verified pairs.
-    * Cost profile: codegen'd signature computation (CPU-bound, scales with
+    * `Dedup.embeddingCosinePairsLsh` (2 tables, bits scaled with log2(n):
+    * 24 at the 2M ScalingBench size) and counts verified pairs. Cost
+    * profile: codegen'd signature computation (CPU-bound, scales with
     * cores) + bucket-join shuffle + native-expression cosine verification.
-    * Returns (vectors, seconds, pairs). */
+    * Returns (vectors, seconds, pairs).
+    *
+    * Signature bits MUST scale with n, like the kNN-join workload's: with
+    * fixed bits, bucket occupancy grows linearly and the within-bucket
+    * candidate-PAIR count grows quadratically — a 10× scale-up measured
+    * ~50 GB of candidate shuffle before the fix. Planted copies are
+    * sign-invariant (exact-direction), so more bits never lose them. */
   def embeddingThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
+    val numBits = 24 + math.max(0, math.ceil(math.log(n / 2000000.0) / math.log(2)).toInt)
     val df = syntheticVectors(spark, n, slices)
     val t0 = System.nanoTime()
     val pairs = graft.dedup.Dedup
       .embeddingCosinePairsLsh(df, col("embedding"), col("vec_id"),
-        threshold = 0.99, numBits = 24, tables = 2)
+        threshold = 0.99, numBits = numBits, tables = 2)
       .count()
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }

@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   * arbitrary row count — used to record 10× points so round-over-round
   * comparisons don't live entirely at sf0.1's noise floor.
   *
-  * Usage: runMain graft.ScalePoint [rows] [cpus] [samples] [mode]
-  * (defaults 200000000 32 2 metadata; modes: metadata | embedding | knnjoin)
+  * Usage: runMain graft.ScalePoint [rows] [cpus] [samples] [mode] [shufflePartitions]
+  * (defaults 200000000 32 2 metadata 64; modes: metadata | embedding | knnjoin.
+  * Size shufflePartitions so per-task join/sort state fits executor memory —
+  * the join-heavy modes at 10× rows need ~4× the partitions; AQE coalesces
+  * any that come out small.)
   */
 object ScalePoint {
   def main(args: Array[String]): Unit = {
@@ -17,10 +20,11 @@ object ScalePoint {
     val cpus = if (args.length > 1) args(1).toInt else 32
     val samples = if (args.length > 2) args(2).toInt else 2
     val mode = if (args.length > 3) args(3) else "metadata"
+    val shufflePartitions = if (args.length > 4) args(4).toInt else 64
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")
