@@ -209,6 +209,44 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** Scaling workload #4 — text near-dup (MinHash+LSH): n synthetic
+    * 50-token documents (splitmix64 token ids over a 50k vocabulary), with
+    * every 100th doc in odd blocks a near-copy of the doc 100 before it
+    * (ONE mid-document token replaced → 3 of 48 shingles change, Jaccard
+    * ≈ 0.88 — a true NEAR-dup, above the 0.8 threshold but never an
+    * identical-set collapse). Runs `Dedup.minHashPairs` (3-word shingles,
+    * 32 hashes × 8 bands) and counts verified pairs (expected ≈ n/200).
+    * Cost profile: per-row shingle+minhash kernels (CPU-bound, scales with
+    * cores) + id-only banding shuffle + exact-Jaccard verify on deduped
+    * candidates. Returns (docs, seconds, pairs). */
+  def textThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val gen = udf { (id: Long) =>
+      val planted = id % 100 == 7 && (id / 100) % 2 == 1
+      val base = if (planted) id - 100 else id
+      val sb = new java.lang.StringBuilder(360)
+      var j = 0
+      while (j < 50) {
+        var z = base * 1315423911L + j.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val tok = if (planted && j == 25) -1L else math.floorMod(z, 50000L)
+        sb.append('t').append(tok)
+        if (j < 49) sb.append(' ')
+        j += 1
+      }
+      sb.toString
+    }
+    val df = spark.range(0, n, 1, slices).select(col("id").as("doc_id"), gen(col("id")).as("text"))
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup
+      .minHashPairs(df, col("text"), col("doc_id"),
+        shingleWords = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, pairs)
+  }
+
   /** n pseudo-random 16-dim vectors (splitmix64-mixed components: uniform
     * directions, no trigonometric aliasing); every other 100th row is a
     * 0.5-scaled copy of the row 100 before it (planted exact-direction dups,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * comparisons don't live entirely at sf0.1's noise floor.
   *
   * Usage: runMain graft.ScalePoint [rows] [cpus] [samples] [mode] [shufflePartitions]
-  * (defaults 200000000 32 2 metadata 64; modes: metadata | embedding | knnjoin.
+  * (defaults 200000000 32 2 metadata 64; modes: metadata | embedding | knnjoin | text.
   * Size shufflePartitions so per-task join/sort state fits executor memory —
   * the join-heavy modes at 10× rows need ~4× the partitions; AQE coalesces
   * any that come out small.)
@@ -33,6 +33,7 @@ object ScalePoint {
     def run(rows: Long): (Long, Double, Long) = mode match {
       case "embedding" => Bench.embeddingThroughput(spark, rows)
       case "knnjoin"   => Bench.knnJoinThroughput(spark, rows)
+      case "text"      => Bench.textThroughput(spark, rows)
       case _           => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

@@ -39,6 +39,7 @@ object ScalingBench {
     }
 
     val nEmb = n / 10 // embedding suite: vectors are ~70B each vs 8B rows
+    val nText = n / 40 // minhash suite: ~350B docs, 48 shingles + 32 hashes each
 
     // warmup both codegen paths once
     {
@@ -46,6 +47,7 @@ object ScalingBench {
       Bench.scaleThroughput(s, math.min(n / 10, 2000000L), low)
       Bench.embeddingThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.knnJoinThroughput(s, math.min(nEmb / 10, 200000L))
+      Bench.textThroughput(s, math.min(nEmb / 10, 200000L))
       s.stop()
     }
 
@@ -53,12 +55,18 @@ object ScalingBench {
     // standard capacity measure on a host with noisy-neighbor CPU steal
     // (observed 2.6x spread between repeats of the identical job)
     val times = collection.mutable.Map[(String, Int), List[Double]]().withDefaultValue(Nil)
-    val modes = Seq("rowchecks", "full", "salted", "embedding", "knnjoin")
+    // GRAFT_SCALING_MODES=text,knnjoin runs a subset (extra samples for one
+    // workload without re-paying the whole suite)
+    val modes = sys.env
+      .get("GRAFT_SCALING_MODES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("rowchecks", "full", "salted", "embedding", "knnjoin", "text"))
     for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- modes) {
       val s = session(cpus)
       val (_, sec, _) =
         if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
         else if (mode == "knnjoin") Bench.knnJoinThroughput(s, nEmb)
+        else if (mode == "text") Bench.textThroughput(s, nText)
         else Bench.scaleThroughput(s, n, cpus,
           withUniqueness = mode != "rowchecks",
           uniquenessSalts = if (mode == "salted") 16 else 0)
@@ -68,7 +76,10 @@ object ScalingBench {
     }
 
     val parts = modes.map { mode =>
-      val nm = if (mode == "embedding" || mode == "knnjoin") nEmb else n
+      val nm =
+        if (mode == "text") nText
+        else if (mode == "embedding" || mode == "knnjoin") nEmb
+        else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min
       val eff = (tLow / tHigh) / (high.toDouble / low)
