@@ -256,6 +256,78 @@ class XlsxSpec extends SparkSpec {
     assert(g(4)(2) == "42") // FORMULA cached numeric
   }
 
+  test("CFB mini-stream layout (workbook < 4096 bytes in the mini-FAT) parses — the real-world small-file shape") {
+    // writeXls always pads past the mini cutoff; REAL small .xls files from
+    // Excel store the Workbook stream in 64-byte mini sectors chained by the
+    // mini-FAT inside the root entry's stream. Hand-craft that layout.
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def rec(id: Int, p: Array[Byte]) = le16(id) ++ le16(p.length) ++ p
+    val bof = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ Array.fill[Byte](12)(0))
+    val sheetBof = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ Array.fill[Byte](12)(0))
+    val eof = rec(0x000a, Array.emptyByteArray)
+    val label = "mini stream cell"
+    val sstPayload = le32(0) ++ le32(0)
+    val bsLen = 4 + 8 + 2
+    val globalsLen = bof.length + bsLen + (4 + sstPayload.length) + eof.length
+    val boundSheet = rec(0x0085, le32(globalsLen) ++ Array[Byte](0, 0) ++ Array(1.toByte, 1.toByte) ++ "S".getBytes("UTF-16LE"))
+    val sheet = sheetBof ++
+      rec(0x0204, le16(0) ++ le16(0) ++ le16(0) ++ le16(label.length) ++ Array(0x01.toByte) ++ label.getBytes("UTF-16LE")) ++
+      eof
+    val wb = bof ++ boundSheet ++ rec(0x00fc, sstPayload) ++ eof ++ sheet
+    assert(wb.length < 4096, "fixture must stay under the mini cutoff")
+
+    // CFB: sector 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = root mini-stream
+    val miniSectors = (wb.length + 63) / 64
+    val rootBytes = miniSectors * 64
+    val rootSectors = (rootBytes + 511) / 512
+    val End = 0xfffffffe
+    val out = new java.io.ByteArrayOutputStream()
+    // header
+    out.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    out.write(new Array[Byte](16))
+    out.write(le16(0x003e)); out.write(le16(0x0003)); out.write(le16(0xfffe))
+    out.write(le16(9)); out.write(le16(6)); out.write(new Array[Byte](6))
+    out.write(le32(0)); out.write(le32(1)) // numDirSectors(v3), numFat
+    out.write(le32(1)); out.write(le32(0)) // dirStart, transaction
+    out.write(le32(4096))
+    out.write(le32(2)); out.write(le32(1)) // miniFAT start sector, count
+    out.write(le32(End)); out.write(le32(0)) // DIFAT
+    out.write(le32(0)); (1 until 109).foreach(_ => out.write(le32(0xffffffff)))
+    // FAT sector
+    val fat = new java.io.ByteArrayOutputStream()
+    fat.write(le32(0xfffffffd)); fat.write(le32(End)); fat.write(le32(End)) // FAT, dir, miniFAT
+    (0 until rootSectors).foreach(i => fat.write(le32(if (i == rootSectors - 1) End else 3 + i + 1)))
+    (3 + rootSectors until 128).foreach(_ => fat.write(le32(0xffffffff)))
+    out.write(fat.toByteArray)
+    // directory: root (type 5, holds the mini stream), Workbook (type 2, mini sector 0)
+    def dirEntry(name: String, typ: Int, child: Int, start: Int, size: Int): Array[Byte] = {
+      val e = new java.io.ByteArrayOutputStream()
+      val nm = name.getBytes("UTF-16LE")
+      e.write(nm); e.write(new Array[Byte](64 - nm.length))
+      e.write(le16(nm.length + 2)); e.write(typ); e.write(1)
+      e.write(le32(-1)); e.write(le32(-1)); e.write(le32(child))
+      e.write(new Array[Byte](16)); e.write(le32(0)); e.write(new Array[Byte](16))
+      e.write(le32(start)); e.write(le32(size)); e.write(le32(0))
+      e.toByteArray
+    }
+    out.write(dirEntry("Root Entry", 5, 1, 3, rootBytes))
+    out.write(dirEntry("Workbook", 2, -1, 0, wb.length))
+    out.write(new Array[Byte](128)); out.write(new Array[Byte](128))
+    // miniFAT sector: chain mini sectors 0..miniSectors-1
+    val mfat = new java.io.ByteArrayOutputStream()
+    (0 until miniSectors).foreach(i => mfat.write(le32(if (i == miniSectors - 1) End else i + 1)))
+    (miniSectors until 128).foreach(_ => mfat.write(le32(0xffffffff)))
+    out.write(mfat.toByteArray)
+    // root mini-stream data (wb in 64-byte sectors), sector-padded
+    out.write(wb); out.write(new Array[Byte](rootBytes - wb.length))
+    val tail = (512 - rootBytes % 512) % 512
+    if (tail > 0) out.write(new Array[Byte](tail))
+
+    val table = XlsxSource.readXlsxBytes(spark, out.toByteArray, "xls").fold(e => fail(e.message), identity)
+    assert(table.headers == Seq(label)) // single cell → header row
+  }
+
   test("property: arbitrary grids round-trip through writeXls → BIFF8 parse") {
     // BIFF stores numbers as IEEE doubles, so numeric cells must use
     // canonical lexical forms (no trailing zeros) to round-trip exactly
