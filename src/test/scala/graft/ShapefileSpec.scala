@@ -142,6 +142,72 @@ class ShapefileSpec extends SparkSpec {
     }
   }
 
+  test("typed DBF fields (N/F/L/D) render pyshp's lexical surface; polyline shapes carry geometry") {
+    // the fixture writer emits only C fields and point shapes — hand-craft a
+    // DBF with numeric/logical/date fields and a SHP with polyline records
+    // to pin the reader's typed-value and numPoints paths
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def be32(v: Int) = Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xff).toByte)
+    def fieldDesc(name: String, typ: Char, len: Int): Array[Byte] = {
+      val nm = name.getBytes("ISO-8859-1").take(10)
+      nm ++ new Array[Byte](11 - nm.length) ++ Array(typ.toByte) ++ new Array[Byte](4) ++
+        Array(len.toByte, 0.toByte) ++ new Array[Byte](14)
+    }
+    val fields = Seq(("num", 'N', 8), ("flt", 'F', 8), ("flag", 'L', 1), ("day", 'D', 8))
+    val recordLen = 1 + fields.map(_._3).sum
+    val headerLen = 32 + fields.size * 32 + 1
+    // cells at exact field widths (numerics right-justified, as dBASE writes)
+    val recs = Seq(
+      Seq("      42", "        ", "T", "20240102"),
+      Seq("   -7.50", "    1.25", "F", "        ")
+    )
+    val dbf = new java.io.ByteArrayOutputStream()
+    dbf.write(3); dbf.write(Array[Byte](95, 1, 1))
+    dbf.write(le32(recs.size)); dbf.write(le16(headerLen)); dbf.write(le16(recordLen))
+    dbf.write(new Array[Byte](20))
+    fields.foreach { case (n, t, l) => dbf.write(fieldDesc(n, t, l)) }
+    dbf.write(0x0d)
+    recs.foreach { r =>
+      dbf.write(0x20)
+      fields.zip(r).foreach { case ((_, _, len), v) =>
+        val bs = v.getBytes("ISO-8859-1").take(len)
+        dbf.write(bs); dbf.write(Array.fill[Byte](len - bs.length)(' '))
+      }
+    }
+    dbf.write(0x1a)
+    // SHP: header + one polyline with 2 points + one polyline with 0 points
+    def polyline(numPoints: Int): Array[Byte] = {
+      val content = le32(3) ++ new Array[Byte](32) ++ le32(1) ++ le32(numPoints) ++
+        le32(0) ++ new Array[Byte](16 * numPoints)
+      content
+    }
+    val shp = new java.io.ByteArrayOutputStream()
+    shp.write(be32(9994)); (1 to 5).foreach(_ => shp.write(be32(0)))
+    val c1 = polyline(2); val c2 = polyline(0)
+    shp.write(be32(50 + (8 + c1.length + 8 + c2.length) / 2))
+    shp.write(le32(1000)); shp.write(le32(3)); shp.write(new Array[Byte](64))
+    shp.write(be32(1)); shp.write(be32(c1.length / 2)); shp.write(c1)
+    shp.write(be32(2)); shp.write(be32(c2.length / 2)); shp.write(c2)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("t.shp")); zos.write(shp.toByteArray); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("t.dbf")); zos.write(dbf.toByteArray); zos.closeEntry()
+    zos.close()
+    val table = ShapefileSource.readShapefileBytes(spark, bos.toByteArray).fold(e => fail(e.message), identity)
+    val rows = table.df.orderBy("_row_number").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "42") // N trimmed
+    assert(rows(0).getString(1) == null) // empty numeric → null
+    assert(rows(0).getString(2) == "True") // L
+    assert(rows(0).getString(3) == "2024-01-02") // D → ISO
+    assert(rows(1).getString(0) == "-7.50" && rows(1).getString(1) == "1.25")
+    assert(rows(1).getString(2) == "False")
+    assert(rows(1).getString(3) == null) // blank date
+    // polyline with points → True; zero-point polyline → False
+    assert(rows(0).getString(4) == "True" && rows(1).getString(4) == "False")
+  }
+
   test("deleted DBF records (0x2A flag) are skipped like pyshp") {
     val path = tmp("del.shp")
     ShapefileSource.writeShapefile(path, Seq("id"), Seq(Seq("1"), Seq("2"), Seq("3")))
