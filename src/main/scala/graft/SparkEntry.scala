@@ -582,6 +582,45 @@ object SparkEntry {
         .select(col("code"), col("row_number"))
         .orderBy("row_number", "code")
     }),
+    // ---- CSV structural round trip: a CSV generated deterministically
+    // from nation with planted RAGGED rows (record i gets an extra cell at
+    // i % 7 == 3, loses its last cell at i % 11 == 5 — disjoint for i < 25)
+    // plus one all-empty trailing row; runCsv merges the parser's
+    // structural violations (extra-value / missing-value,
+    // custom_checks.py:479-503) with the plan checks (blank-row + schema
+    // constraints), and the oracle re-derives every (code, row) straight
+    // from nation.parquet — the first oracle over the structure-check family
+    "q49_csv_structure_validation" -> ((s, dir) => {
+      import s.implicits._
+      val recs = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+        .collect() // nation is a constant 25-row dimension at every SF
+        .map(r => Seq(r.get(0).toString, r.getString(1), r.get(2).toString))
+      val lines = Seq("n_nationkey,n_name,n_regionkey") ++ recs.zipWithIndex.map { case (c, i) =>
+        val cells =
+          if (i % 7 == 3) c :+ "x"
+          else if (i % 11 == 5) c.dropRight(1)
+          else c
+        cells.mkString(",")
+      } :+ ",,"
+      val f = new java.io.File(s"target/csvcache/${new java.io.File(dir).getName}/nation.csv")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
+      val (report, _) = ValidationRunner.runCsv(
+        s,
+        f.toString,
+        TableSchema(fields = Seq(
+          Field("n_nationkey", ftype = "integer"),
+          Field("n_name", constraints = fc(maxLength = Some(8))),
+          Field("n_regionkey", ftype = "integer", constraints = fc(maximum = Some(3)))
+        ))
+      )
+      report.tables.head.errors
+        .map(v => (v.code, v.rowNumber.getOrElse(0L)))
+        .toDF("code", "row_number")
+        .orderBy("row_number", "code")
+    }),
     // ---- Shapefile source (reference jobs.py:335-387): a zipped
     // point-shapefile generated deterministically from nation (record i ←
     // rank-by-nationkey, shp row = i+2, header row 1; NULL shapes planted
@@ -1056,6 +1095,28 @@ object SparkEntry {
         |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
         |  UNION ALL
         |  SELECT 'missing-geometry', rn FROM numbered WHERE (rn - 2) % 5 = 2
+        |) ORDER BY row_number, code""".stripMargin,
+    // csv record i = rank-by-nationkey (0-based), row = i+2 (header row 1);
+    // ragged planting: extra cell at i%7==3, dropped last cell at i%11==5
+    // (losing n_regionkey, so maximum-constraint is excluded there); the
+    // all-empty trailing row sits at 2 + count(*)
+    "q49_csv_structure_validation" ->
+      """WITH numbered AS (
+        |  SELECT n_name, n_regionkey,
+        |         row_number() OVER (ORDER BY n_nationkey) - 1 AS i
+        |  FROM nation
+        |)
+        |SELECT code, row_number FROM (
+        |  SELECT 'maximum-constraint' AS code, i + 2 AS row_number FROM numbered
+        |    WHERE n_regionkey > 3 AND i % 11 <> 5
+        |  UNION ALL
+        |  SELECT 'maximum-length-constraint', i + 2 FROM numbered WHERE length(n_name) > 8
+        |  UNION ALL
+        |  SELECT 'extra-value', i + 2 FROM numbered WHERE i % 7 = 3
+        |  UNION ALL
+        |  SELECT 'missing-value', i + 2 FROM numbered WHERE i % 11 = 5
+        |  UNION ALL
+        |  SELECT 'blank-row', 2 + (SELECT count(*) FROM nation)
         |) ORDER BY row_number, code""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
