@@ -582,6 +582,49 @@ object SparkEntry {
         .select(col("code"), col("row_number"))
         .orderBy("row_number", "code")
     }),
+    // ---- GeoJSON round trip (reference jobs.py:297-332): a
+    // FeatureCollection generated deterministically from nation — geometry
+    // NULL at nationkey % 5 == 2, empty coordinates at % 5 == 4 (the two
+    // falsy paths of the adr_geometry_check synthesis) — is read back
+    // through readJson's features[*].properties flatten and validated;
+    // row id = the nationkey property (flatten has no file row order), and
+    // the oracle re-derives every violation straight from nation.parquet
+    "q50_geojson_validation" -> ((s, dir) => {
+      val feats = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+        .collect() // constant 25-row dimension
+        .map { r =>
+          val k = r.get(0).toString.toLong
+          val geom =
+            if (k % 5 == 2) "null"
+            else if (k % 5 == 4) """{"type": "Point", "coordinates": []}"""
+            else s"""{"type": "Point", "coordinates": [$k.0, ${k + 40}.0]}"""
+          s"""{"type": "Feature", "properties": {"nationkey": $k, "name": "${r.getString(1)}", "regionkey": ${r.get(2)}}, "geometry": $geom}"""
+        }
+      val f = new java.io.File(s"target/jsoncache/${new java.io.File(dir).getName}/nation.geojson")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(
+        f.toPath,
+        feats.mkString("""{"type": "FeatureCollection", "features": [""", ",\n", "]}")
+      )
+      val df = graft.sources.TableSource.readJson(s, f.toString)
+        .fold(e => sys.error(e.message), identity)
+        .withColumn("_rid", col("nationkey").cast("long"))
+      ValidationRunner
+        .plan(
+          df,
+          TableSchema(fields = Seq(
+            Field("name", constraints = fc(maxLength = Some(8))),
+            Field("regionkey", ftype = "integer", constraints = fc(maximum = Some(3))),
+            Field("adr_geometry_check")
+          )),
+          ValidationConfig(rowNumberCol = "_rid")
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number", "code")
+    }),
     // ---- CSV structural round trip: a CSV generated deterministically
     // from nation with planted RAGGED rows (record i gets an extra cell at
     // i % 7 == 3, loses its last cell at i % 11 == 5 — disjoint for i < 25)
@@ -1095,6 +1138,16 @@ object SparkEntry {
         |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
         |  UNION ALL
         |  SELECT 'missing-geometry', rn FROM numbered WHERE (rn - 2) % 5 = 2
+        |) ORDER BY row_number, code""".stripMargin,
+    // geojson row id = the nationkey property; geometry planted falsy at
+    // nationkey % 5 in (2, 4) → missing-geometry
+    "q50_geojson_validation" ->
+      """SELECT code, row_number FROM (
+        |  SELECT 'maximum-constraint' AS code, n_nationkey AS row_number FROM nation WHERE n_regionkey > 3
+        |  UNION ALL
+        |  SELECT 'maximum-length-constraint', n_nationkey FROM nation WHERE length(n_name) > 8
+        |  UNION ALL
+        |  SELECT 'missing-geometry', n_nationkey FROM nation WHERE n_nationkey % 5 IN (2, 4)
         |) ORDER BY row_number, code""".stripMargin,
     // csv record i = rank-by-nationkey (0-based), row = i+2 (header row 1);
     // ragged planting: extra cell at i%7==3, dropped last cell at i%11==5
