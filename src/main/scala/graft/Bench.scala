@@ -209,6 +209,35 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** Scaling workload #5 — the IMAGE-axis validation pass: the stored
+    * synthetic image table (materialized once OUTSIDE timing; real PNG/JPEG
+    * payloads), full validation = decode checks (payload decodability,
+    * decoded dims/fmt vs metadata, caption equality) + image_id uniqueness.
+    * The per-row kernel is the actual ImageIO decode (CPU-bound; reader
+    * instances reused per thread, no result caching — every pass re-decodes,
+    * so cross-parallelism comparisons measure real work). Returns
+    * (images, seconds, violations). */
+  def imageThroughput(spark: SparkSession, n: Long): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions.col
+    val imgPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_images_$n"
+    if (!new java.io.File(imgPath, "_SUCCESS").exists())
+      graft.images.SyntheticImages.generateWithId(spark, n).write.mode("overwrite").parquet(imgPath)
+    val stored = spark.read.parquet(imgPath)
+    val t0 = System.nanoTime()
+    val imgViol = graft.images.ImageChecks.violations(stored, col("row_id")).count()
+    val metaViol = graft.runner.ValidationRunner
+      .plan(
+        stored.drop("bytes").withColumnRenamed("row_id", "_rid"),
+        graft.schema.TableSchema(
+          Seq(graft.schema.Field("image_id", constraints = graft.schema.FieldConstraints(unique = true)))
+        ),
+        graft.runner.ValidationConfig(rowNumberCol = "_rid")
+      )
+      .violations
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, imgViol + metaViol)
+  }
+
   /** Scaling workload #4 — text near-dup (MinHash+LSH): n synthetic
     * 50-token documents (splitmix64 token ids over a 50k vocabulary), with
     * every 100th doc in odd blocks a near-copy of the doc 100 before it

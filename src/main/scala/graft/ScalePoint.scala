@@ -34,6 +34,7 @@ object ScalePoint {
       case "embedding" => Bench.embeddingThroughput(spark, rows)
       case "knnjoin"   => Bench.knnJoinThroughput(spark, rows)
       case "text"      => Bench.textThroughput(spark, rows)
+      case "image"     => Bench.imageThroughput(spark, rows)
       case _           => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

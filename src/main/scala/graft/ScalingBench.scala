@@ -40,6 +40,12 @@ object ScalingBench {
 
     val nEmb = n / 10 // embedding suite: vectors are ~70B each vs 8B rows
     val nText = n / 40 // minhash suite: ~350B docs, 48 shingles + 32 hashes each
+    // image suite: real PNG/JPEG decodes. Sized so the timed region is tens
+    // of seconds at the LOW level — at 50k images the pass is ~3 s on 8
+    // cores and fixed job overhead (~1.5 s: scheduling, footer reads, two
+    // count jobs) eats the ratio (measured 0.68 "efficiency" that is pure
+    // amortization, not decode scaling)
+    val nImg = sys.env.get("GRAFT_SCALING_IMG").map(_.toLong).getOrElse(200000L)
 
     // warmup both codegen paths once
     {
@@ -48,6 +54,7 @@ object ScalingBench {
       Bench.embeddingThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.knnJoinThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.textThroughput(s, math.min(nEmb / 10, 200000L))
+      Bench.imageThroughput(s, nImg) // also materializes the stored table
       s.stop()
     }
 
@@ -60,13 +67,14 @@ object ScalingBench {
     val modes = sys.env
       .get("GRAFT_SCALING_MODES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq("rowchecks", "full", "salted", "embedding", "knnjoin", "text"))
+      .getOrElse(Seq("rowchecks", "full", "salted", "embedding", "knnjoin", "text", "image"))
     for (_ <- 1 to rounds; cpus <- Seq(low, high); mode <- modes) {
       val s = session(cpus)
       val (_, sec, _) =
         if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
         else if (mode == "knnjoin") Bench.knnJoinThroughput(s, nEmb)
         else if (mode == "text") Bench.textThroughput(s, nText)
+        else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
           withUniqueness = mode != "rowchecks",
           uniquenessSalts = if (mode == "salted") 16 else 0)
@@ -78,6 +86,7 @@ object ScalingBench {
     val parts = modes.map { mode =>
       val nm =
         if (mode == "text") nText
+        else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else n
       val tLow = times((mode, low)).min
