@@ -338,6 +338,15 @@ object SparkEntry {
         .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")),
+    // pairs → clusters: connected components over the q26 near-dup pair set
+    // (the canonicalization step of a dedup pipeline — pick min-id per
+    // component); the oracle computes the transitive closure's min
+    // reachable id with a DuckDB recursive CTE over the SAME SQL pair set
+    "q51_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup
+        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b")).orderBy("id")
+    }),
     "q27_ngram_jaccard" -> ((s, dir) =>
       Dedup
         .ngramJaccardPairs(
@@ -905,6 +914,27 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure of the q26 pair set via recursive CTE: comp = min
+    // reachable id — exactly what min-label propagation converges to
+    "q51_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |)
+        |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, lang, source, string_split_regex(trim(text),'\s+') AS tk FROM documents),
         |sh AS (SELECT doc_id, lang, source,

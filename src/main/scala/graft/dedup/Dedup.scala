@@ -464,4 +464,55 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
   }
+
+  /** Connected components over an undirected pair set — the step that turns
+    * near-dup PAIRS into dedup CLUSTERS (one canonical doc per component).
+    * Iterative min-label propagation: each node's label becomes the min of
+    * its own and its neighbors' labels until fixpoint — the standard
+    * distributed CC shape (label-propagation family; converges in
+    * O(distance-to-min-node) rounds, each round ONE hash join on node id +
+    * one aggregation — for dedup clusters, whose diameter is tiny, a
+    * handful of rounds; pathological long-chain graphs want the
+    * small-star/large-star variant, out of scope for dedup).
+    *
+    * A driver loop with one action per round is inherent to iterative
+    * fixpoints (the reference point is GraphX/GraphFrames CC, same shape);
+    * `localCheckpoint` truncates lineage each round so the plan stays
+    * constant-size. Output: (id, comp), comp = min id reachable. Nodes
+    * never appearing in a pair are absent — join back to the corpus for
+    * singleton rows. */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), Seq("dst"))
+        .groupBy("src")
+        .agg(min(col("_nc")).as("_nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("_nmin"), col("comp"))).cast("long").as("_chg")
+        )
+        .localCheckpoint(true)
+      val changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head().getLong(0)
+      labels = next.select(col("id"), col("comp"))
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
 }

@@ -294,4 +294,19 @@ class TextDedupSpec extends SparkSpec {
     // doc 30 is a near-copy of doc 10; boilerplate-only overlaps are excluded
     assert(pairs == Set((10L, 30L)))
   }
+
+  test("connectedComponents: pairs collapse to min-id clusters, chains converge, isolated pairs stay apart") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11}, {20,21,22} (a triangle); node 99 appears in no pair
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L)
+    ))
+  }
 }
