@@ -477,21 +477,27 @@ object Dedup {
     *
     * A driver loop with one action per round is inherent to iterative
     * fixpoints (the reference point is GraphX/GraphFrames CC, same shape);
-    * `localCheckpoint` truncates lineage each round so the plan stays
-    * constant-size. Output: (id, comp), comp = min id reachable. Nodes
-    * never appearing in a pair are absent — join back to the corpus for
-    * singleton rows. */
-  def connectedComponents(pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    * `truncate` cuts lineage each round so the plan stays constant-size.
+    * The default `localCheckpoint` stores blocks on executors — fast, but
+    * lost with an executor; long cluster runs should pass
+    * `_.checkpoint(true)` (reliable storage via spark.checkpoint.dir) or a
+    * parquet round-trip. Output: (id, comp), comp = min id reachable.
+    * Nodes never appearing in a pair are absent — join back to the corpus
+    * for singleton rows. */
+  def connectedComponents(
+      pairs: DataFrame,
+      a: Column,
+      b: Column,
+      maxIter: Int = 25,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame = {
     val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
-    val sym = edges
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val sym = truncate(
+      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    )
+    var labels = truncate(
+      sym.select(col("src").as("id")).distinct().withColumn("comp", col("id"))
+    )
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -500,14 +506,15 @@ object Dedup {
         .groupBy("src")
         .agg(min(col("_nc")).as("_nmin"))
         .withColumnRenamed("src", "id")
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
-          (col("comp") > coalesce(col("_nmin"), col("comp"))).cast("long").as("_chg")
-        )
-        .localCheckpoint(true)
+      val next = truncate(
+        labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+            (col("comp") > coalesce(col("_nmin"), col("comp"))).cast("long").as("_chg")
+          )
+      )
       val changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head().getLong(0)
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0L
