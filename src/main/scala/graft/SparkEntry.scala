@@ -338,6 +338,19 @@ object SparkEntry {
         .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")),
+    // decontamination scan: corpus docs sharing >= 3 distinct word 3-gram
+    // shingles with ANY "benchmark" doc (deterministic subset
+    // doc_id % 40 == 1); overlap counted on hashed shingles, oracle on the
+    // string shingles — the same hash/string equivalence q26 rests on
+    "q52_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps
+        .contaminatedDocs(
+          docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 40 === 1), col("text"),
+          minOverlap = 3)
+        .orderBy("doc_id")
+    }),
     // pairs → clusters: connected components over the q26 near-dup pair set
     // (the canonicalization step of a dedup pipeline — pick min-id per
     // component); the oracle computes the transitive closure's min
@@ -914,6 +927,16 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q52_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM sh WHERE doc_id % 40 = 1),
+        |corpus AS (SELECT doc_id, unnest(ng) AS g FROM sh),
+        |hits AS (SELECT c.doc_id, count(*) AS overlap FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+        |SELECT doc_id, overlap FROM hits WHERE overlap >= 3 ORDER BY doc_id""".stripMargin,
     // transitive closure of the q26 pair set via recursive CTE: comp = min
     // reachable id — exactly what min-label propagation converges to
     "q51_dedup_components" ->

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -247,5 +247,39 @@ object TextOps {
     val (kk, www) = (k, w)
     val u = udf((s: String) => winnowingOf(s, kk, www))
     u(text)
+  }
+
+  /** Benchmark-contamination scan — the decontamination step of a training
+    * corpus: documents sharing ≥ `minOverlap` distinct word n-gram shingles
+    * with ANY benchmark document (the standard n-gram-overlap test used to
+    * strip evaluation data from training sets). Output: (doc_id, overlap),
+    * only contaminated docs.
+    *
+    * Plan shape: the benchmark explodes to ONE distinct 8-byte hash set —
+    * benchmarks are tiny next to the corpus, so Spark broadcasts it and the
+    * corpus side never shuffles its shingles; per-doc overlap is a count
+    * aggregation keyed by doc id. At a benchmark too large to broadcast the
+    * same plan degrades gracefully to a hash-join on the 8-byte shingle
+    * hash. Shingle hashing shared with the dedup family
+    * ([[wordShingleHashes]]: sorted distinct, so the exploded side is
+    * per-doc distinct for free). */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      benchmark: DataFrame,
+      btext: Column,
+      minOverlap: Int = 3,
+      shingleWords: Int = 3
+  ): DataFrame = {
+    val bset = benchmark
+      .select(explode(wordShingleHashes(btext, shingleWords)).as("_g"))
+      .distinct()
+    corpus
+      .select(id.as("doc_id"), explode(wordShingleHashes(text, shingleWords)).as("_g"))
+      .join(bset, Seq("_g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
   }
 }

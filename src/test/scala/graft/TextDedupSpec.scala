@@ -295,6 +295,22 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((10L, 30L)))
   }
 
+  test("contaminatedDocs: n-gram overlap with the benchmark set, threshold honoured") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4 3-grams with bench doc
+      (2L, "alpha beta gamma unrelated tail here"), // shares 1 3-gram — below threshold
+      (3L, "totally different words in this doc"), // no overlap
+      (4L, "alpha beta gamma delta epsilon zeta") // exact copy → full overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .contaminatedDocs(corpus, col("text"), col("doc_id"), bench, col("text"), minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // 6 tokens → 4 distinct 3-grams; doc 2 shares only "alpha beta gamma"
+    assert(got == Seq((1L, 4L), (4L, 4L)))
+  }
+
   test("connectedComponents: pairs collapse to min-id clusters, chains converge, isolated pairs stay apart") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — needs >1 propagation round),
