@@ -384,10 +384,12 @@ object Ann {
     * (a row-local kernel over the k unit centroids, broadcast as plain
     * closure state), exploded, and equi-joined on the store's `cluster`
     * partition column; cosine + per-query window top-k over candidates only.
-    * With a small query batch AQE broadcasts the probe side and dynamic
-    * partition pruning can skip unprobed cell directories; at 10M+ queries
-    * both sides exchange on `cluster`. Recall is governed by nprobe exactly
-    * as in [[ivfTopK]] (nprobe == k cells is exact).
+    * The probed cell set (bounded by the centroid count) is collected and
+    * pushed as an explicit `cluster IN (...)` partition filter on the store
+    * scan — static pruning that always fires, unlike DPP; with a small
+    * query batch AQE additionally broadcasts the probe side, and at 10M+
+    * queries both sides exchange on `cluster`. Recall is governed by nprobe
+    * exactly as in [[ivfTopK]] (nprobe == k cells is exact).
     *
     * Output: (qid, id, cosine, rank), rank 1..k per qid.
     */
@@ -417,8 +419,16 @@ object Ann {
       .withColumn("_qn", l2norm(col("_qv")))
       .filter(col("_qn") > 0.0)
       .withColumn("cluster", explode(cellsUdf(col("_qv"))))
+    // The probed cell set is bounded by the centroid count (already driver
+    // state), so collect it and push an EXPLICIT partition filter on the
+    // store scan — dynamic partition pruning is not guaranteed to fire, and
+    // an unpruned equi-join reads every cell directory. One extra cheap job
+    // (distinct over an int column of the query batch); asserted to reach
+    // PartitionFilters in AnnStoreSpec.
+    val probed = qside.select(col("cluster")).distinct().collect().map(_.getInt(0)).sorted
     val cand = qside
-      .join(spark.read.parquet(path), Seq("cluster"))
+      .join(spark.read.parquet(path).filter(col("cluster").isin(probed.map(Int.box).toSeq: _*)),
+        Seq("cluster"))
       .select(
         col("qid"), col("id"),
         (dot(col("embedding"), col("_qv")) / (l2norm(col("embedding")) * col("_qn"))).as("cosine"))
@@ -436,21 +446,37 @@ object Ann {
     * rows by Hamming distance over a 64-bit signature column (phash),
     * restricted to `distance <= maxDistance`.
     *
-    * Plan shape (never a cross join):
-    *  1. both sides split their signature into `bands` contiguous sub-bands
+    * Plan shape (never a cross join; both sides PRE-COLLAPSED to distinct
+    * signatures before banding, the Dedup.hammingPairs pattern — mass-
+    * duplicated images, i.e. distance-0 mega-clusters, are the NORM in
+    * web-scale corpora, and banding raw rows would land every member of
+    * such a cluster on one (band, value) join key, one hot task doing
+    * O(|cluster|²) candidate work):
+    *  1. store rows collapse to distinct signatures, each keeping only its
+    *     k smallest member ids (ordering is (distance, id) and all members
+    *     of one signature share every distance, so no other member can ever
+    *     enter any query's top-k) — one well-distributed window over the
+    *     signature; query rows collapse to distinct signatures (the result
+    *     is a pure function of the signature);
+    *  2. the distinct signatures split into `bands` contiguous sub-bands
     *     (posexplode of a few masked shifts — row-local, codegen'd);
-    *  2. equi-join on (band index, band value): by the pigeonhole principle a
+    *  3. equi-join on (band index, band value): by the pigeonhole principle a
     *     pair within Hamming distance < bands agrees exactly on ≥ 1 band, so
     *     with `maxDistance <= bands - 1` the candidate set is EXACT — the
     *     guarantee Dedup.hammingPairs carries, which is why the brute-force
     *     bit_count cross join is an equality oracle (q47), not a recall bound;
-    *  3. distinct (a pair can agree on several bands), codegen'd bit_count
-    *     distance, threshold filter, per-query top-k via a window over
-    *     (qid, id, distance) — 20 B per CANDIDATE, never per store row.
-    * Shuffle: `bands` 12-byte keys per row on each side; the store is never
-    * replicated per query. Distance-0 mega-clusters (mass-duplicated images)
-    * inflate one query's candidate list but the window caps output at k;
-    * at extreme skew pre-collapse identical signatures as hammingPairs does.
+    *  4. distinct (a pair can agree on several bands), codegen'd bit_count
+    *     distance, threshold filter, per-QUERY-SIGNATURE top-k over the ≤ k
+    *     member ids per candidate signature — 20 B per CANDIDATE signature
+    *     pair, never per store row;
+    *  5. the per-signature result fans back out to every query row carrying
+    *     that signature (membership join on the 8-byte signature).
+    * Shuffle: `bands` 12-byte keys per DISTINCT signature on each side.
+    * Candidate volume is surfaced as the `graft.hammingknn.cand`
+    * observation (`sig_pairs` = surviving signature pairs) so skew handling
+    * is never silent. Residual hot keys can only come from one band VALUE
+    * shared by many distinct signatures (gradient-style regions) — bounded
+    * by 2^(64/bands) diversity, and orthogonal to duplicate-row skew.
     *
     * Output: (qid, id, distance, rank), rank 1..k per qid.
     */
@@ -473,25 +499,46 @@ object Ann {
     val mask = if (width >= 64) -1L else (1L << width) - 1
     def bandVals(sig: Column): Column =
       array((0 until bands).map(b => shiftrightunsigned(sig, b * width).bitwiseAND(lit(mask))): _*)
-    val qside = queries
+    import org.apache.spark.sql.expressions.Window
+
+    // 1. collapse: distinct signatures only ever reach the banding join
+    val qmembers = queries
       .select(qid.as("qid"), qsig.as("_qsig"))
       .filter(col("_qsig").isNotNull)
-      .select(col("qid"), col("_qsig"), posexplode(bandVals(col("_qsig"))).as(Seq("bidx", "bval")))
-    val sside = store
+    val qsigs = qmembers.select(col("_qsig")).distinct()
+    val smembers = store
       .select(sid.as("id"), ssig.as("_sig"))
       .filter(col("_sig").isNotNull)
-      .select(col("id"), col("_sig"), posexplode(bandVals(col("_sig"))).as(Seq("bidx", "bval")))
+    val wSig = Window.partitionBy(col("_sig")).orderBy(col("id"))
+    val storeTopK = smembers
+      .withColumn("_sr", row_number().over(wSig))
+      .filter(col("_sr") <= k)
+      .drop("_sr")
+    val ssigs = smembers.select(col("_sig")).distinct()
+
+    // 2-3. band the distinct signatures, pigeonhole equi-join
+    val qside = qsigs
+      .select(col("_qsig"), posexplode(bandVals(col("_qsig"))).as(Seq("bidx", "bval")))
+    val sside = ssigs
+      .select(col("_sig"), posexplode(bandVals(col("_sig"))).as(Seq("bidx", "bval")))
     val cand = qside
       .join(sside, Seq("bidx", "bval"))
-      .select(col("qid"), col("id"),
+      .select(col("_qsig"), col("_sig"),
         bit_count(col("_qsig").bitwiseXOR(col("_sig"))).as("distance"))
       .filter(col("distance") <= maxDistance)
       .distinct()
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("distance"), col("id"))
-    cand
+      .observe("graft.hammingknn.cand", count(lit(1)).as("sig_pairs"))
+
+    // 4. per-query-signature top-k over the capped member expansion
+    val w = Window.partitionBy(col("_qsig")).orderBy(col("distance"), col("id"))
+    val perSig = cand
+      .join(storeTopK, Seq("_sig"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
+
+    // 5. fan the per-signature result out to every query row carrying it
+    perSig
+      .join(qmembers, Seq("_qsig"))
       .select(col("qid"), col("id"), col("distance"), col("_rk").as("rank"))
   }
 

@@ -482,8 +482,14 @@ object Dedup {
     * lost with an executor; long cluster runs should pass
     * `_.checkpoint(true)` (reliable storage via spark.checkpoint.dir) or a
     * parquet round-trip. Output: (id, comp), comp = min id reachable.
-    * Nodes never appearing in a pair are absent — join back to the corpus
-    * for singleton rows. */
+    * Nodes never appearing in a pair are absent — [[components]] joins back
+    * to the corpus for singleton rows.
+    *
+    * If `maxIter` is reached before fixpoint the labels are PARTIAL
+    * (non-minimal component ids on chains longer than `maxIter` hops) —
+    * never returned silently: use [[connectedComponentsStats]] for the
+    * `converged`/`iterations` flags; this convenience wrapper logs a
+    * warning through slf4j on non-convergence. */
   def connectedComponents(
       pairs: DataFrame,
       a: Column,
@@ -491,6 +497,28 @@ object Dedup {
       maxIter: Int = 25,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
+    val r = connectedComponentsStats(pairs, a, b, maxIter, truncate)
+    if (!r.converged)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup")
+        .warn(s"connectedComponents did NOT converge in ${r.iterations} rounds " +
+          "(maxIter reached): component ids are partially propagated — raise maxIter " +
+          "or switch to the small-star/large-star variant for long-chain graphs")
+    r.labels
+  }
+
+  /** Label frame + convergence evidence from [[connectedComponents]]:
+    * `iterations` = rounds executed, `converged` = fixpoint reached (labels
+    * are exact minimal ids) vs `maxIter` hit (labels partial). */
+  final case class CcResult(labels: DataFrame, iterations: Int, converged: Boolean)
+
+  /** [[connectedComponents]] with the convergence evidence surfaced. */
+  def connectedComponentsStats(
+      pairs: DataFrame,
+      a: Column,
+      b: Column,
+      maxIter: Int = 25,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): CcResult = {
     val edges = pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
     val sym = truncate(
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -520,6 +548,33 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
-    labels
+    CcResult(labels, iter, converged)
+  }
+
+  /** Full-corpus canonical id — the final step of a dedup pipeline: one
+    * (id, comp) row for EVERY corpus row, where `comp` is the minimum id of
+    * the row's near-dup component and singletons (rows in no pair) carry
+    * their own id. Keeping every row (rather than only paired nodes, as
+    * [[connectedComponents]] does) is what downstream "keep one doc per
+    * component" filters need: `filter(col("id") === col("comp"))` IS the
+    * deduplicated corpus.
+    *
+    * Plan shape: the label frame is tiny next to the corpus (only nodes
+    * that appeared in a pair), so the left join broadcasts in the common
+    * case; the corpus itself is never shuffled. */
+  def components(
+      corpus: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      a: Column,
+      b: Column,
+      maxIter: Int = 25,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame = {
+    val labels = connectedComponents(pairs, a, b, maxIter, truncate)
+    corpus
+      .select(id.cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

@@ -51,7 +51,11 @@ object BiffSource {
     val numDifat = leInt(b, 72)
 
     def sector(i: Int): Array[Byte] = {
-      val off = 512 + i.toLong * sectorSize
+      // [MS-CFB] 2.2: sector 0 starts AFTER one sector-sized header region,
+      // so the offset is (i+1)*sectorSize — identical to 512 + i*512 for the
+      // common v3 (512 B) files, and correct for v4 (4096 B sector) files,
+      // whose header is padded to 4096.
+      val off = (i.toLong + 1) * sectorSize
       require(off + sectorSize <= b.length, s"sector $i out of range")
       b.slice(off.toInt, off.toInt + sectorSize)
     }
@@ -212,9 +216,15 @@ object BiffSource {
       val cbExt = if ((flags & 0x04) != 0) u32() else 0L
       val sb = new java.lang.StringBuilder(cch)
       var read = 0
+      // [MS-XLS] 2.5.293: character data resuming in a NEW Continue segment
+      // starts with a fresh grbit byte — including when the continuation
+      // boundary falls immediately after the cch/flags header (read == 0),
+      // so track the segment the current grbit was read in rather than
+      // gating on read > 0.
+      var grbitSeg = seg
       while (read < cch) {
         advance()
-        if (off == 0 && read > 0) flags = u8() // continuation boundary: fresh grbit
+        if (off == 0 && seg != grbitSeg) { flags = u8(); grbitSeg = seg } // continuation boundary: fresh grbit
         val wide = (flags & 0x01) != 0
         val avail = segs(seg).length - off
         val charBytes = if (wide) 2 else 1

@@ -77,6 +77,11 @@ object ShapefileSource {
       return Left(SourceContentError("Zipped archive must contain exactly one .shp file."))
     val base = shpNames.head.dropRight(4)
     try {
+      // reference jobs.py:360 opens base+'.shx' and errors if absent — the
+      // index content itself is never needed (records are walked from the
+      // .shp), but its absence must surface the same format error.
+      if (!entries.contains(s"$base.shx"))
+        return Left(FormatError(s"Not a valid shp file: missing $base.shx"))
       val dbf = entries.getOrElse(
         s"$base.dbf",
         return Left(FormatError(s"Not a valid shp file: missing $base.dbf"))

@@ -199,4 +199,62 @@ class AnnStoreSpec extends SparkSpec {
     assert(got == exact)
     assert(got.nonEmpty && got.exists(_._3 > 0), "planted flips must produce non-trivial neighbors")
   }
+
+  test("knnJoinIvf pushes an explicit cluster IN partition filter on the store scan") {
+    val df = clustered(240)
+    val path = Files.createTempDirectory("graft_knnivf_pf").toString + "/store"
+    Ann.writeIvfBucketed(df, col("embedding"), col("vec_id"), path, k = 6, iters = 4)
+    val queries = df.filter(col("vec_id") < 2).select(col("vec_id"), col("embedding"))
+    val out = Ann.knnJoinIvf(spark, queries, col("embedding"), col("vec_id"), path, k = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // static pruning, not DPP: the store FileScan must carry a non-empty
+    // PartitionFilters with the probed cluster set
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*IN".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"store scan must carry cluster IN (...) partition filter, plan:\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("hammingKnnJoin: distance-0 mega-cluster (one signature repeated 10k times) stays collapsed") {
+    // 10 000 store rows share ONE signature; 30 distinct others nearby.
+    // Pre-collapse means banding joins see ~31 signatures, not 10 030 rows —
+    // the graft.hammingknn.cand observation pins the candidate volume.
+    val base = 0x0123456789abcdefL
+    val mega = (0 until 10000).map(i => (i.toLong, base))
+    val others = (0 until 30).map(i => (10000L + i, base ^ (1L << (i % 64)) ^ (if (i % 3 == 0) 2L else 0L)))
+    val sigs = (mega ++ others).toDF("id", "sig")
+    val queries = Seq((0L, base), (9999L, base), (20000L, base ^ 1L)).toDF("id", "sig")
+
+    @volatile var sigPairs: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.hammingknn.cand").foreach(row => sigPairs = Some(row.getLong(0)))
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val r = Ann.hammingKnnJoin(queries, col("sig"), col("id"), sigs, col("sig"), col("id"),
+          k = 5, bands = 4, maxDistance = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+        val deadline = System.currentTimeMillis() + 15000
+        while (sigPairs.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        r
+      } finally spark.listenerManager.unregister(listener)
+
+    // exactness under skew: brute force over the 10 030 rows
+    val all = (mega ++ others)
+    val exact = Seq((0L, base), (9999L, base), (20000L, base ^ 1L)).flatMap { case (qid, qsig) =>
+      all.map { case (id, sig) => (qid, id, java.lang.Long.bitCount(qsig ^ sig)) }
+        .filter(_._3 <= 3)
+        .sortBy(t => (t._3, t._2))
+        .take(5)
+        .zipWithIndex
+        .map { case ((q, i, d), rk) => (q, i, d, rk + 1) }
+    }.sorted
+    assert(got == exact)
+    // collapse evidence: candidate signature pairs ≈ |distinct qsigs| ×
+    // |distinct matching ssigs| (≤ 2 × 31), nowhere near the 10k raw rows
+    assert(sigPairs.exists(n => n > 0 && n <= 62), s"expected collapsed candidate volume, got $sigPairs")
+  }
 }

@@ -157,10 +157,14 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(out)
     assert(!plan.contains("CartesianProduct"), "candidate generation must not cross-join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate generation must not nested-loop")
-    // per-query ranking is ONE window over candidates only
+    // per-query ranking is ONE window over candidates only (plus the
+    // store-side per-signature member cap window)
     assert("Window".r.findAllIn(plan).length >= 1)
+    // pre-collapsed shape: the banded pigeonhole equi-join over DISTINCT
+    // signatures, the capped store-member expansion, and the query fan-out —
+    // all equi-joins, never a product
     val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).length
-    assert(joins == 1, s"exactly one equi-join expected, got $joins:\n$plan")
+    assert(joins == 3, s"three equi-joins expected (banding + 2 membership expansions), got $joins:\n$plan")
   }
 
   test("violations plan is lazy: building it launches no Spark job") {

@@ -80,6 +80,29 @@ class ShapefileSpec extends SparkSpec {
     }
   }
 
+  test("zip missing only the .shx index → 'Not a valid shp file' (jobs.py:360 opens base+'.shx')") {
+    // a fully valid .shp/.dbf pair whose .shx was dropped must fail the same
+    // way the reference does, not validate successfully
+    val path = tmp("noshx.shp")
+    ShapefileSource.writeShapefile(path, fields, records)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+      val b = zin.readAllBytes()
+      if (!e.getName.endsWith(".shx")) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName)); zos.write(b); zos.closeEntry()
+      }
+    }
+    zos.close()
+    ShapefileSource.readShapefileBytes(spark, bos.toByteArray) match {
+      case Left(e: TableSource.FormatError) =>
+        assert(e.message.startsWith("Not a valid shp file: ") && e.message.contains(".shx"))
+      case other => fail(s"expected not-a-valid-shp error for missing .shx, got $other")
+    }
+  }
+
   test("dispatch: shp routes to the shapefile reader") {
     assert(TableSource.formatOf("data.shp") == Right("shapefile"))
   }
@@ -193,6 +216,8 @@ class ShapefileSpec extends SparkSpec {
     val zos = new java.util.zip.ZipOutputStream(bos)
     zos.putNextEntry(new java.util.zip.ZipEntry("t.shp")); zos.write(shp.toByteArray); zos.closeEntry()
     zos.putNextEntry(new java.util.zip.ZipEntry("t.dbf")); zos.write(dbf.toByteArray); zos.closeEntry()
+    // required sibling (reference jobs.py:360); content never parsed
+    zos.putNextEntry(new java.util.zip.ZipEntry("t.shx")); zos.write(new Array[Byte](100)); zos.closeEntry()
     zos.close()
     val table = ShapefileSource.readShapefileBytes(spark, bos.toByteArray).fold(e => fail(e.message), identity)
     val rows = table.df.orderBy("_row_number").collect()

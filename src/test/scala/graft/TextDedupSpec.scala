@@ -325,4 +325,34 @@ class TextDedupSpec extends SparkSpec {
       (20L, 20L), (21L, 20L), (22L, 20L)
     ))
   }
+
+  test("connectedComponentsStats surfaces non-convergence instead of silently returning partial labels") {
+    import spark.implicits._
+    // a 6-hop chain: min-label propagation needs 5 rounds to reach node 6
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cut = Dedup.connectedComponentsStats(chain, col("id_a"), col("id_b"), maxIter = 2)
+    assert(!cut.converged && cut.iterations == 2)
+    // the partial labels are indeed non-minimal on the chain tail
+    val partial = cut.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial(6L) != 1L)
+    val full = Dedup.connectedComponentsStats(chain, col("id_a"), col("id_b"))
+    assert(full.converged && full.iterations <= 7)
+    assert(full.labels.collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("components: every corpus row gets a canonical id, singletons carry their own") {
+    import spark.implicits._
+    val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (3L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.components(corpus, col("doc_id"), pairs, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L), (8L, 8L)
+    ))
+    // "keep one doc per component" = filter(id === comp): 1,4,5,7,8 survive
+    val kept = Dedup.components(corpus, col("doc_id"), pairs, col("id_a"), col("id_b"))
+      .filter(col("id") === col("comp")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
+  }
 }
