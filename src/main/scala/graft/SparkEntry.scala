@@ -726,6 +726,47 @@ object SparkEntry {
         .violations
         .select(col("code"), col("row_number"))
         .orderBy("row_number", "code")
+    }),
+    // ---- legacy Excel (.xls / BIFF8) round trip: the q40 nation technique
+    // against the from-scratch [MS-CFB]+[MS-XLS] writer/parser pair
+    // (reference reads both Excel generations via pandas.ExcelFile,
+    // jobs.py:272-294 + settings.py:6) — write → OLE2-sniff route →
+    // BIFF parse → validate, oracle recomputed straight off nation.parquet
+    "q53_xls_validation" -> ((s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+        .collect() // nation is a constant 25-row dimension at every SF
+        .map(r => Seq(r.get(0).toString, r.getString(1), r.get(2).toString))
+        .toSeq
+      val path = s"target/xlscache/${new java.io.File(dir).getName}/nation.xls"
+      graft.sources.BiffSource.writeXls(
+        path,
+        Seq(("nation", Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++ rows))
+      )
+      val table = graft.sources.XlsxSource.readXlsx(s, path)
+        .fold(e => sys.error(e.message), identity)
+      ValidationRunner
+        .plan(
+          table.df,
+          TableSchema(fields = Seq(
+            Field("n_name", constraints = fc(maxLength = Some(8))),
+            Field("n_regionkey", ftype = "integer", constraints = fc(maximum = Some(3)))
+          )),
+          ValidationConfig(rowNumberCol = "_row_number")
+        )
+        .violations
+        .select(col("code"), col("row_number"))
+        .orderBy("row_number", "code")
+    }),
+    // ---- full-corpus canonical id: the q51 component labels joined back
+    // onto EVERY document (singletons carry their own id) — the dedup
+    // pipeline's final output, whose keep-set is filter(id = comp)
+    "q54_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .minHashPairs(docs, col("text"), col("doc_id"), bands = 4, threshold = 0.5)
+      Dedup.components(docs, col("doc_id"), pairs, col("id_a"), col("id_b")).orderBy("id")
     })
   )
 
@@ -958,6 +999,29 @@ object SparkEntry {
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
         |)
         |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // q51's transitive closure LEFT-joined onto every document: singleton
+    // docs (in no pair) carry their own id as the canonical component
+    "q54_dedup_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |),
+        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
+        |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY id""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, lang, source, string_split_regex(trim(text),'\s+') AS tk FROM documents),
         |sh AS (SELECT doc_id, lang, source,
@@ -1191,6 +1255,19 @@ object SparkEntry {
         |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
         |  UNION ALL
         |  SELECT 'missing-geometry', rn FROM numbered WHERE (rn - 2) % 5 = 2
+        |) ORDER BY row_number, code""".stripMargin,
+    // identical to q40's oracle: the .xls sheet carries the same
+    // rank-by-nationkey row numbering, only the container format differs
+    "q53_xls_validation" ->
+      """WITH numbered AS (
+        |  SELECT n_name, n_regionkey,
+        |         1 + row_number() OVER (ORDER BY n_nationkey) AS rn
+        |  FROM nation
+        |)
+        |SELECT code, row_number FROM (
+        |  SELECT 'maximum-constraint' AS code, rn AS row_number FROM numbered WHERE n_regionkey > 3
+        |  UNION ALL
+        |  SELECT 'maximum-length-constraint', rn FROM numbered WHERE length(n_name) > 8
         |) ORDER BY row_number, code""".stripMargin,
     // geojson row id = the nationkey property; geometry planted falsy at
     // nationkey % 5 in (2, 4) → missing-geometry
