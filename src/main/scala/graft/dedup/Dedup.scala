@@ -113,12 +113,17 @@ object Dedup {
     *     hot regions must agree on two bands instead of one. That narrows
     *     the candidate set only where the data is pathological and only
     *     deterministically, but it IS a recall trade: a true pair whose
-    *     only agreeing band was hot is dropped (hammingPairs' interleaved
-    *     sub-banding has no such loss — its pigeonhole bound survives any
-    *     re-partition of the bits; no analogous exact split exists for
-    *     minhash bands, whose guarantee is probabilistic per band). The
-    *     rows taking this path are surfaced as the `graft.minhash.hot`
-    *     observation so the trade is never silent;
+    *     only agreeing band was hot is dropped by the prefix path
+    *     (hammingPairs' interleaved sub-banding has no such loss — its
+    *     pigeonhole bound survives any re-partition of the bits; no
+    *     analogous exact split exists for minhash bands, whose guarantee is
+    *     probabilistic per band). The trade is therefore bounded AND
+    *     measured: the `hotSample` smallest-id members of every hot bucket
+    *     additionally take the full single-band path (the cold budget), so
+    *     pairs among them are recovered, rows routed through the narrowing
+    *     surface as the `graft.minhash.hot` observation, and verified pairs
+    *     found ONLY by the sample ride the same job as `hot_recovered` in
+    *     `graft.minhash.hotrecall` — a live measurement of the loss;
     *  4. candidates verified with exact Jaccard on the shingle sets, then
     *     expanded back through membership (members carry identical sets, so
     *     the representative's jaccard IS the members' jaccard). */
@@ -130,10 +135,15 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      hotSample: Int = -1
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // hot-bucket recovery sample size: the hs smallest-id members of each
+    // hot bucket get the full all-pairs treatment (same per-bucket candidate
+    // budget as a cold bucket at the cap). -1 = follow maxBucket; 0 disables.
+    val hs = if (hotSample < 0) maxBucket else hotSample
     val shingles = TextOps.wordShingleHashes(text, shingleWords)
     // _shkey: 64-bit hash of the sorted distinct shingle hashes — the
     // identical-set group key (xxhash64 over the array column is codegen'd).
@@ -189,31 +199,53 @@ object Dedup {
     // RECALL TRADE (unlike hammingPairs, whose interleaved sub-banding is
     // provably exact at any maxBucket): a hot-region candidate must agree on
     // TWO consecutive bands instead of one, so a true pair whose ONLY
-    // agreeing band was hot is dropped. The trade is deterministic and
-    // bounded to pathological regions, but it is a cap — so it is never
-    // silent: the rows routed through prefix-extension surface as the named
-    // observation `graft.minhash.hot` (observedMetrics key `hot_rows`,
-    // readable from any QueryExecutionListener); 0 means the fast path was
-    // exact, > 0 means the two-band narrowing was live.
-    val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
-      .observe("graft.minhash.hot", count(lit(1)).as("hot_rows"))
+    // agreeing band was hot is dropped by the prefix path. Two mitigations
+    // keep the trade measured, never silent:
+    //  - the rows routed through prefix-extension surface as the named
+    //    observation `graft.minhash.hot` (observedMetrics key `hot_rows`,
+    //    readable from any QueryExecutionListener); 0 means the fast path
+    //    was exact, > 0 means the two-band narrowing was live;
+    //  - a bounded DETERMINISTIC sample (the `hs` smallest-id members of
+    //    each hot bucket — the same per-bucket all-pairs budget a cold
+    //    bucket gets at the cap) takes the full single-band path, so
+    //    hot-band-only true pairs among sampled members are RECOVERED, and
+    //    the count of verified pairs found ONLY by this path rides the same
+    //    job as `hot_recovered` in the `graft.minhash.hotrecall`
+    //    observation — a direct measurement of what prefix-extension alone
+    //    would have lost.
+    val hotBase = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
+    val hot = hotBase.observe("graft.minhash.hot", count(lit(1)).as("hot_rows"))
+    import org.apache.spark.sql.expressions.Window
+    val wHot = Window.partitionBy(col("band"), col("bh")).orderBy(col("_id"))
+    val hotSampled = hotBase
+      .withColumn("_hr", row_number().over(wHot))
+      .filter(col("_hr") <= hs)
+      .drop("_hr")
 
-    def pairsOf(bk: DataFrame, keys: Seq[String]): DataFrame =
+    def pairsOf(bk: DataFrame, keys: Seq[String], src: Int): DataFrame =
       bk.select((keys.map(col) ++ Seq(col("_shkey").as("_ka"), col("_id").as("id_a"))): _*)
         .join(bk.select((keys.map(col) ++ Seq(col("_shkey").as("_kb"), col("_id").as("id_b"))): _*), keys)
         .filter(col("id_a") < col("id_b"))
-        .select(col("_ka"), col("_kb"))
+        .select(col("_ka"), col("_kb"), lit(src).as("_src"))
 
     // 4. verify candidates once per representative pair (shingle sets join
-    // in HERE, after dedup, so each set crosses the wire once per pair side)
+    // in HERE, after dedup, so each set crosses the wire once per pair side);
+    // _src bit-or records every path that produced the pair (1 = cold band,
+    // 2 = hot prefix-extension, 4 = hot sample), so _src == 4 after the
+    // verify is exactly "recovered: sample-only"
     val shingleOf = reps.select(col("_shkey"), col("_sh"))
-    val repPairs = pairsOf(cold, Seq("band", "bh"))
-      .unionAll(pairsOf(hot, Seq("band", "bh", "bh2")))
-      .distinct()
+    val repPairs = pairsOf(cold, Seq("band", "bh"), 1)
+      .unionAll(pairsOf(hot, Seq("band", "bh", "bh2"), 2))
+      .unionAll(pairsOf(hotSampled, Seq("band", "bh"), 4))
+      .groupBy(col("_ka"), col("_kb"))
+      .agg(bit_or(col("_src")).as("_src"))
       .join(shingleOf.select(col("_shkey").as("_ka"), col("_sh").as("_sh_a")), Seq("_ka"))
       .join(shingleOf.select(col("_shkey").as("_kb"), col("_sh").as("_sh_b")), Seq("_kb"))
-      .select(col("_ka"), col("_kb"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .select(col("_ka"), col("_kb"), col("_src"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .observe("graft.minhash.hotrecall",
+        sum(when(col("_src") === 4, 1L).otherwise(0L)).as("hot_recovered"),
+        count(lit(1)).as("verified_pairs"))
 
     val memberIds = withSh.select(col("_shkey"), col("_id"))
     val crossPairs = repPairs

@@ -147,4 +147,26 @@ class ReportSpec extends SparkSpec {
       assert(d.template.nonEmpty && d.weight > 0 && Seq("source", "structure", "schema", "custom").contains(d.errType))
     }
   }
+
+  test("PipelineWarnings lands the no-silent-caps beacons on the report warnings channel") {
+    import org.apache.spark.sql.functions.col
+    // hot fixture from TextDedupSpec: distinct near-dup variants, maxBucket=1
+    // forces the hot path; hotSample covering the buckets makes recovery fire
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = (0 until 12).map(i => (i.toLong + 1, s"$base extra$i tail$i")).toDF("doc_id", "text")
+    val pw = graft.report.PipelineWarnings.register(spark)
+    try {
+      graft.dedup.Dedup
+        .minHashPairs(docs, col("text"), col("doc_id"), threshold = 0.3, maxBucket = 1, hotSample = 12)
+        .collect()
+      val warnings = pw.await(minBeacons = 2)
+      assert(warnings.exists(_.startsWith("MinHash LSH hot-bucket narrowing was live:")), warnings.toString)
+      assert(warnings.exists(_.startsWith("MinHash hot-bucket sample recovered")), warnings.toString)
+      // the run report carries them through the reference's warning channel
+      val df = Seq((1L, "x")).toDF("_rid", "a")
+      val (report, _) = ValidationRunner.run(df, TableSchema(Seq(Field("a"))), ValidationConfig(rowNumberCol = "_rid"))
+      val merged = report.copy(warnings = report.warnings ++ warnings)
+      warnings.foreach(w => assert(merged.toJson.contains(w.take(30))))
+    } finally pw.close()
+  }
 }

@@ -197,6 +197,43 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("minHashPairs hot sample recovers hot-band-only pairs and measures the loss (graft.minhash.hotrecall)") {
+    // same fixture as the narrowing test: distinct near-dup variants,
+    // maxBucket=1 makes every bucket hot. With the default sample
+    // (hotSample = maxBucket = 1) the prefix narrowing loses one-band-only
+    // pairs; with a sample covering the bucket, recall is FULL again and
+    // hot_recovered counts exactly the pairs prefix-extension alone missed.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val variants = (0 until 12).map(i => (i.toLong + 1, s"$base extra$i tail$i"))
+    val df = variants.toDF("doc_id", "text")
+    def run(cap: Int, hs: Int) = Dedup
+      .minHashPairs(df, col("text"), col("doc_id"), threshold = 0.3, maxBucket = cap, hotSample = hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val full = run(1000, -1)
+    val narrowed = run(1, 1)
+    assume(narrowed.size < full.size, "fixture must have hot-band-only pairs for the recovery to matter")
+
+    @volatile var recovered: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.minhash.hotrecall").foreach(row => recovered = Some((row.getLong(0), row.getLong(1))))
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // sample covers every hot bucket entirely → full single-band recall
+      val sampled = run(1, 12)
+      assert(sampled == full, "a bucket-covering sample must restore full recall")
+      val deadline = System.currentTimeMillis() + 15000
+      while (recovered.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      // hot_recovered = verified pairs found ONLY via the sample = the loss
+      assert(recovered.exists(_._1 == (full.size - narrowed.size).toLong),
+        s"hot_recovered must equal the measured prefix-path loss (${full.size - narrowed.size}), got $recovered")
+      assert(recovered.exists(_._2 == full.size.toLong))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("fingerprint is whitespace/case-insensitive-normalised and stable") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "t")
     val f = df.select(col("id"), TextOps.fingerprint(col("t"))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
