@@ -334,4 +334,115 @@ object Bench {
       .count()
     (n, (System.nanoTime() - t0) / 1e9, out)
   }
+
+  /** Scaling workload #6 — connected components over a planted pair graph:
+    * n nodes in chains of 10 (edge (id-1, id) whenever id % 10 != 0, i.e.
+    * 0.9n edges, diameter 9 — deliberately the WORST cluster shape for
+    * min-label propagation, whose round count is O(distance-to-min-node);
+    * realistic dedup clusters are star-ish and converge faster). Runs
+    * `Dedup.connectedComponentsStats` and reports the measured round count
+    * to stderr alongside the timing — the evidence that O(diameter) holds
+    * and the point at which a small-star/large-star variant would be
+    * warranted. Returns (edges, seconds, components). */
+  def ccThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.range(0, n, 1, slices)
+      .filter(col("id") % 10 =!= 0)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+    val edges = n - (n + 9) / 10 // ids with id % 10 != 0
+    val t0 = System.nanoTime()
+    val r = graft.dedup.Dedup.connectedComponentsStats(pairs, col("id_a"), col("id_b"))
+    val comps = r.labels.select(countDistinct(col("comp"))).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[cc] edges=$edges rounds=${r.iterations} converged=${r.converged} components=$comps")
+    (edges, sec, comps)
+  }
+
+  /** Scaling workload #7 — benchmark decontamination with a benchmark side
+    * TOO LARGE TO BROADCAST: corpus = n synthetic 50-token docs (the text
+    * workload's generator), benchmark = the first n/10 of them re-generated
+    * (every benchmark doc IS in the corpus, so hits are dense). At n/10
+    * benchmark docs the distinct-shingle set is ~(n/10)×48 8-byte hashes —
+    * far past the 10 MB broadcast threshold — so the plan must degrade to
+    * the shuffle hash/sort-merge join on the 8-byte shingle hash the
+    * operator's scaladoc promises; the observed join strategy is printed to
+    * stderr so the degradation is evidence, not a claim. Returns
+    * (corpusDocs, seconds, contaminatedDocs). */
+  def contaminationThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val corpus = syntheticDocs(spark, n, slices)
+    val bench = syntheticDocs(spark, math.max(n / 10, 1L), slices).select(col("text"))
+    val out = graft.text.TextOps
+      .contaminatedDocs(corpus, col("text"), col("doc_id"), bench, col("text"), minOverlap = 3)
+    val t0 = System.nanoTime()
+    val hits = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val plan = out.queryExecution.executedPlan.toString
+    val strategy =
+      if (plan.contains("BroadcastHashJoin")) "broadcast"
+      else if (plan.contains("SortMergeJoin")) "sort-merge"
+      else if (plan.contains("ShuffledHashJoin")) "shuffled-hash"
+      else "other"
+    System.err.println(s"[contamination] corpus=$n bench=${n / 10} join=$strategy hits=$hits")
+    (n, sec, hits)
+  }
+
+  /** Scaling workload #8 — the Hamming kNN JOIN under mass-duplication
+    * skew: an n-row signature store where every 5th row belongs to one of
+    * 1 000 mega-clusters (identical signature; cluster size n/5000 GROWS
+    * with n — at 20M rows each duplicated signature has 4 000 carriers,
+    * the web-corpus shape) and the rest are distinct splitmix signatures
+    * with planted 1-3-bit neighbors. Queries = every 200th row. Flat
+    * per-row cost across a 10× scale-up is the evidence that the
+    * distinct-signature pre-collapse works — without it the mega-cluster
+    * join keys would grow candidate work quadratically in cluster size.
+    * Returns (storeRows, seconds, resultRows). */
+  def hammingKnnThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val mixU = udf { (id: Long) =>
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val sig = when(col("id") % 5 === 0, mixU(col("id") % 1000))
+      .otherwise(
+        // distinct region with planted 1-bit neighbors every 10th row
+        when(col("id") % 10 === 7, mixU(col("id") - 1).bitwiseXOR(expr("shiftleft(1L, cast(id % 64 as int))")))
+          .otherwise(mixU(col("id"))))
+    val store = spark.range(0, n, 1, slices).select(col("id"), sig.as("sig"))
+    // query mix: distinct-region rows (self + planted neighbors) PLUS
+    // mega-cluster members (id % 2000 == 0 → all carry the SAME cluster
+    // signature), so both the store-side and query-side collapse paths and
+    // the capped member expansion are exercised
+    val queries = store.filter(col("id") % 200 === 3 || col("id") % 2000 === 0)
+    val t0 = System.nanoTime()
+    val out = graft.ann.Ann
+      .hammingKnnJoin(queries, col("sig"), col("id"), store, col("sig"), col("id"),
+        k = 5, bands = 4, maxDistance = 3)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, out)
+  }
+
+  /** The text workload's synthetic 50-token documents (splitmix64 token ids
+    * over a 50k vocabulary), exposed for workloads that need the corpus
+    * without the planted near-dups aligned the same way. */
+  def syntheticDocs(spark: SparkSession, n: Long, slices: Int = 64) = {
+    import org.apache.spark.sql.functions._
+    val gen = udf { (id: Long) =>
+      val sb = new java.lang.StringBuilder(360)
+      var j = 0
+      while (j < 50) {
+        var z = id * 1315423911L + j.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        sb.append('t').append(math.floorMod(z, 50000L))
+        if (j < 49) sb.append(' ')
+        j += 1
+      }
+      sb.toString
+    }
+    spark.range(0, n, 1, slices).select(col("id").as("doc_id"), gen(col("id")).as("text"))
+  }
 }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * comparisons don't live entirely at sf0.1's noise floor.
   *
   * Usage: runMain graft.ScalePoint [rows] [cpus] [samples] [mode] [shufflePartitions]
-  * (defaults 200000000 32 2 metadata 64; modes: metadata | embedding | knnjoin | text.
+  * (defaults 200000000 32 2 metadata 64; modes: metadata | embedding |
+  * knnjoin | text | image | cc | contamination | hammingknn.
   * Size shufflePartitions so per-task join/sort state fits executor memory —
   * the join-heavy modes at 10× rows need ~4× the partitions; AQE coalesces
   * any that come out small.)
@@ -31,11 +32,14 @@ object ScalePoint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(rows: Long): (Long, Double, Long) = mode match {
-      case "embedding" => Bench.embeddingThroughput(spark, rows)
-      case "knnjoin"   => Bench.knnJoinThroughput(spark, rows)
-      case "text"      => Bench.textThroughput(spark, rows)
-      case "image"     => Bench.imageThroughput(spark, rows)
-      case _           => Bench.scaleThroughput(spark, rows, cpus)
+      case "embedding"     => Bench.embeddingThroughput(spark, rows)
+      case "knnjoin"       => Bench.knnJoinThroughput(spark, rows)
+      case "text"          => Bench.textThroughput(spark, rows)
+      case "image"         => Bench.imageThroughput(spark, rows)
+      case "cc"            => Bench.ccThroughput(spark, rows)
+      case "contamination" => Bench.contaminationThroughput(spark, rows)
+      case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
+      case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup
     val xs = (1 to samples).map(_ => run(n))

@@ -370,8 +370,15 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within blocks (e.g. same
-    * language) — quadratic within a block, so only for small/bounded blocks;
-    * the scalable path is [[minHashPairs]]. Output: (id_a, id_b, jaccard). */
+    * language) — the documented quadratic baseline (the scalable path is
+    * [[minHashPairs]]), but quadratic in DISTINCT shingle sets per block,
+    * not rows: documents with identical sets (exact/near-exact duplicates,
+    * the dominant mass in web corpora) collapse to one representative
+    * before the self-join, intra-group pairs are jaccard 1.0 by identity
+    * (exactly what jaccardLong(a, a) returns, empty sets included), and
+    * rep-level pairs expand back through membership. Results are identical
+    * to the naive all-pairs at any duplication level.
+    * Output: (id_a, id_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,
@@ -380,14 +387,42 @@ object Dedup {
       shingleWords: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val base =
-      df.select(block.as("_blk"), id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
-    val a = base.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
-    val b = base.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
-    a.join(b, Seq("_blk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+    val base = df
+      .select(block.as("_blk"), id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
+      .withColumn("_shkey", xxhash64(col("_sh")))
+    val members = base.select(col("_blk"), col("_shkey"), col("_id"))
+    val groups = members.groupBy(col("_blk"), col("_shkey")).agg(count(lit(1)).as("_cnt"))
+
+    // intra-group pairs: identical sets, jaccard 1.0 by identity
+    val samePairs = {
+      val dup = members.join(
+        groups.filter(col("_cnt") > 1).select(col("_blk"), col("_shkey")), Seq("_blk", "_shkey"))
+      dup.select(col("_blk"), col("_shkey"), col("_id").as("id_a"))
+        .join(dup.select(col("_blk"), col("_shkey"), col("_id").as("id_b")), Seq("_blk", "_shkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    }
+
+    // rep-level all-pairs (one row per distinct set per block), then expand
+    val reps = base
+      .groupBy(col("_blk"), col("_shkey"))
+      .agg(min_by(struct(col("_id"), col("_sh")), col("_id")).as("_r"))
+      .select(col("_blk"), col("_shkey"), col("_r._sh").as("_sh"))
+    val a = reps.select(col("_blk"), col("_shkey").as("_ka"), col("_sh").as("_sh_a"))
+    val b = reps.select(col("_blk"), col("_shkey").as("_kb"), col("_sh").as("_sh_b"))
+    val repPairs = a.join(b, Seq("_blk"))
+      .filter(col("_ka") < col("_kb"))
+      .select(col("_blk"), col("_ka"), col("_kb"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val crossPairs = repPairs
+      .join(members.select(col("_blk"), col("_shkey").as("_ka"), col("_id").as("_ia")), Seq("_blk", "_ka"))
+      .join(members.select(col("_blk"), col("_shkey").as("_kb"), col("_id").as("_ib")), Seq("_blk", "_kb"))
+      .select(
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("jaccard"))
+
+    samePairs.unionAll(crossPairs)
   }
 
   /** Candidate near-dup pairs by SHARED WINNOWING FINGERPRINTS (rolling-hash
@@ -469,7 +504,13 @@ object Dedup {
   }
 
   /** Embedding cosine near-duplicate pairs within blocks (e.g. same label or
-    * same LSH bucket): (id_a, id_b, cosine) with cosine ≥ threshold. */
+    * same LSH bucket): (id_a, id_b, cosine) with cosine ≥ threshold.
+    * Quadratic in DISTINCT vectors per block, not rows: bit-identical
+    * vectors (mass-duplicated embeddings) collapse to one representative
+    * before the self-join; intra-group pairs score the representative
+    * against itself (the exact arithmetic the naive pair would have run,
+    * so zero-norm vectors keep their NaN behaviour), and rep-level pairs
+    * expand back through membership. Results identical to naive all-pairs. */
   def embeddingCosinePairs(
       df: DataFrame,
       vec: Column,
@@ -484,17 +525,46 @@ object Dedup {
       id.as("_id"),
       vec.cast("array<double>").as("_v"),
       Ann.l2norm(vec).as("_n")
-    )
-    val a = base.select(col("_blk"), col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
-    val b = base.select(col("_blk"), col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
-    a.join(b, Seq("_blk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (Ann.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine")
-      )
+    ).withColumn("_vkey", xxhash64(col("_v")))
+    val members = base.select(col("_blk"), col("_vkey"), col("_id"))
+    val groups = members.groupBy(col("_blk"), col("_vkey")).agg(count(lit(1)).as("_cnt"))
+    val reps = base
+      .groupBy(col("_blk"), col("_vkey"))
+      .agg(min_by(struct(col("_id"), col("_v"), col("_n")), col("_id")).as("_r"))
+      .select(col("_blk"), col("_vkey"), col("_r._v").as("_v"), col("_r._n").as("_n"))
+
+    // intra-group pairs: same vector — run the pair arithmetic on the rep
+    // against itself (dot(v,v)/(n*n); identical to what the naive all-pairs
+    // would compute for the two equal member vectors)
+    val samePairs = {
+      val selfCos = reps.select(col("_blk"), col("_vkey"),
+        (Ann.dot(col("_v"), col("_v")) / (col("_n") * col("_n"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+      val dup = members.join(
+        groups.filter(col("_cnt") > 1).select(col("_blk"), col("_vkey")), Seq("_blk", "_vkey"))
+      dup.select(col("_blk"), col("_vkey"), col("_id").as("id_a"))
+        .join(dup.select(col("_blk"), col("_vkey"), col("_id").as("id_b")), Seq("_blk", "_vkey"))
+        .filter(col("id_a") < col("id_b"))
+        .join(selfCos, Seq("_blk", "_vkey"))
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+
+    val a = reps.select(col("_blk"), col("_vkey").as("_ka"), col("_v").as("_va"), col("_n").as("_na"))
+    val b = reps.select(col("_blk"), col("_vkey").as("_kb"), col("_v").as("_vb"), col("_n").as("_nb"))
+    val repPairs = a.join(b, Seq("_blk"))
+      .filter(col("_ka") < col("_kb"))
+      .select(col("_blk"), col("_ka"), col("_kb"),
+        (Ann.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    val crossPairs = repPairs
+      .join(members.select(col("_blk"), col("_vkey").as("_ka"), col("_id").as("_ia")), Seq("_blk", "_ka"))
+      .join(members.select(col("_blk"), col("_vkey").as("_kb"), col("_id").as("_ib")), Seq("_blk", "_kb"))
+      .select(
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("cosine"))
+
+    samePairs.unionAll(crossPairs)
   }
 
   /** Connected components over an undirected pair set — the step that turns

@@ -200,6 +200,35 @@ class AnnStoreSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._3 > 0), "planted flips must produce non-trivial neighbors")
   }
 
+  test("embeddingCosinePairs collapses identical vectors: duplicate-heavy block stays exact") {
+    // 20 bit-identical copies of one vector + 2 distinct vectors in a block:
+    // the collapsed plan scores C(3,2) rep pairs + one self-cosine, then
+    // expands — results must equal the naive all-pairs enumeration
+    val v0 = Seq.tabulate(8)(d => math.sin(d * 3 + 1).toFloat)
+    val v1 = v0.map(x => (x * 0.9f + 0.02f)) // close but distinct
+    val v2 = Seq.tabulate(8)(d => math.cos(d * 5 + 2).toFloat)
+    val rows = (1L to 20L).map(i => (i, v0, 1)) ++ Seq((30L, v1, 1), (31L, v2, 1), (40L, v0, 2))
+    val df = rows.toDF("vec_id", "embedding", "blk")
+    val got = Dedup
+      .embeddingCosinePairs(df, col("embedding"), col("vec_id"), col("blk"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val vecs = rows.map { case (i, v, b) => (i, v.map(_.toDouble), b) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ai, av, ab) <- vecs; (bi, bv, bb) <- vecs
+      if ai < bi && ab == bb
+      c = cos(av, bv) if c >= 0.9
+    } yield (ai, bi, c)).sorted.toSeq
+    assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)))
+    // identical-vector pairs must carry the exact self-cosine the naive
+    // arithmetic produces (dot(v,v)/(n*n)), not a synthesized literal
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g._3 - e._3) < 1e-12) }
+    assert(!got.exists(p => p._1 == 40L || p._2 == 40L), "cross-block pairs must not appear")
+  }
+
   test("knnJoinIvf pushes an explicit cluster IN partition filter on the store scan") {
     val df = clustered(240)
     val path = Files.createTempDirectory("graft_knnivf_pf").toString + "/store"

@@ -167,6 +167,21 @@ class PlanSpec extends SparkSpec {
     assert(joins == 3, s"three equi-joins expected (banding + 2 membership expansions), got $joins:\n$plan")
   }
 
+  test("contaminatedDocs plan: equi-join on the 8-byte shingle hash, never a product") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i end")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.contaminatedDocs(
+      docs, col("text"), col("doc_id"), docs.filter(col("doc_id") % 10 === 1), col("text"))
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination must equi-join on the shingle hash:\n$plan")
+    // exactly one join — tiny benchmark broadcasts; at a benchmark too large
+    // to broadcast the same equi-join degrades to shuffle hash / sort-merge
+    // (evidenced at scale by Bench.contaminationThroughput's strategy print)
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).length
+    assert(joins == 1, s"one equi-join expected, got $joins")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))

@@ -91,6 +91,41 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 3L)))
   }
 
+  test("ngram jaccard collapses identical shingle sets: duplicate-heavy block stays exact") {
+    // 25 exact copies + 2 distinct docs in one block + 1 cross-block copy:
+    // naive all-pairs is C(28,2) jaccard kernels; the collapsed plan runs
+    // C(3,2) rep kernels and synthesizes the rest — results must be the
+    // naive enumeration exactly
+    val rows =
+      (1L to 25L).map(i => (i, "the quick brown fox jumps over the lazy dog again", 1)) ++
+        Seq(
+          (30L, "the quick brown fox jumps over the lazy dog today", 1),
+          (31L, "a completely different sentence about spark engines", 1),
+          (40L, "the quick brown fox jumps over the lazy dog again", 2) // other block
+        )
+    val df = rows.toDF("doc_id", "text", "blk")
+    val got = Dedup
+      .ngramJaccardPairs(df, col("text"), col("doc_id"), col("blk"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // naive all-pairs enumeration over the same shingle sets (same
+    // inter/union arithmetic as the engine's jaccardLong kernel)
+    val sh = df
+      .select(col("doc_id"), col("blk"), TextOps.wordShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSet))
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val u = a.union(b).size
+      if (u == 0) 1.0 else a.intersect(b).size.toDouble / u
+    }
+    val expected = (for {
+      (ai, ab, ash) <- sh; (bi, bb, bsh) <- sh
+      if ai < bi && ab == bb
+      j = jac(ash, bsh) if j >= 0.5
+    } yield (ai, bi, j)).sorted.toSeq
+    assert(got == expected)
+    assert(got.size == 25 * 24 / 2 + 25, "25 intra-copy pairs choose 2, plus copy-vs-variant pairs")
+    assert(!got.exists(p => p._1 == 40L || p._2 == 40L), "cross-block pairs must not appear")
+  }
+
   test("hamming-band near-dup pairs: recall within bands-1 flips, no false positives") {
     val x = 0x123456789abcdefL
     val y = x ^ (1L << 3) ^ (1L << 40) // 2 bit flips
