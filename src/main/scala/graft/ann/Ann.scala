@@ -172,20 +172,32 @@ object Ann {
     * query rows"), where the single-vector probes ([[lshTopKStored]],
     * [[ivfTopK]]) don't apply because there is no driver-side query vector.
     *
-    * Plan shape (never a driver loop, never a cross join):
-    *  1. query side: one codegen'd LSH signature per row, exploded into the
-    *     C(numBits, ≤probeHamming) probe signatures (a row-local expansion
-    *     of a few longs — the multi-probe trick trades a small fan-out for
-    *     recall, exactly like the single-vector probe's prefix set);
-    *  2. equi-join on `sig` against the store — an 8-byte join key. With a
-    *     small query batch AQE broadcasts the probe side (store is never
-    *     shuffled); at 10M+ queries both sides exchange on `sig`, each
-    *     store vector crossing the wire once per matching probe;
-    *  3. cosine on the surviving candidates (native codegen'd kernels);
-    *  4. per-query top-k via a window over (qid) — the window input is only
-    *     (qid, id, cosine), 24 B per CANDIDATE, not per store row.
+    * Plan shape (never a driver loop, never a cross join; both sides
+    * PRE-COLLAPSED to distinct vectors, the hammingKnnJoin pattern —
+    * mass-duplicated embeddings put every copy on one sig join key and
+    * cosine is a pure function of the vector, so copies add work without
+    * adding information):
+    *  1. store rows collapse to bit-identical-vector groups (8-byte
+    *     xxhash64 key), each keeping its ≤ k smallest member ids (members
+    *     share every cosine, so no other member can enter any top-k);
+    *     query rows collapse the same way (the result is a pure function
+    *     of the vector);
+    *  2. query side: one codegen'd LSH signature per distinct vector,
+    *     exploded into the C(numBits, ≤probeHamming) probe signatures
+    *     (a row-local expansion of a few longs — the multi-probe trick
+    *     trades a small fan-out for recall);
+    *  3. equi-join on `sig` against the distinct store vectors — an 8-byte
+    *     join key. With a small query batch AQE broadcasts the probe side
+    *     (store is never shuffled); at 10M+ queries both sides exchange on
+    *     `sig`, each distinct store vector crossing the wire once per
+    *     matching probe;
+    *  4. cosine on the surviving candidates (native codegen'd kernels),
+    *     per-query-vector top-k over the ≤ k member ids per candidate
+    *     group — 24 B per CANDIDATE group, not per store row;
+    *  5. the per-vector result fans back out to every query row carrying
+    *     that vector.
     * A (query, candidate) pair can match at most one probe signature (a
-    * store row has ONE sig), so no candidate dedup is needed.
+    * store vector has ONE sig), so no candidate dedup is needed.
     *
     * Recall follows the store's LSH geometry: guaranteed for candidates
     * sharing the query's signature (e.g. scaled duplicates — sign-invariant),
@@ -217,22 +229,52 @@ object Ann {
     val planes = hyperplanes(numBits, dim, seed)
     val nb = numBits; val ph = probeHamming
     val probesUdf = udf((sig: Long) => sigsWithin(sig, nb, ph).toArray)
-    val qside = queries
+    import org.apache.spark.sql.expressions.Window
+
+    // 1. collapse both sides to bit-identical-vector groups
+    val qmembers = queries
       .select(qid.as("qid"), qvec.cast("array<double>").as("_qv"))
       .withColumn("_qn", l2norm(col("_qv")))
       .filter(col("_qn") > 0.0)
+      .withColumn("_qkey", xxhash64(col("_qv")))
+    val qreps = qmembers
+      .groupBy(col("_qkey"))
+      .agg(min_by(struct(col("_qv"), col("_qn")), col("qid")).as("_r"))
+      .select(col("_qkey"), col("_r._qv").as("_qv"), col("_r._qn").as("_qn"))
+    val smembers = store
+      .select(col("id"), col("embedding"), col("sig"))
+      .withColumn("_skey", xxhash64(col("embedding")))
+    val wVec = Window.partitionBy(col("_skey")).orderBy(col("id"))
+    val storeTopK = smembers
+      .select(col("_skey"), col("id"))
+      .withColumn("_sr", row_number().over(wVec))
+      .filter(col("_sr") <= k)
+      .drop("_sr")
+    val sreps = smembers
+      .groupBy(col("_skey"))
+      .agg(min_by(struct(col("embedding"), col("sig")), col("id")).as("_r"))
+      .select(col("_skey"), col("_r.embedding").as("embedding"), col("_r.sig").as("sig"))
+
+    // 2-3. multi-probe explode on distinct query vectors, 8-byte sig join
+    val qside = qreps
       .withColumn("sig", explode(probesUdf(lshSignature(col("_qv"), planes))))
     val cand = qside
-      .join(store.select(col("id"), col("embedding"), col("sig")), Seq("sig"))
+      .join(sreps, Seq("sig"))
       .select(
-        col("qid"), col("id"),
+        col("_qkey"), col("_skey"),
         (dot(col("embedding"), col("_qv")) / (l2norm(col("embedding")) * col("_qn"))).as("cosine"))
       .filter(col("cosine").isNotNull && !isnan(col("cosine")))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
-    cand
+
+    // 4. per-query-vector top-k over the capped member expansion
+    val w = Window.partitionBy(col("_qkey")).orderBy(col("cosine").desc, col("id"))
+    val perVec = cand
+      .join(storeTopK, Seq("_skey"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
+
+    // 5. fan the per-vector result out to every query row carrying it
+    perVec
+      .join(qmembers.select(col("_qkey"), col("qid")), Seq("_qkey"))
       .select(col("qid"), col("id"), col("cosine"), col("_rk").as("rank"))
   }
 

@@ -200,6 +200,25 @@ class AnnStoreSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._3 > 0), "planted flips must produce non-trivial neighbors")
   }
 
+  test("knnJoin: mass-duplicated store vectors stay collapsed and results stay exact") {
+    // 2 000 bit-identical copies of one vector + 40 distinct vectors; the
+    // duplicated group may contribute at most k smallest ids to any top-k
+    val v0 = Seq.tabulate(16)(d => math.sin(d * 3 + 1).toFloat)
+    val rows = (0L until 2000L).map(i => (i, v0)) ++
+      (0 until 40).map(i => (5000L + i, Seq.tabulate(16)(d => math.sin(i * 7 + d * 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Ann.hyperplanes(8, 16)
+    val store = df.select(col("vec_id").as("id"), col("embedding"),
+      Ann.lshSignature(col("embedding").cast("array<double>"), planes).as("sig"))
+    val queries = Seq((100L, v0), (9999L, v0)).toDF("vec_id", "embedding")
+    val got = Ann.knnJoin(queries, col("embedding"), col("vec_id"), store, k = 4, numBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    // both query rows carry the duplicated vector → identical results: the
+    // 4 smallest ids of the copy group at cosine 1.0
+    val expected = Seq(100L, 9999L).flatMap(q => (0L until 4L).map(i => (q, i, i.toInt + 1))).sorted
+    assert(got == expected)
+  }
+
   test("embeddingCosinePairs collapses identical vectors: duplicate-heavy block stays exact") {
     // 20 bit-identical copies of one vector + 2 distinct vectors in a block:
     // the collapsed plan scores C(3,2) rep pairs + one self-cosine, then
