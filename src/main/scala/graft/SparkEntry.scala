@@ -759,6 +759,23 @@ object SparkEntry {
         .select(col("code"), col("row_number"))
         .orderBy("row_number", "code")
     }),
+    // ---- incremental dedup against a persisted MinHash index: the corpus
+    // half (even doc_ids) is shingled/signed/banded ONCE into a store;
+    // the batch half (odd ids) is screened against it — the pair set must
+    // be the full-corpus q26 pair set restricted to batch-touching pairs
+    "q55_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = s"target/minhashcache/${new java.io.File(dir).getName}/store"
+      if (!new java.io.File(s"$path/banded/_SUCCESS").exists())
+        graft.dedup.MinHashStore.write(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"), path, bands = 4)
+      graft.dedup.MinHashStore
+        .minHashPairsIncremental(
+          s, docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"), path,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     // ---- full-corpus canonical id: the q51 component labels joined back
     // onto EVERY document (singletons carry their own id) — the dedup
     // pipeline's final output, whose keep-set is filter(id = comp)
@@ -968,6 +985,19 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // q26's brute force restricted to pairs touching the odd-id batch —
+    // exactly what the incremental store probe must return
+    "q55_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5 AND (id_a % 2 = 1 OR id_b % 2 = 1) ORDER BY id_a, id_b""".stripMargin,
     "q52_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
         |sh AS (SELECT doc_id,

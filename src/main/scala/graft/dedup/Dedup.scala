@@ -71,7 +71,41 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLong(a, b))
+  private[dedup] val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLong(a, b))
+
+  /** (_id, _sh, _shkey): shingle sets + the 64-bit identical-set group key.
+    * Shared by [[minHashPairs]] and the incremental [[MinHashStore]] so the
+    * store and ad-hoc paths band identically. */
+  private[dedup] def shingled(df: DataFrame, text: Column, id: Column, shingleWords: Int): DataFrame =
+    df.select(id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
+      .withColumn("_shkey", xxhash64(col("_sh")))
+
+  /** One representative row (min _id) per distinct shingle set. */
+  private[dedup] def repsOf(withSh: DataFrame): DataFrame =
+    withSh
+      .groupBy(col("_shkey"))
+      .agg(min_by(struct(col("_id"), col("_sh")), col("_id")).as("_r"))
+      .select(col("_shkey"), col("_r._id").as("_id"), col("_r._sh").as("_sh"))
+
+  /** (_shkey, _id, band, bh, bh2): LSH band hashes of the representatives.
+    * Band structs are built at plan time (Scala loop, not an interpreted
+    * HOF); slice/cast/xxhash64 are all codegen'd. Each band carries the
+    * NEXT band's hash for the hot-bucket prefix extension. */
+  private[dedup] def bandedOf(reps: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = reps.select(col("_shkey"), col("_id"),
+      minhashSignature(col("_sh"), numHashes).as("_sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(col("_sig"), b * rows + 1, rows).cast("string")).as("bh"),
+        xxhash64(slice(col("_sig"), ((b + 1) % bands) * rows + 1, rows).cast("string")).as("bh2")
+      )
+    }
+    withSig
+      .select(col("_shkey"), col("_id"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_shkey"), col("_id"), col("_b.band"), col("_b.bh"), col("_b.bh2"))
+  }
 
   /** MinHash signature over shingle hashes: `numHashes` minima of splitmix
     * remixes. Per-row compute kernel as a Scala UDF (Catalyst higher-order
@@ -144,7 +178,6 @@ object Dedup {
     // hot bucket get the full all-pairs treatment (same per-bucket candidate
     // budget as a cold bucket at the cap). -1 = follow maxBucket; 0 disables.
     val hs = if (hotSample < 0) maxBucket else hotSample
-    val shingles = TextOps.wordShingleHashes(text, shingleWords)
     // _shkey: 64-bit hash of the sorted distinct shingle hashes — the
     // identical-set group key (xxhash64 over the array column is codegen'd).
     // NOTE (measured, round 3): several consumer subtrees below re-derive
@@ -154,8 +187,7 @@ object Dedup {
     // NO wall-clock change (34.1 s vs 33.1 s) — the banding joins and
     // exact-Jaccard verify dominate, not the shingle kernel recompute — so
     // the shuffle-light shape (no full-width shingle exchange) stays.
-    val withSh = df.select(id.as("_id"), shingles.as("_sh"))
-      .withColumn("_shkey", xxhash64(col("_sh")))
+    val withSh = shingled(df, text, id, shingleWords)
 
     // 1. identical-set groups: intra-group pairs are jaccard 1.0 by identity
     val groupSizes = withSh.groupBy(col("_shkey")).agg(count(lit(1)).as("_cnt"))
@@ -169,29 +201,11 @@ object Dedup {
     }
 
     // representatives: one row (min id) per distinct shingle set
-    val reps = withSh
-      .groupBy(col("_shkey"))
-      .agg(min_by(struct(col("_id"), col("_sh")), col("_id")).as("_r"))
-      .select(col("_shkey"), col("_r._id").as("_id"), col("_r._sh").as("_sh"))
-    val withSig = reps.select(col("_shkey"), col("_id"), col("_sh"),
-      minhashSignature(col("_sh"), numHashes).as("_sig"))
-
-    // 2. band structs built at plan time (Scala loop, not an interpreted
-    // HOF); slice/cast/xxhash64 are all codegen'd expressions. Each band
-    // carries the NEXT band's hash for the hot-bucket prefix extension.
-    val bandCols = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(slice(col("_sig"), b * rows + 1, rows).cast("string")).as("bh"),
-        xxhash64(slice(col("_sig"), ((b + 1) % bands) * rows + 1, rows).cast("string")).as("bh2")
-      )
-    }
-    // the banding shuffle carries NO shingle arrays — just (key, id, band
-    // hashes), 40 B/row × bands; shingles are joined back only for the tiny
-    // verified-candidate set
-    val banded = withSig
-      .select(col("_shkey"), col("_id"), explode(array(bandCols: _*)).as("_b"))
-      .select(col("_shkey"), col("_id"), col("_b.band"), col("_b.bh"), col("_b.bh2"))
+    val reps = repsOf(withSh)
+    // 2. band the representatives (the banding shuffle carries NO shingle
+    // arrays — just (key, id, band hashes), 40 B/row × bands; shingles are
+    // joined back only for the tiny verified-candidate set)
+    val banded = bandedOf(reps, numHashes, bands)
 
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
