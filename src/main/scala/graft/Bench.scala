@@ -358,6 +358,27 @@ object Bench {
     (edges, sec, comps)
   }
 
+  /** Scaling workload #6b — small-star/large-star connected components over
+    * DEEP chains (length 10 000, diameter 9 999): the regime where
+    * min-label propagation is unusable (it would need ~10 000 rounds; the
+    * chain-of-10 workload above measured exactly diameter+1). Star
+    * contraction must converge in O(log n) rounds regardless of diameter —
+    * the measured round count is the evidence. Returns
+    * (edges, seconds, components). */
+  def ccStarsThroughput(spark: SparkSession, n: Long, chainLen: Long = 10000L, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.range(0, n, 1, slices)
+      .filter(col("id") % chainLen =!= 0)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+    val edges = n - (n + chainLen - 1) / chainLen
+    val t0 = System.nanoTime()
+    val r = graft.dedup.Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b"))
+    val comps = r.labels.select(countDistinct(col("comp"))).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[ccstars] edges=$edges chainLen=$chainLen rounds=${r.iterations} converged=${r.converged} components=$comps")
+    (edges, sec, comps)
+  }
+
   /** Scaling workload #7 — benchmark decontamination with a benchmark side
     * TOO LARGE TO BROADCAST: corpus = n synthetic 50-token docs (the text
     * workload's generator), benchmark = the first n/10 of them re-generated

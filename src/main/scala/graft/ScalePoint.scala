@@ -37,6 +37,7 @@ object ScalePoint {
       case "text"          => Bench.textThroughput(spark, rows)
       case "image"         => Bench.imageThroughput(spark, rows)
       case "cc"            => Bench.ccThroughput(spark, rows)
+      case "ccstars"       => Bench.ccStarsThroughput(spark, rows)
       case "contamination" => Bench.contaminationThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

@@ -412,6 +412,31 @@ class TextDedupSpec extends SparkSpec {
     assert(full.labels.collect().forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponentsStars: same labels as propagation, O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // mixed shapes: chain, pair, triangle — labels must equal propagation's
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val stars = Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b"))
+    assert(stars.converged)
+    val got = stars.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prop = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == prop)
+
+    // a 300-node chain: min-label propagation needs ~300 rounds (its default
+    // maxIter=25 leaves PARTIAL labels); star contraction converges in
+    // O(log n) and must label every node with the chain head
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val prop25 = Dedup.connectedComponentsStats(chain, col("id_a"), col("id_b"))
+    assert(!prop25.converged, "propagation at default maxIter must NOT finish a 300-chain")
+    val starred = Dedup.connectedComponentsStars(chain, col("id_a"), col("id_b"))
+    assert(starred.converged && starred.iterations <= 12,
+      s"star contraction should need O(log n) rounds, took ${starred.iterations}")
+    val labels = starred.labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 300 && labels.forall(_._2 == 1L))
+  }
+
   test("components: every corpus row gets a canonical id, singletons carry their own") {
     import spark.implicits._
     val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
