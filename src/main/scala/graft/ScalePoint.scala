@@ -40,13 +40,17 @@ object ScalePoint {
       case "ccstars"       => Bench.ccStarsThroughput(spark, rows)
       case "contamination" => Bench.contaminationThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
+      case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup
     val xs = (1 to samples).map(_ => run(n))
     val best = xs.map(_._2).min
+    // workloads report their own work unit (rows, edges, batch docs) as the
+    // tuple's first element — rate against THAT, not the requested n
+    val work = xs.head._1
     println(
-      s"""{"metric":"scale_point","mode":"$mode","rows":$n,"cpus":$cpus,"sec":$best,"rows_per_sec":${(n / best).toLong},"samples":[${xs
+      s"""{"metric":"scale_point","mode":"$mode","rows":$n,"work":$work,"cpus":$cpus,"sec":$best,"rows_per_sec":${(work / best).toLong},"samples":[${xs
           .map(_._2)
           .mkString(",")}],"result":${xs.head._3}}"""
     )
