@@ -54,6 +54,8 @@ object ScalingBench {
       Bench.embeddingThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.knnJoinThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.textThroughput(s, math.min(nEmb / 10, 200000L))
+      Bench.hammingKnnThroughput(s, math.min(nEmb / 10, 200000L))
+      Bench.contaminationThroughput(s, math.min(nText / 10, 100000L))
       Bench.imageThroughput(s, nImg) // also materializes the stored table
       s.stop()
     }
@@ -73,6 +75,8 @@ object ScalingBench {
       val (_, sec, _) =
         if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
         else if (mode == "knnjoin") Bench.knnJoinThroughput(s, nEmb)
+        else if (mode == "hammingknn") Bench.hammingKnnThroughput(s, nEmb)
+        else if (mode == "contamination") Bench.contaminationThroughput(s, nText)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -85,9 +89,9 @@ object ScalingBench {
 
     val parts = modes.map { mode =>
       val nm =
-        if (mode == "text") nText
+        if (mode == "text" || mode == "contamination") nText
         else if (mode == "image") nImg
-        else if (mode == "embedding" || mode == "knnjoin") nEmb
+        else if (mode == "embedding" || mode == "knnjoin" || mode == "hammingknn") nEmb
         else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min

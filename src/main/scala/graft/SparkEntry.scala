@@ -776,6 +776,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // ---- deterministic per-language quota sample (corpus curation): the
+    // 50 smallest docs per lang by a multiplicative hash of doc_id — the
+    // hash is plain integer arithmetic so the oracle recomputes membership
+    // exactly; the engine's two-phase plan (count → hash pre-filter →
+    // windowed top-off) must equal the oracle's brute-force window
+    "q56_quota_sample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .quotaSample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), h, col("doc_id"), quota = 50)
+        .orderBy("doc_id")
+    }),
+    // ---- deterministic rate sample: membership = hash under a fixed
+    // threshold (0.25 × 2^32 — exactly representable, so both engines
+    // compute the identical integer), shuffle-free single filter
+    "q57_rate_sample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .rateSample(t(s, dir, "documents").select(col("doc_id"), col("lang")), h, 0.25)
+        .orderBy("doc_id")
+    }),
     // ---- full-corpus canonical id: the q51 component labels joined back
     // onto EVERY document (singletons carry their own id) — the dedup
     // pipeline's final output, whose keep-set is filter(id = comp)
@@ -985,6 +1006,20 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // brute-force window over the SQL-reproducible multiplicative hash:
+    // exactly the engine's two-phase quota sample
+    "q56_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY (doc_id*2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    // fixed integer threshold = 0.25 * 2^32 (exactly representable)
+    "q57_rate_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id*2654435761) % 4294967296 < 1073741824
+        |ORDER BY doc_id""".stripMargin,
     // q26's brute force restricted to pairs touching the odd-id batch —
     // exactly what the incremental store probe must return
     "q55_dedup_incremental" ->

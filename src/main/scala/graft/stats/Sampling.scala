@@ -1,0 +1,88 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-corpus curation: membership is a
+  * pure function of a caller-supplied hash column, so samples are
+  * reproducible across runs and clusters, resumable (re-running never
+  * changes the verdict for a row), and composable (the same key + hash
+  * always lands on the same side — joins between sampled tables stay
+  * consistent). Spark's builtin `sample`/`sampleBy` are seeded-RNG per
+  * partition: the sample CHANGES with partitioning, which is exactly what
+  * a 100-TB pipeline cannot have.
+  *
+  * The hash column contract: a non-negative integer, uniform on
+  * [0, hashMax). Callers choose the hash so downstream systems (or the
+  * DuckDB oracle) can recompute membership — e.g. a multiplicative hash of
+  * a numeric id is exactly reproducible in ANSI SQL, `xxhash64` is the
+  * production-strength choice when only Spark needs to recompute it.
+  */
+object Sampling {
+
+  /** Shuffle-free deterministic sample: keeps rows with
+    * `hashCol < floor(rate * hashMax)`. The plan is a single codegen'd
+    * filter — pushes down to the scan like any predicate; no shuffle, no
+    * RNG, no partitioning sensitivity. */
+  def rateSample(df: DataFrame, hashCol: Column, rate: Double, hashMax: Long = 1L << 32): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    df.filter(hashCol < lit((rate * hashMax).toLong))
+  }
+
+  /** EXACT deterministic top-`quota` rows per stratum, ordered by ascending
+    * (hashCol, tie) — per-language / per-source / per-domain caps with
+    * reproducible membership.
+    *
+    * Scale shape (never a full-corpus window): a giant stratum would make
+    * `row_number() over (partition by stratum)` sort the whole stratum on
+    * one task chain. Instead:
+    *  1. per-stratum counts (one partial-agg groupBy, tiny result);
+    *  2. hash-threshold PRE-FILTER at rate ≈ 2×quota/count (the ordering
+    *     key IS the hash, so the quota smallest rows survive whenever at
+    *     least `quota` rows pass — survivors ≈ 2×quota per stratum);
+    *  3. strata whose survivor count fell below min(quota, count) — a
+    *     vanishingly rare tail event of the uniform hash — fall back to
+    *     their full row set, by union;
+    *  4. the exact window runs over ~2×quota rows per stratum, not the
+    *     corpus.
+    * Result is EXACTLY the brute-force single-window answer (spec-pinned),
+    * at the cost of two cheap aggregations. */
+  def quotaSample(
+      df: DataFrame,
+      stratum: Column,
+      hashCol: Column,
+      tie: Column,
+      quota: Int,
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("_st", stratum).withColumn("_h", hashCol).withColumn("_tie", tie)
+    val counts = base.groupBy(col("_st")).agg(count(lit(1)).as("_cnt"))
+    // pre-filter threshold per stratum; rate capped at 1 keeps everything
+    val withThresh = counts.select(
+      col("_st"),
+      col("_cnt"),
+      least(lit(1.0), lit(2.0 * quota) / col("_cnt")).as("_rate"))
+    val joined = base.join(broadcast(withThresh), Seq("_st"))
+    val pre = joined.filter(col("_h") < (col("_rate") * lit(hashMax.toDouble)).cast("long"))
+    // rare-undershoot fallback: strata where the pre-filter kept fewer than
+    // min(quota, count) rows re-enter in full
+    // LEFT join from the full stratum list: a stratum whose pre-filter kept
+    // ZERO rows is absent from pre's groupBy and must still count as short
+    val short = counts
+      .join(pre.groupBy(col("_st")).agg(count(lit(1)).as("_kept")), Seq("_st"), "left")
+      .filter(coalesce(col("_kept"), lit(0L)) < least(lit(quota.toLong), col("_cnt")))
+      .select(col("_st"))
+    // short strata re-enter WHOLE and leave the pre set entirely (anti/semi
+    // on the same tiny key set) — never a distinct, which would collapse
+    // genuinely duplicated input rows the brute-force window keeps
+    val candidates = pre.join(broadcast(short), Seq("_st"), "left_anti").drop("_cnt", "_rate")
+      .unionAll(joined.join(broadcast(short), Seq("_st"), "left_semi").drop("_cnt", "_rate"))
+    val w = Window.partitionBy(col("_st")).orderBy(col("_h"), col("_tie"))
+    candidates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_st", "_h", "_tie", "_rk")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.Sampling
+
+/** Deterministic sampling: reproducible membership, exact quotas under
+  * skew, and the rare-undershoot fallback. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // SQL-reproducible multiplicative hash on a numeric id, range [0, 2^32)
+  private def mhash(c: org.apache.spark.sql.Column) =
+    pmod(c * lit(2654435761L), lit(4294967296L))
+
+  test("rateSample: deterministic, partitioning-independent membership at the exact threshold") {
+    val df = (1L to 20000L).map(i => (i, s"d$i")).toDF("id", "v")
+    val got = Sampling.rateSample(df, mhash(col("id")), 0.25)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // recompute membership independently: h < floor(0.25 * 2^32)
+    val expected = (1L to 20000L).filter { i =>
+      java.lang.Math.floorMod(i * 2654435761L, 4294967296L) < 1073741824L
+    }
+    assert(got == expected)
+    // repartitioning cannot change the sample (the RNG-based sample does)
+    val re = Sampling.rateSample(df.repartition(7), mhash(col("id")), 0.25)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(re == got)
+    assert(math.abs(got.size / 20000.0 - 0.25) < 0.02, s"uniform hash should land near the rate, got ${got.size}")
+  }
+
+  test("quotaSample: exact per-stratum quotas under skew, equal to the brute-force window") {
+    // one giant stratum, two small, one below quota
+    val rows = (1L to 5000L).map(i => (i, "en")) ++
+      (10001L to 10200L).map(i => (i, "fr")) ++
+      (20001L to 20040L).map(i => (i, "de")) ++
+      (30001L to 30003L).map(i => (i, "xx")) // 3 rows < quota
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.quotaSample(df, col("lang"), mhash(col("id")), col("id"), quota = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(mhash(col("id")), col("id"))
+    val brute = df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 25)
+      .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == brute)
+    val perLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perLang == Map("en" -> 25, "fr" -> 25, "de" -> 25, "xx" -> 3))
+  }
+
+  test("quotaSample: undershoot fallback — a stratum whose hashes all land above the pre-filter") {
+    // adversarial stratum: every hash in the top of the range, so the
+    // 2x-quota threshold keeps nothing and the stratum must re-enter whole
+    val high = (0L until 100L).map(i => (i, 4294967295L - i, "bad"))
+    val normal = (1000L to 1999L).map(i => (i, java.lang.Math.floorMod(i * 2654435761L, 4294967296L), "ok"))
+    val df = (high ++ normal).toDF("id", "h", "lang")
+    val got = Sampling.quotaSample(df, col("lang"), col("h"), col("id"), quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("id"))
+    val brute = df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 10)
+      .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == brute)
+    assert(got.count(_._2 == "bad") == 10, "the adversarial stratum still fills its quota exactly")
+  }
+}
