@@ -75,8 +75,12 @@ object ScalingBench {
       val (_, sec, _) =
         if (mode == "embedding") Bench.embeddingThroughput(s, nEmb)
         else if (mode == "knnjoin") Bench.knnJoinThroughput(s, nEmb)
-        else if (mode == "hammingknn") Bench.hammingKnnThroughput(s, nEmb)
-        else if (mode == "contamination") Bench.contaminationThroughput(s, nText)
+        // hammingknn/contamination are CHEAP per row — at nEmb/nText sizes
+        // the timed region is seconds and the fixed job envelope fakes a
+        // ~0.5 "efficiency" (the image-mode lesson, round 3): size them so
+        // the LOW level runs tens of seconds
+        else if (mode == "hammingknn") Bench.hammingKnnThroughput(s, n / 2)
+        else if (mode == "contamination") Bench.contaminationThroughput(s, nEmb)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -89,9 +93,11 @@ object ScalingBench {
 
     val parts = modes.map { mode =>
       val nm =
-        if (mode == "text" || mode == "contamination") nText
+        if (mode == "text") nText
+        else if (mode == "contamination") nEmb
         else if (mode == "image") nImg
-        else if (mode == "embedding" || mode == "knnjoin" || mode == "hammingknn") nEmb
+        else if (mode == "embedding" || mode == "knnjoin") nEmb
+        else if (mode == "hammingknn") n / 2
         else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min

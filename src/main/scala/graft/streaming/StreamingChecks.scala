@@ -147,4 +147,87 @@ object StreamingChecks {
       }
     out.toDF("row_number", "code").select(col("code"), col("row_number"))
   }
+
+  /** Streaming EXACT dedup with first-occurrence-wins semantics across the
+    * whole stream — the continuous counterpart of [[graft.dedup.Dedup.exact]]
+    * and the admission-time companion of the batch MinHash store: each doc
+    * is keyed by its whitespace/case-normalised content fingerprint
+    * ([[graft.text.TextOps.fingerprint]]), state per distinct fingerprint
+    * is ONE long (the keeper's id), and later arrivals emit (id, kept_id)
+    * exactly like the batch dedup family. State grows with distinct docs —
+    * bound it with `stateTtl` in production (idle fingerprints expire;
+    * re-seen docs after expiry count as fresh, the standard trade). */
+  def streamingExactDedup(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      stateTtl: Option[String] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(graft.text.TextOps.fingerprint(text).as("_fp"), id.cast("long").as("_id"))
+      .filter(col("_fp").isNotNull)
+      .as[(Long, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](OutputMode.Append(), timeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toArray.sorted
+            val dups =
+              if (state.exists) ids.toSeq
+              else { state.update(ids.head); ids.tail.toSeq }
+            val kept = state.get
+            stateTtl.foreach(state.setTimeoutDuration)
+            dups.iterator.map(d => (d, kept))
+          }
+      }
+      .toDF("id", "kept_id")
+  }
+
+  /** Streaming benchmark decontamination — the admission-time counterpart
+    * of [[graft.text.TextOps.contaminatedDocs]]: flag streamed docs sharing
+    * ≥ `minOverlap` distinct word n-gram shingles with the benchmark set.
+    * A doc's shingles all live in its own row, so the overlap is ROW-LOCAL:
+    * the benchmark's distinct shingle hashes are collected ONCE (driver
+    * memory bound = benchmark size — benchmarks are tiny next to corpora;
+    * the batch operator is the path for benchmark sets past memory) and the
+    * check is a stateless per-row kernel — append mode, no watermark, no
+    * streaming state at all. Output: (doc_id, overlap), contaminated docs
+    * only. */
+  def streamingContaminated(
+      stream: DataFrame,
+      text: Column,
+      id: Column,
+      benchmark: DataFrame,
+      btext: Column,
+      minOverlap: Int = 3,
+      shingleWords: Int = 3
+  ): DataFrame = {
+    val bset: java.util.HashSet[Long] = {
+      val s = new java.util.HashSet[Long]()
+      benchmark
+        .select(explode(graft.text.TextOps.wordShingleHashes(btext, shingleWords)).as("_g"))
+        .distinct()
+        .collect()
+        .foreach(r => s.add(r.getLong(0)))
+      s
+    }
+    val overlapUdf = udf { (sh: Seq[Long]) =>
+      var c = 0
+      val it = sh.iterator
+      while (it.hasNext) if (bset.contains(it.next())) c += 1
+      c
+    }
+    stream
+      .select(id.as("doc_id"),
+        overlapUdf(graft.text.TextOps.wordShingleHashes(text, shingleWords)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 }

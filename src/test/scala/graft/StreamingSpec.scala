@@ -161,4 +161,49 @@ class StreamingSpec extends SparkSpec {
       ))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first occurrence wins across batches, (id, kept_id) like batch dedup") {
+    import graft.streaming.StreamingChecks
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = StreamingChecks.streamingExactDedup(df, col("text"), col("doc_id"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("graft_stream_dedup").outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox"), (2L, "another doc body"), (3L, "The  Quick Brown FOX"))
+      q.processAllAvailable()
+      input.addData((4L, "the quick brown fox"), (5L, "a fresh third doc"))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_dedup")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // 3 dups 1 within its batch (fingerprint is case/whitespace-normalised);
+      // 4 dups 1 ACROSS batches; 2 and 5 are keepers
+      assert(got == Seq((3L, 1L), (4L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming contamination: stateless row-local overlap against the benchmark set") {
+    import graft.streaming.StreamingChecks
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = StreamingChecks.streamingContaminated(
+      df, col("text"), col("doc_id"), bench, col("text"), minOverlap = 2)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("graft_stream_contam").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"), // full overlap
+        (2L, "alpha beta gamma unrelated tail here"), // 1 shared 3-gram — under threshold
+        (3L, "totally different words in this doc"))
+      q.processAllAvailable()
+      input.addData((4L, "prefix words then alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_contam")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(got == Seq((1L, 4), (4L, 4)))
+    } finally q.stop()
+  }
 }
