@@ -21,7 +21,22 @@ object ScalingBench {
     val rounds = if (args.length > 2) args(2).toInt else 3
     val n = if (args.length > 3) args(3).toLong else 20000000L
 
+    // GRAFT_SCALING_PIN=1: bind the WHOLE process (task threads, GC, shuffle
+    // IO) to exactly `cpus` cores via taskset before each level. Without it,
+    // local[2] still runs GC/IO threads on every host core — measured 2.7
+    // cores of process CPU for shuffle-heavy modes — overstating the low
+    // level's capacity and compressing the N→4N ratio. Pinning makes
+    // "cluster of N cores" mean N cores, like a real N-core executor host.
+    val pin = sys.env.get("GRAFT_SCALING_PIN").exists(_ == "1")
+    def pinTo(cpus: Int): Unit = if (pin) {
+      val p = new ProcessBuilder(
+        "taskset", "-a", "-p", "-c", s"0-${cpus - 1}",
+        ProcessHandle.current().pid().toString).redirectErrorStream(true).start()
+      p.waitFor()
+    }
+
     def session(cpus: Int): SparkSession = {
+      pinTo(cpus)
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val s = SparkSession

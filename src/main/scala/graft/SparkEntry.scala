@@ -805,8 +805,93 @@ object SparkEntry {
       val pairs = Dedup
         .minHashPairs(docs, col("text"), col("doc_id"), bands = 4, threshold = 0.5)
       Dedup.components(docs, col("doc_id"), pairs, col("id_a"), col("id_b")).orderBy("id")
+    }),
+    // ---- streaming ops in BATCH-REPLAY mode: flatMapGroupsWithState runs
+    // on batch Datasets too (state starts empty, each key's rows arrive in
+    // one group call), so the streaming admission operators are oracled on
+    // the same batch tables as everything else. q58 plants case/whitespace-
+    // mangled copies (upper + trailing spaces — equal under the content
+    // fingerprint's normalization, unequal as raw text, so exact dedup q24
+    // provably misses them) and asserts first-occurrence-wins (id, kept_id)
+    "q58_streaming_dedup_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+      graft.streaming.StreamingChecks
+        .streamingExactDedup(docs.union(planted), col("text"), col("doc_id"))
+        .orderBy("id")
+    }),
+    // q59: the stateless streaming decontamination kernel replayed on the
+    // q52 fixture — must equal the batch operator's oracle exactly
+    "q59_streaming_contamination_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.streaming.StreamingChecks
+        .streamingContaminated(
+          docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 40 === 1), col("text"),
+          minOverlap = 3)
+        .select(col("doc_id"), col("overlap").cast("long").as("overlap"))
+        .orderBy("doc_id")
+    }),
+    // ---- PII screening (corpus curation): the synthetic corpus carries no
+    // PII, so deterministic PII is PLANTED from doc_id arithmetic (the q49
+    // planting technique — the oracle re-derives the identical text in SQL)
+    // and the engine's codegen'd regexp_count scan must find exactly it.
+    // The email is planted TWICE so multi-hit counting is exercised.
+    "q60_pii_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), piiPlant)
+      TextOps.piiScan(docs, col("text"), col("doc_id")).orderBy("doc_id")
+    }),
+    // redaction parity: global regexp_replace chain on both engines over
+    // the same planted text, output restricted to docs that carry PII
+    "q61_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), piiPlant)
+      docs
+        .filter(col("doc_id") % 7 === 2 || col("doc_id") % 11 === 3 ||
+          col("doc_id") % 13 === 4 || col("doc_id") % 17 === 5)
+        .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // ---- Gopher-style repetition filters: exact bigram counts (total /
+    // distinct / most-frequent) per doc; docs with doc_id%9==4 get a
+    // planted repeated phrase so the filter has real positives to rank
+    "q62_repetition_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 4, lit(" spam ham spam ham spam ham")).otherwise(lit("")))
+          .as("text"))
+      docs
+        .select(col("doc_id"), TextOps.bigramRepetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.total").as("total_bigrams"),
+          col("r.distinct").as("distinct_bigrams"), col("r.top").as("top_bigram"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Deterministic PII planting shared by q60/q61: appended spans derived
+    * from doc_id arithmetic only, so the DuckDB oracle reconstructs the
+    * byte-identical text. Base corpus text is alphabetic tokens — zero
+    * accidental matches. */
+  // the engine's exact PII patterns, interpolated into the oracle SQL so
+  // both sides always run the same regex (single-quote-free, RE2+Java safe)
+  private val piiEmailPat = TextOps.piiPatterns(0)._2
+  private val piiIpPat = TextOps.piiPatterns(1)._2
+  private val piiPhonePat = TextOps.piiPatterns(2)._2
+  private val piiSsnPat = TextOps.piiPatterns(3)._2
+
+  private def piiPlant: Column =
+    concat(
+      col("text"),
+      when(col("doc_id") % 7 === 2,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com or u"),
+          col("doc_id").cast("string"), lit("@mail.example.org"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 3,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".15"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 4, lit(" call 555-867-5309")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 5, lit(" ssn 123-45-6789")).otherwise(lit(""))
+    ).as("text")
 
   def oracleSql: Map[String, String] = Map(
     "q01_required_navalue" ->
@@ -1365,7 +1450,92 @@ object SparkEntry {
         |  SELECT 'missing-value', i + 2 FROM numbered WHERE i % 11 = 5
         |  UNION ALL
         |  SELECT 'blank-row', 2 + (SELECT count(*) FROM nation)
-        |) ORDER BY row_number, code""".stripMargin
+        |) ORDER BY row_number, code""".stripMargin,
+    // planted copies (doc_id+1M, upper + trailing spaces) collapse with
+    // their originals under lower/trim/whitespace normalization; keeper =
+    // min doc_id per normalized-text group, output = every later arrival
+    "q58_streaming_dedup_replay" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 3
+        |),
+        |n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM all_docs),
+        |g AS (SELECT nt, min(doc_id) AS kept_id FROM n GROUP BY nt HAVING count(*) > 1)
+        |SELECT n.doc_id AS id, g.kept_id FROM n JOIN g USING(nt) WHERE n.doc_id > g.kept_id
+        |ORDER BY id""".stripMargin,
+    // identical to q52's oracle — the streaming kernel must reproduce the
+    // batch decontamination operator exactly
+    "q59_streaming_contamination_replay" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM sh WHERE doc_id % 40 = 1),
+        |corpus AS (SELECT doc_id, unnest(ng) AS g FROM sh),
+        |hits AS (SELECT c.doc_id, count(*) AS overlap FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+        |SELECT doc_id, overlap FROM hits WHERE overlap >= 3 ORDER BY doc_id""".stripMargin,
+    // the oracle re-plants the identical PII text from doc_id arithmetic
+    // and counts with regexp_extract_all (patterns are RE2-and-Java
+    // compatible by construction — no lookaround)
+    "q60_pii_scan" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 2 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or u' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.15' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 4 THEN ' call 555-867-5309' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents
+        |),
+        |counts AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '$piiEmailPat')) AS email_count,
+        |         len(regexp_extract_all(text, '$piiIpPat')) AS ipv4_count,
+        |         len(regexp_extract_all(text, '$piiPhonePat')) AS phone_count,
+        |         len(regexp_extract_all(text, '$piiSsnPat')) AS ssn_count
+        |  FROM planted
+        |)
+        |SELECT doc_id, email_count, ipv4_count, phone_count, ssn_count FROM counts
+        |WHERE email_count > 0 OR ipv4_count > 0 OR phone_count > 0 OR ssn_count > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q61_pii_redact" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 2 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or u' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.15' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 4 THEN ' call 555-867-5309' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents
+        |  WHERE doc_id % 7 = 2 OR doc_id % 11 = 3 OR doc_id % 13 = 4 OR doc_id % 17 = 5
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '$piiEmailPat', '<EMAIL>', 'g'),
+        |         '$piiIpPat', '<IPV4>', 'g'),
+        |         '$piiPhonePat', '<PHONE>', 'g'),
+        |         '$piiSsnPat', '<SSN>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    // exact bigram accounting: total = n-1, distinct/top via unnest+group
+    "q62_repetition_stats" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 9 = 4 THEN ' spam ham spam ham spam ham' ELSE '' END AS text
+        |  FROM documents
+        |),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM planted),
+        |bg AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 2 THEN []
+        |              ELSE list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |         END AS g FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM bg),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, sum(c) AS total_bigrams, count(*) AS distinct_bigrams, max(c) AS top_bigram
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       CAST(coalesce(a.total_bigrams, 0) AS BIGINT) AS total_bigrams,
+        |       CAST(coalesce(a.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+        |       CAST(coalesce(a.top_bigram, 0) AS BIGINT) AS top_bigram
+        |FROM bg b LEFT JOIN agg a USING(doc_id) ORDER BY b.doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -259,10 +259,18 @@ object TextOps {
     * benchmarks are tiny next to the corpus, so Spark broadcasts it and the
     * corpus side never shuffles its shingles; per-doc overlap is a count
     * aggregation keyed by doc id. At a benchmark too large to broadcast the
-    * same plan degrades gracefully to a hash-join on the 8-byte shingle
-    * hash. Shingle hashing shared with the dedup family
-    * ([[wordShingleHashes]]: sorted distinct, so the exploded side is
-    * per-doc distinct for free). */
+    * same plan degrades to a hash-join on the 8-byte shingle hash — and for
+    * THAT regime the corpus side is first pruned by a Bloom filter of the
+    * benchmark hashes (built once by a tree aggregation over the small
+    * side, broadcast to the scan): at 100 TB the corpus shuffles only
+    * shingles that MIGHT be contaminated (true hits + `bloomFpp` false
+    * positives), so shuffle volume tracks the contamination rate instead of
+    * the corpus size. False positives are harmless — the equi-join after
+    * the prefilter is still exact. Benchmarks under `bloomThreshold`
+    * distinct hashes skip the bloom (the broadcast join already never
+    * shuffles the corpus side there). Shingle hashing shared with the
+    * dedup family ([[wordShingleHashes]]: sorted distinct, so the exploded
+    * side is per-doc distinct for free). */
   def contaminatedDocs(
       corpus: DataFrame,
       text: Column,
@@ -270,16 +278,110 @@ object TextOps {
       benchmark: DataFrame,
       btext: Column,
       minOverlap: Int = 3,
-      shingleWords: Int = 3
+      shingleWords: Int = 3,
+      bloomThreshold: Long = 1000000L,
+      bloomFpp: Double = 0.01
   ): DataFrame = {
+    val spark = corpus.sparkSession
     val bset = benchmark
       .select(explode(wordShingleHashes(btext, shingleWords)).as("_g"))
       .distinct()
-    corpus
-      .select(id.as("doc_id"), explode(wordShingleHashes(text, shingleWords)).as("_g"))
+    val corpusShingles =
+      corpus.select(id.as("doc_id"), explode(wordShingleHashes(text, shingleWords)).as("_g"))
+    val pruned = {
+      // one cheap job on the SMALL side decides the regime; the big side
+      // stays untouched until the final single pass
+      val nb = bset.count()
+      if (nb < bloomThreshold) corpusShingles
+      else {
+        val bloom = bset.stat.bloomFilter("_g", nb, bloomFpp)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf { (g: Long) => bc.value.mightContainLong(g) }
+        corpusShingles.filter(mightContain(col("_g")))
+      }
+    }
+    pruned
       .join(bset, Seq("_g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  // ---------------------------------------------------------------------
+  // PII screening (corpus-curation: detect / redact before training)
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the identical pattern runs in Spark's Java regex,
+    * RE2-based engines, and the DuckDB oracle. Standard public shapes:
+    * email, dotted-quad IPv4, NANP-style phone, US SSN. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  )
+
+  /** Per-doc PII hit counts, one codegen'd `regexp_count` per pattern in a
+    * single projection — one pass over the text column, no UDF, no shuffle.
+    * Order matters downstream: an SSN also matches the phone shape only if
+    * patterns overlap — these four are disjoint on real text except
+    * SSN⊂nothing (phone requires 3-3-4 digits, SSN is 3-2-4). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat) => name -> regexp_count(text, lit(pat)) }
+
+  /** Scan a corpus for PII: (id, <one count column per pattern>), docs with
+    * at least one hit. A 100-TB scan is a single filtered projection —
+    * pushdown-friendly, and the count columns make triage/reporting free. */
+  def piiScan(corpus: DataFrame, text: Column, id: Column): DataFrame = {
+    val counts = piiCounts(text)
+    val out = corpus.select(
+      (id.as("doc_id") +: counts.map { case (n, c) => c.cast("long").as(s"${n}_count") }): _*)
+    out.filter(counts.map(n => col(s"${n._1}_count") > 0).reduce(_ || _))
+  }
+
+  /** Redact PII in place: each pattern replaced by its `<TYPE>` tag, chained
+    * codegen'd `regexp_replace`s (global by default in Spark). Replacement
+    * order is the declaration order — SSN before phone would not matter for
+    * these disjoint shapes, but the order is fixed so output is stable. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
+
+  // ---------------------------------------------------------------------
+  // Intra-document repetition (Gopher-style quality filters)
+  // ---------------------------------------------------------------------
+
+  /** Per-doc token-bigram repetition stats — the classic repetition quality
+    * filters (duplicate-n-gram fraction and most-frequent-n-gram fraction,
+    * cf. the Gopher/MassiveText rules, public in Rae et al. 2021): a doc
+    * dominated by a repeated phrase scores high on both and is dropped
+    * before training. Pure per-row kernel (primitive-loop UDF over the
+    * token array — no shuffle; a 100-TB scan is one projection). Returns a
+    * struct (total, distinct, top) of LONG bigram counts; fractions are
+    * left to the caller so the exact integer counts stay oracle-checkable.
+    */
+  def bigramRepetitionStats(text: Column): Column = {
+    val u = udf { (s: String) =>
+      if (s == null) (0L, 0L, 0L)
+      else {
+        val toks = s.trim.split("\\s+")
+        if (toks.length < 2) (0L, 0L, 0L)
+        else {
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          var top = 0L
+          while (i + 2 <= toks.length) {
+            val g = toks(i) + " " + toks(i + 1)
+            val c = m.merge(g, 1L, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          ((toks.length - 1).toLong, m.size.toLong, top)
+        }
+      }
+    }
+    u(text).cast("struct<total:long,distinct:long,top:long>")
   }
 }

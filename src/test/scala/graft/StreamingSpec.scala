@@ -206,4 +206,25 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq((1L, 4), (4L, 4)))
     } finally q.stop()
   }
+
+  test("streaming ops replay on BATCH frames: same semantics, no stream needed (q58/q59 path)") {
+    import graft.streaming.StreamingChecks
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "another doc body"),
+      (3L, "The  Quick Brown FOX  "), // dups 1 under normalization
+      (4L, "the quick brown fox"), // dups 1 exactly
+      (5L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val dedup = StreamingChecks.streamingExactDedup(docs, col("text"), col("doc_id"))
+    assert(!dedup.isStreaming)
+    assert(dedup.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Seq((3L, 1L), (4L, 1L)))
+
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val contam = StreamingChecks.streamingContaminated(
+      docs, col("text"), col("doc_id"), bench, col("text"), minOverlap = 2)
+    assert(!contam.isStreaming)
+    assert(contam.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((5L, 4)))
+  }
 }

@@ -381,6 +381,13 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     // 6 tokens → 4 distinct 3-grams; doc 2 shares only "alpha beta gamma"
     assert(got == Seq((1L, 4L), (4L, 4L)))
+    // bloom-prefilter path (forced via threshold 0): same exact result —
+    // false positives only widen the pre-join candidate set, never the join
+    val bloomed = graft.text.TextOps
+      .contaminatedDocs(corpus, col("text"), col("doc_id"), bench, col("text"),
+        minOverlap = 2, bloomThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bloomed == got)
   }
 
   test("connectedComponents: pairs collapse to min-id clusters, chains converge, isolated pairs stay apart") {
@@ -451,5 +458,56 @@ class TextDedupSpec extends SparkSpec {
     val kept = Dedup.components(corpus, col("doc_id"), pairs, col("id_a"), col("id_b"))
       .filter(col("id") === col("comp")).collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("PII scan: per-type counts, multi-hit, no false positives on clean text") {
+    val pii = Seq(
+      (1L, "write to alice.smith+x@example.com or bob@mail.co today"),
+      (2L, "server at 192.168.0.1 and 10.0.255.7 responded"),
+      (3L, "call 555-867-5309 or 555.867.5309 now"),
+      (4L, "ssn on file 123-45-6789"),
+      (5L, "a perfectly clean document with words only"),
+      (6L, "version 1.2 section 3.4.5 not an ip, 12-34 not a phone")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScan(pii, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0L, 0L),
+      (2L, 0L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 2L, 0L),
+      (4L, 0L, 0L, 0L, 1L)
+    ))
+  }
+
+  test("PII redact: every span replaced by its tag, clean text untouched") {
+    val pii = Seq(
+      (1L, "mail a@b.io and c@d.org; ip 8.8.8.8; call 555-123-4567; ssn 123-45-6789 end"),
+      (2L, "nothing to redact here")
+    ).toDF("doc_id", "text")
+    val got = pii.select(col("doc_id"), TextOps.piiRedact(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got(0)._2 == "mail <EMAIL> and <EMAIL>; ip <IPV4>; call <PHONE>; ssn <SSN> end")
+    assert(got(1)._2 == "nothing to redact here")
+  }
+
+  test("bigram repetition stats: exact total/distinct/top counts (Gopher-style filter)") {
+    val reps = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> total 5, distinct 2, top 3
+      (2L, "all words completely distinct here"), // total 4, distinct 4, top 1
+      (3L, "one"), // <2 tokens -> zeros
+      (4L, "x x x x") // xx xx xx -> total 3, distinct 1, top 3
+    ).toDF("doc_id", "text")
+    val got = reps
+      .select(col("doc_id"), TextOps.bigramRepetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.total"), col("r.distinct"), col("r.top"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 3L),
+      (2L, 4L, 4L, 1L),
+      (3L, 0L, 0L, 0L),
+      (4L, 3L, 1L, 3L)
+    ))
   }
 }
