@@ -389,12 +389,32 @@ object Bench {
     * operator's scaladoc promises; the observed join strategy is printed to
     * stderr so the degradation is evidence, not a claim. Returns
     * (corpusDocs, seconds, contaminatedDocs). */
-  def contaminationThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+  def contaminationThroughput(
+      spark: SparkSession,
+      n: Long,
+      slices: Int = 64,
+      bloom: Boolean = false,
+      sparseBench: Boolean = false
+  ): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     val corpus = syntheticDocs(spark, n, slices)
-    val bench = syntheticDocs(spark, math.max(n / 10, 1L), slices).select(col("text"))
+    val nb = math.max(n / 10, 1L)
+    // dense fixture: every benchmark doc IS a corpus doc (hit rate 10% of
+    // the corpus — stresses the join). sparse fixture: benchmark seeds are
+    // disjoint from the corpus except every 100th (hit rate 0.1% — the
+    // realistic decontamination shape, where a bloom prefilter can drop
+    // ~99% of the corpus side before the shuffle)
+    val bench =
+      if (!sparseBench) syntheticDocs(spark, nb, slices).select(col("text"))
+      else
+        spark
+          .range(0, nb, 1, slices)
+          .select(docTextUdf(
+            when(col("id") % 100 === 0, (col("id") / 100 * 997) % n)
+              .otherwise(col("id") + 2 * n)).as("text"))
     val out = graft.text.TextOps
-      .contaminatedDocs(corpus, col("text"), col("doc_id"), bench, col("text"), minOverlap = 3)
+      .contaminatedDocs(corpus, col("text"), col("doc_id"), bench, col("text"), minOverlap = 3,
+        bloomThreshold = if (bloom) 0L else Long.MaxValue)
     val t0 = System.nanoTime()
     val hits = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -404,7 +424,8 @@ object Bench {
       else if (plan.contains("SortMergeJoin")) "sort-merge"
       else if (plan.contains("ShuffledHashJoin")) "shuffled-hash"
       else "other"
-    System.err.println(s"[contamination] corpus=$n bench=${n / 10} join=$strategy hits=$hits")
+    System.err.println(
+      s"[contamination] corpus=$n bench=$nb sparse=$sparseBench bloom=$bloom join=$strategy hits=$hits")
     (n, sec, hits)
   }
 
@@ -499,5 +520,39 @@ object Bench {
       .minHashPairsIncremental(spark, batch, col("text"), col("doc_id"), path)
       .count()
     (nb, (System.nanoTime() - t0) / 1e9, pairs)
+  }
+
+  /** Scaling workload #10 — STREAMING admission dedup: n synthetic docs
+    * (10% planted exact dups via seed reuse) written ONCE to parquet
+    * (untimed, like the image table), then streamed through
+    * [[graft.streaming.StreamingChecks.streamingExactDedup]] with
+    * Trigger.AvailableNow into a noop sink. The timed region is the whole
+    * streaming run: scan → codegen'd fingerprint → stateful
+    * flatMapGroupsWithState against the state store (one state row per
+    * distinct doc) → commit. A fresh checkpoint dir per run keeps the
+    * query from resuming into an empty batch. Returns (docs, seconds,
+    * batches). */
+  def streamingThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bench_streamdocs_$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      spark
+        .range(0, n, 1, slices)
+        .select(col("id").as("doc_id"),
+          docTextUdf(when(col("id") % 10 === 7, col("id") - 1).otherwise(col("id"))).as("text"))
+        .write.mode("overwrite").parquet(path)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val out = graft.streaming.StreamingChecks.streamingExactDedup(stream, col("text"), col("doc_id"))
+    val t0 = System.nanoTime()
+    val q = out.writeStream
+      .format("noop")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_ckpt_${System.nanoTime()}")
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.length.toLong
+    (n, (System.nanoTime() - t0) / 1e9, batches)
   }
 }

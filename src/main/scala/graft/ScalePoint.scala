@@ -39,6 +39,10 @@ object ScalePoint {
       case "cc"            => Bench.ccThroughput(spark, rows)
       case "ccstars"       => Bench.ccStarsThroughput(spark, rows)
       case "contamination" => Bench.contaminationThroughput(spark, rows)
+      case "contamsparse"  => Bench.contaminationThroughput(spark, rows, sparseBench = true)
+      case "contamsparsebloom" =>
+        Bench.contaminationThroughput(spark, rows, bloom = true, sparseBench = true)
+      case "streaming"     => Bench.streamingThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

@@ -72,6 +72,8 @@ object ScalingBench {
       Bench.hammingKnnThroughput(s, math.min(nEmb / 10, 200000L))
       Bench.contaminationThroughput(s, math.min(nText / 10, 100000L))
       Bench.imageThroughput(s, nImg) // also materializes the stored table
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("streaming")))
+        Bench.streamingThroughput(s, nEmb) // full-size: materializes the doc table untimed
       s.stop()
     }
 
@@ -96,6 +98,7 @@ object ScalingBench {
         // the LOW level runs tens of seconds
         else if (mode == "hammingknn") Bench.hammingKnnThroughput(s, n / 2)
         else if (mode == "contamination") Bench.contaminationThroughput(s, nEmb)
+        else if (mode == "streaming") Bench.streamingThroughput(s, nEmb)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -109,7 +112,7 @@ object ScalingBench {
     val parts = modes.map { mode =>
       val nm =
         if (mode == "text") nText
-        else if (mode == "contamination") nEmb
+        else if (mode == "contamination" || mode == "streaming") nEmb
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

@@ -854,6 +854,23 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // ---- sequence packing: contiguous token-budget bins in doc_id order
+    // via the two-phase distributed prefix sum (NOT a global window — that
+    // plan is a single-partition Exchange); bin = tokens-before div 500
+    "q64_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.stats.Packing
+        .assignBins(docs, col("doc_id"), col("doc_id"), TextOps.tokenCount(col("text")), budget = 500L)
+        .orderBy("id")
+    }),
+    // ---- corpus-level line dedup (the C4/RefinedWeb step): docs become
+    // multi-line via deterministic planting (a boilerplate footer on every
+    // doc, a promo line on doc_id%7==6), then every distinct line survives
+    // only at its first (id, pos) occurrence and docs are reassembled
+    "q63_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), lineDedupPlant)
+      Dedup.dedupLines(docs, col("text"), col("doc_id")).orderBy("id")
+    }),
     // ---- Gopher-style repetition filters: exact bigram counts (total /
     // distinct / most-frequent) per doc; docs with doc_id%9==4 get a
     // planted repeated phrase so the filter has real positives to rank
@@ -880,6 +897,18 @@ object SparkEntry {
   private val piiIpPat = TextOps.piiPatterns(1)._2
   private val piiPhonePat = TextOps.piiPatterns(2)._2
   private val piiSsnPat = TextOps.piiPatterns(3)._2
+
+  /** q63's deterministic multi-line planting: every doc gets its text as
+    * line 1, a shared boilerplate footer, a doc-unique line, and (for
+    * doc_id%7==6) a shared promo line — concat_ws skips the null, matching
+    * DuckDB's concat_ws NULL behaviour byte for byte. */
+  private def lineDedupPlant: Column =
+    concat_ws("\n",
+      col("text"),
+      lit("shared boilerplate footer"),
+      concat(lit("unique line "), col("doc_id").cast("string")),
+      when(col("doc_id") % 7 === 6, lit("promo offer ends soon"))
+    ).as("text")
 
   private def piiPlant: Column =
     concat(
@@ -1516,6 +1545,31 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // the oracle IS the naive global window the engine refuses to run —
+    // exclusive prefix sum div budget
+    "q64_sequence_packing" ->
+      """WITH w AS (SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS wt FROM documents),
+        |c AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT doc_id AS id, CAST((cum - wt) // 500 AS BIGINT) AS bin FROM c ORDER BY id""".stripMargin,
+    // first-occurrence-wins per distinct line via a window, reassembly via
+    // ordered string_agg — the engine's hash-keyed min((id,pos)) plan must
+    // reproduce it exactly (sf oracle data is collision-free)
+    "q63_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat_ws(chr(10), text, 'shared boilerplate footer',
+        |         'unique line ' || CAST(doc_id AS VARCHAR),
+        |         CASE WHEN doc_id % 7 = 6 THEN 'promo offer ends soon' END) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+        |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+        |         i -> struct_pack(pos := i, line := l[i]))) AS u FROM ls),
+        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ex),
+        |ranked AS (SELECT doc_id, pos, line,
+        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM lines),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |            FROM ranked WHERE rk = 1 GROUP BY doc_id)
+        |SELECT p.doc_id AS id, coalesce(r.text, '') AS text
+        |FROM planted p LEFT JOIN rebuilt r USING(doc_id) ORDER BY id""".stripMargin,
     // exact bigram accounting: total = n-1, distinct/top via unnest+group
     "q62_repetition_stats" ->
       """WITH planted AS (

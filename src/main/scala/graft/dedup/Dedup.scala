@@ -777,4 +777,42 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** CORPUS-LEVEL LINE dedup — the C4/RefinedWeb curation step: every
+    * distinct line is kept exactly once across the whole corpus (first
+    * occurrence wins, ordered by (id, position)); later occurrences are
+    * deleted in place and each document is reassembled from its surviving
+    * lines (possibly empty). Output: (id, text).
+    *
+    * Plan shape for 100 TB: lines explode once; the winner per line is a
+    * map-side-combinable min((id, pos)) aggregation keyed on the line's
+    * 8-byte xxhash64 (boilerplate lines repeated in millions of docs
+    * pre-aggregate inside each task — the hot key carries ONE row per
+    * partition into the shuffle); survivors are a semi join on (hash, id,
+    * pos); reassembly shuffles the kept lines once by doc id. Collisions:
+    * two DISTINCT lines sharing an xxhash64 would wrongly drop one — ~n²/2⁶⁵
+    * expected pairs, the standard accepted trade of hash-keyed dedup at
+    * corpus scale (same trade as [[exact]]). */
+  def dedupLines(corpus: DataFrame, text: Column, id: Column, sep: String = "\n"): DataFrame = {
+    val lines = corpus
+      .select(id.cast("long").as("_id"), posexplode(split(text, sep)).as(Seq("_pos", "_line")))
+    val keyed = lines.withColumn("_h", xxhash64(col("_line")))
+    val winners = keyed
+      .groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+      .select(col("_h"), col("_w._id").as("_id"), col("_w._pos").as("_pos"))
+    // reassembly kernel: primitive sort + join, not a Catalyst HOF chain
+    // (interpreted) — runs once per doc over its kept lines, off the scan
+    val assemble = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
+      rows.sortBy(_.getInt(0)).map(_.getString(1)).mkString(sep)
+    }
+    val rebuilt = keyed
+      .join(winners, Seq("_h", "_id", "_pos"), "left_semi")
+      .groupBy("_id")
+      .agg(assemble(collect_list(struct(col("_pos"), col("_line")))).as("_text"))
+    corpus
+      .select(id.cast("long").as("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as("id"), coalesce(col("_text"), lit("")).as("text"))
+  }
 }

@@ -62,4 +62,26 @@ class SamplingSpec extends SparkSpec {
     assert(got == brute)
     assert(got.count(_._2 == "bad") == 10, "the adversarial stratum still fills its quota exactly")
   }
+
+  test("Packing.assignBins: exact prefix-sum bins, partitioning-independent, no global window") {
+    import graft.stats.Packing
+    val n = 5000L
+    // deterministic pseudo-random weights 1..99
+    val df = (1L to n).map(i => (i, (i * 2654435761L % 97L + 1L))).toDF("id", "w")
+    val got = Packing.assignBins(df.repartition(13), col("id"), col("id"), col("w"), budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // brute-force exclusive prefix sum on the driver
+    var run = 0L
+    val expected = (1L to n).map { i =>
+      val w = i * 2654435761L % 97L + 1L
+      val bin = run / 1000L
+      run += w
+      (i, bin)
+    }
+    assert(got == expected)
+    // a different input partitioning must not change a single assignment
+    val again = Packing.assignBins(df.repartition(3), col("id"), col("id"), col("w"), budget = 1000L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(again == expected)
+  }
 }

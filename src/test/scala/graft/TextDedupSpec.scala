@@ -460,6 +460,23 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("dedupLines: first (id, pos) occurrence of each distinct line wins corpus-wide") {
+    val multi = Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "shared footer\ngamma\nalpha"), // loses both dup lines
+      (3L, "gamma\ndelta"), // loses gamma (doc 2 pos 2 is earlier)
+      (4L, "shared footer") // loses its only line -> empty doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(multi, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "gamma"),
+      (3L, "delta"),
+      (4L, "")
+    ))
+  }
+
   test("PII scan: per-type counts, multi-hit, no false positives on clean text") {
     val pii = Seq(
       (1L, "write to alice.smith+x@example.com or bob@mail.co today"),
