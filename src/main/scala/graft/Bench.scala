@@ -555,4 +555,57 @@ object Bench {
     val batches = q.recentProgress.length.toLong
     (n, (System.nanoTime() - t0) / 1e9, batches)
   }
+
+  /** Scaling workload #11 — corpus-level LINE dedup: n docs of 4 lines
+    * each (a unique 50-token body, a per-doc unique id line, and two of
+    * five rotating boilerplate footers — so each footer is a hot key
+    * carried by ~2n/5 docs, the map-side-combine stress). The timed
+    * aggregation consumes the reassembled text (sum of lengths) so the
+    * assemble kernel cannot be pruned away (count() would skip it).
+    * Returns (docs, seconds, totalKeptChars). */
+  def lineDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val docs = spark
+      .range(0, n, 1, slices)
+      .select(col("id").as("doc_id"),
+        concat_ws("\n",
+          docTextUdf(col("id")),
+          concat(lit("doc id line "), col("id").cast("string")),
+          concat(lit("boilerplate footer variant "), (col("id") % 5).cast("string")),
+          concat(lit("boilerplate footer variant "), ((col("id") + 2) % 5).cast("string"))
+        ).as("text"))
+    val out = graft.dedup.Dedup.dedupLines(docs, col("text"), col("doc_id"))
+    val t0 = System.nanoTime()
+    val chars = out.agg(sum(length(col("text")))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, chars)
+  }
+
+  /** Scaling workload #12 — sequence packing at scale: bin assignment for
+    * n docs with deterministic pseudo-random token weights. `naive = true`
+    * times the textbook global-window plan (single-partition Exchange —
+    * the scale killer `Packing.assignBins` exists to avoid) for the
+    * comparison row. The aggregation consumes every bin id. Returns
+    * (rows, seconds, binCount). */
+  def packingThroughput(
+      spark: SparkSession,
+      n: Long,
+      slices: Int = 64,
+      naive: Boolean = false
+  ): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val df = spark
+      .range(0, n, 1, slices)
+      .select(col("id"), (col("id") * 2654435761L % 97 + 1).as("w"))
+    val out =
+      if (!naive)
+        graft.stats.Packing.assignBins(df, col("id"), col("id"), col("w"), budget = 4096L)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.select(col("id"), (((sum(col("w")).over(win) - col("w")) / 4096L).cast("long")).as("bin"))
+      }
+    val t0 = System.nanoTime()
+    val bins = out.agg(countDistinct(col("bin"))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, bins)
+  }
 }

@@ -43,6 +43,9 @@ object ScalePoint {
       case "contamsparsebloom" =>
         Bench.contaminationThroughput(spark, rows, bloom = true, sparseBench = true)
       case "streaming"     => Bench.streamingThroughput(spark, rows)
+      case "linededup"     => Bench.lineDedupThroughput(spark, rows)
+      case "packing"       => Bench.packingThroughput(spark, rows)
+      case "packingnaive"  => Bench.packingThroughput(spark, rows, naive = true)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

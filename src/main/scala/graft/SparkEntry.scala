@@ -854,6 +854,36 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // ---- web-corpus domain aggregation: deterministic planted URLs
+    // (doc_id%6==1 carries one per-doc subdomain + one shared CDN host),
+    // domains extracted by one codegen'd regexp pass, counted per domain
+    "q65_top_domains" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 1,
+            concat(lit(" see https://site"), (col("doc_id") % 10).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string"),
+              lit(" and http://cdn.example.org/asset"))).otherwise(lit("")))
+          .as("text"))
+      TextOps.topDomains(docs, col("text"), col("doc_id")).orderBy("domain")
+    }),
+    // ---- composite image-curation filter: resolution / aspect / caption /
+    // format rules in ONE metadata pass over the stored image table — the
+    // bytes column must never be read (PlanSpec asserts pruning for this
+    // family); reasons joined into a deterministic comma string
+    "q66_image_curation" -> ((s, dir) => {
+      val imgs = images(s, dir)
+      imgs
+        .select(col("row_id"),
+          concat_ws(",",
+            when(col("w") * col("h") < 1500, lit("too-small")),
+            when(col("w") > col("h") * 2 || col("h") > col("w") * 2, lit("extreme-aspect")),
+            when(col("caption").isNull || length(col("caption")) < 8, lit("short-caption")),
+            when(!col("fmt").isin("png", "jpg", "jpeg"), lit("odd-format")))
+            .as("reasons"))
+        .filter(col("reasons") =!= "")
+        .orderBy("row_id")
+    }),
     // ---- sequence packing: contiguous token-budget bins in doc_id order
     // via the two-phase distributed prefix sum (NOT a global window — that
     // plan is a single-partition Exchange); bin = tokens-before div 500
@@ -1545,6 +1575,26 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
+    "q65_top_domains" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 6 = 1
+        |    THEN ' see https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and http://cdn.example.org/asset'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |doms AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM planted)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs FROM doms
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+    // NULL semantics match Spark's: a NULL rule verdict is skipped by
+    // concat_ws on both engines
+    "q66_image_curation" ->
+      """SELECT row_id, reasons FROM (
+        |  SELECT row_id, concat_ws(',',
+        |    CASE WHEN w*h < 1500 THEN 'too-small' END,
+        |    CASE WHEN w > h*2 OR h > w*2 THEN 'extreme-aspect' END,
+        |    CASE WHEN caption IS NULL OR length(caption) < 8 THEN 'short-caption' END,
+        |    CASE WHEN NOT fmt IN ('png','jpg','jpeg') THEN 'odd-format' END) AS reasons
+        |  FROM read_parquet('__IMGDIR__/*.parquet')
+        |) WHERE reasons <> '' ORDER BY row_id""".stripMargin,
     // the oracle IS the naive global window the engine refuses to run —
     // exclusive prefix sum div budget
     "q64_sequence_packing" ->

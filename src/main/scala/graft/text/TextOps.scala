@@ -350,6 +350,29 @@ object TextOps {
     }
 
   // ---------------------------------------------------------------------
+  // URL / domain extraction (web-corpus provenance + domain filtering)
+  // ---------------------------------------------------------------------
+
+  /** One capture group = the host; RE2-and-Java compatible like
+    * [[piiPatterns]]. */
+  val urlDomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** (doc_id, domain) for every URL occurrence — a codegen'd
+    * regexp_extract_all + explode, one pass over the text column. */
+  def urlDomains(corpus: DataFrame, text: Column, id: Column): DataFrame =
+    corpus.select(
+      id.as("doc_id"),
+      explode(regexp_extract_all(text, lit(urlDomainPattern), lit(1))).as("domain"))
+
+  /** Per-domain distinct-document counts — the standard web-corpus curation
+    * aggregate (domain blocklists, per-domain caps, provenance reports).
+    * One shuffle on the domain key with map-side partial aggregation. */
+  def topDomains(corpus: DataFrame, text: Column, id: Column): DataFrame =
+    urlDomains(corpus, text, id)
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+
+  // ---------------------------------------------------------------------
   // Intra-document repetition (Gopher-style quality filters)
   // ---------------------------------------------------------------------
 

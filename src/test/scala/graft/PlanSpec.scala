@@ -182,6 +182,43 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"one equi-join expected, got $joins")
   }
 
+  test("piiScan plan: one scan, one codegen'd projection, zero shuffle") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pii").toString + "/t"
+    (1L to 100L).map(i => (i, s"doc $i body u$i@example.com")).toDF("doc_id", "text")
+      .write.parquet(path)
+    val out = graft.text.TextOps.piiScan(spark.read.parquet(path), col("text"), col("doc_id"))
+    val plan = executedPlan(out)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Exchange"), s"PII scan must not shuffle:\n$plan")
+    assert(plan.contains("*("), "PII regexp counts must run inside whole-stage codegen")
+  }
+
+  test("Packing.assignBins plan: the range shuffle, never a single-partition global window") {
+    import spark.implicits._
+    val df = (1L to 10000L).map(i => (i, i % 50 + 1)).toDF("id", "w")
+    val out = graft.stats.Packing.assignBins(df, col("id"), col("id"), col("w"), budget = 500L)
+    // the output is built from an RDD of per-partition scans — materialize
+    // and check the prepared frame's plan has NO SinglePartition exchange
+    // (the naive window plan would)
+    val plan = executedPlan(out)
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not collapse to one partition:\n$plan")
+    assert(out.rdd.getNumPartitions > 1, "bin assignment must stay distributed")
+  }
+
+  test("dedupLines plan: winner election is a partial-aggregated hash groupBy, joins are equi") {
+    import spark.implicits._
+    val docs = (1L to 80L).map(i => (i, s"line${i % 9}\nline${i % 7}\nuniq$i")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dedupLines(docs, col("text"), col("doc_id"))
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must only equi-join:\n$plan")
+    // map-side combine before the winner shuffle: partial_min on the hash key
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"winner election must pre-aggregate map-side (hot boilerplate keys):\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))

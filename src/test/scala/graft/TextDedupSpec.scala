@@ -508,6 +508,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1)._2 == "nothing to redact here")
   }
 
+  test("URL domain extraction and per-domain distinct-doc counts") {
+    val web = Seq(
+      (1L, "intro http://a.example.com/x then https://b.example.org/y?z=1 done"),
+      (2L, "again http://a.example.com/other plus http://a.example.com/dup twice"),
+      (3L, "no urls at all here"),
+      (4L, "bad scheme ftp://c.example.net/f ignored")
+    ).toDF("doc_id", "text")
+    val doms = TextOps.urlDomains(web, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(doms == Seq((1L, "a.example.com"), (1L, "b.example.org"),
+      (2L, "a.example.com"), (2L, "a.example.com")))
+    val top = TextOps.topDomains(web, col("text"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(top == Seq(("a.example.com", 2L), ("b.example.org", 1L)))
+  }
+
   test("bigram repetition stats: exact total/distinct/top counts (Gopher-style filter)") {
     val reps = Seq(
       (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> total 5, distinct 2, top 3
