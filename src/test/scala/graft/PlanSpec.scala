@@ -116,6 +116,24 @@ class PlanSpec extends SparkSpec {
       s"bytes must be pruned from every scan: $readSchemas")
   }
 
+  test("stored image table: the q66 curation-filter shape never reads bytes, one scan, no shuffle") {
+    val path = graft.images.SyntheticImages.materialized(spark, 200, "target/imgcache_test")
+    val out = spark.read.parquet(path)
+      .select(col("row_id"),
+        concat_ws(",",
+          when(col("w") * col("h") < 1500, lit("too-small")),
+          when(col("w") > col("h") * 2 || col("h") > col("w") * 2, lit("extreme-aspect")),
+          when(col("caption").isNull || length(col("caption")) < 8, lit("short-caption")),
+          when(!col("fmt").isin("png", "jpg", "jpeg"), lit("odd-format"))).as("reasons"))
+      .filter(col("reasons") =!= "")
+    val plan = executedPlan(out)
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("bytes")),
+      s"bytes must be pruned from every scan: $readSchemas")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Exchange"), s"curation verdicts must not shuffle:\n$plan")
+  }
+
   test("stored image table: caption checks (captionViolations) never read bytes") {
     val path = graft.images.SyntheticImages.materialized(spark, 200, "target/imgcache_test")
     val plan = executedPlan(
