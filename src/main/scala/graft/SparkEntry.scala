@@ -854,6 +854,24 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // ---- the IMAGE-axis dedup pipeline end-to-end (q54's text analogue):
+    // phash near-dup pairs (banded, exact at hamming<=1) → connected
+    // components → one canonical id per EVERY image (singletons = own id);
+    // the keep-set is filter(id = comp)
+    // 947 distinct phashes over 5000 rows -> a DENSE 154k-pair graph whose
+    // diameter blows past label propagation's round budget, so this is the
+    // small-star/large-star path (O(log n) rounds regardless of diameter)
+    "q67_image_canonical" -> ((s, dir) => {
+      val imgs = images(s, dir).select(col("row_id"), col("phash"))
+      val pairs = Dedup
+        .hammingPairs(imgs, col("phash"), col("row_id"), maxHamming = 1, bands = 2)
+      val labels = Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b")).labels
+      imgs
+        .select(col("row_id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .orderBy("id")
+    }),
     // ---- web-corpus domain aggregation: deterministic planted URLs
     // (doc_id%6==1 carries one per-doc subdomain + one shared CDN host),
     // domains extracted by one codegen'd regexp pass, counted per domain
@@ -1575,6 +1593,25 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // q51's recursive-CTE closure over the brute-force phash pair set,
+    // joined back to every image (q54's shape on the image axis)
+    "q67_image_canonical" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.row_id AS id_a, b.row_id AS id_b
+        |  FROM read_parquet('__IMGDIR__/*.parquet') a
+        |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |),
+        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT i.row_id AS id, coalesce(l.comp, i.row_id) AS comp
+        |FROM read_parquet('__IMGDIR__/*.parquet') i LEFT JOIN labels l ON l.id = i.row_id
+        |ORDER BY id""".stripMargin,
     "q65_top_domains" ->
       """WITH planted AS (
         |  SELECT doc_id, text || CASE WHEN doc_id % 6 = 1
