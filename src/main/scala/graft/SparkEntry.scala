@@ -858,18 +858,14 @@ object SparkEntry {
     // phash near-dup pairs (banded, exact at hamming<=1) → connected
     // components → one canonical id per EVERY image (singletons = own id);
     // the keep-set is filter(id = comp)
-    // 947 distinct phashes over 5000 rows -> a DENSE 154k-pair graph whose
-    // diameter blows past label propagation's round budget, so this is the
-    // small-star/large-star path (O(log n) rounds regardless of diameter)
+    // 947 distinct phashes over 5000 rows -> a DENSE row-level pair graph
+    // (154k clique edges, diameter past propagation's round budget), so the
+    // components run over DISTINCT signatures (947 nodes) via star
+    // contraction and rows inherit labels through one membership join
     "q67_image_canonical" -> ((s, dir) => {
       val imgs = images(s, dir).select(col("row_id"), col("phash"))
-      val pairs = Dedup
-        .hammingPairs(imgs, col("phash"), col("row_id"), maxHamming = 1, bands = 2)
-      val labels = Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b")).labels
-      imgs
-        .select(col("row_id").as("id"))
-        .join(labels, Seq("id"), "left")
-        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      Dedup
+        .componentsBySignature(imgs, col("row_id"), col("phash"), maxHamming = 1, bands = 2)
         .orderBy("id")
     }),
     // ---- web-corpus domain aggregation: deterministic planted URLs

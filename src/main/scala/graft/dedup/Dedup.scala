@@ -778,6 +778,42 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Canonical ids for a SIGNATURE-keyed corpus (phash image dedup): the
+    * component graph is built over DISTINCT signatures — one representative
+    * (min id) per signature, Hamming-banded pairs between representatives
+    * only, star-contraction components over that graph (O(log n) rounds,
+    * diameter-proof) — and every row then inherits its signature's label
+    * through one membership join. On a web-scale image corpus the
+    * mass-duplicated signatures are the NORM, so CC input shrinks from
+    * row-level clique edges (|cluster|² per duplicated signature) to the
+    * distinct-signature graph. Identical-signature rows are distance-0
+    * connected, so components are unchanged; the component label is the
+    * global min row id (representatives are per-signature minima). Rows
+    * with a null signature join nothing and keep their own id. Output:
+    * (id, comp) for EVERY row. */
+  def componentsBySignature(
+      corpus: DataFrame,
+      id: Column,
+      sig: Column,
+      maxHamming: Int = 1,
+      bands: Int = 2,
+      maxIter: Int = 50
+  ): DataFrame = {
+    val reps = corpus
+      .select(sig.as("_sig"), id.cast("long").as("_id"))
+      .groupBy("_sig")
+      .agg(min("_id").as("_rep"))
+    val pairs =
+      hammingPairs(reps.select(col("_sig"), col("_rep")), col("_sig"), col("_rep"), maxHamming, bands)
+    val labels = connectedComponentsStars(pairs, col("id_a"), col("id_b"), maxIter).labels
+    corpus
+      .select(id.cast("long").as("id"), sig.as("_sig"))
+      .join(reps, Seq("_sig"), "left")
+      .join(labels.withColumnRenamed("id", "_lid"),
+        col("_rep") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("_rep"), col("id")).as("comp"))
+  }
+
   /** CORPUS-LEVEL LINE dedup — the C4/RefinedWeb curation step: every
     * distinct line is kept exactly once across the whole corpus (first
     * occurrence wins, ordered by (id, position)); later occurrences are

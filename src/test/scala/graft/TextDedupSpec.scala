@@ -460,6 +460,29 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("componentsBySignature: distinct-signature CC equals row-level CC; null sigs stay singletons") {
+    // sigs: 0b0001 {1,4}, 0b0011 {2} (1 bit from both 0b0001 and 0b0111),
+    // 0b0111 {3,7}, 0b1000_0000 {5} isolated, null {6,8} -> own ids
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(1L)), (2L, java.lang.Long.valueOf(3L)),
+      (3L, java.lang.Long.valueOf(7L)), (4L, java.lang.Long.valueOf(1L)),
+      (5L, java.lang.Long.valueOf(128L)), (6L, null.asInstanceOf[java.lang.Long]),
+      (7L, java.lang.Long.valueOf(7L)), (8L, null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "sig")
+    val got = Dedup.componentsBySignature(rows, col("id"), col("sig"), maxHamming = 1, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 6L), (7L, 1L), (8L, 8L)
+    ))
+    // parity with the row-level pair graph + full-corpus components
+    val pairs = Dedup.hammingPairs(rows.filter(col("sig").isNotNull), col("sig"), col("id"),
+      maxHamming = 1, bands = 2)
+    val rowLevel = Dedup.components(rows, col("id"), pairs, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rowLevel == got)
+  }
+
   test("dedupLines: first (id, pos) occurrence of each distinct line wins corpus-wide") {
     val multi = Seq(
       (1L, "alpha\nshared footer\nbeta"),
