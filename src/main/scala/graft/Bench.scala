@@ -580,6 +580,30 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, chars)
   }
 
+  /** Scaling workload #13 — image canonical ids at scale
+    * (`Dedup.componentsBySignature`): n rows over n/100 distinct
+    * signatures (mass-duplication: 100 members each, the web-corpus
+    * shape), canonical id per EVERY row. CC runs on the distinct-signature
+    * graph (n/100 nodes); the n-row side pays one membership join. The
+    * aggregation consumes every label. Returns (rows, seconds,
+    * componentCount). */
+  def imageCanonicalThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val mixU = udf { (id: Long) =>
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val m = math.max(n / 100, 1L)
+    val rows = spark.range(0, n, 1, slices)
+      .select(col("id"), mixU(col("id") % m).as("sig"))
+    val out = graft.dedup.Dedup.componentsBySignature(rows, col("id"), col("sig"))
+    val t0 = System.nanoTime()
+    val comps = out.agg(countDistinct(col("comp"))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, comps)
+  }
+
   /** Scaling workload #12 — sequence packing at scale: bin assignment for
     * n docs with deterministic pseudo-random token weights. `naive = true`
     * times the textbook global-window plan (single-partition Exchange —
