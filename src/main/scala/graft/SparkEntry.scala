@@ -1589,14 +1589,19 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
-    // q51's recursive-CTE closure over the brute-force phash pair set,
-    // joined back to every image (q54's shape on the image axis)
+    // q51's recursive-CTE closure, taken over DISTINCT phashes (brute-force
+    // bit_count pairs between per-phash min-id representatives, exact
+    // transitive closure, rows inherit through their phash) — same ground
+    // truth as the row-level closure (identical-phash rows are distance-0
+    // connected; the Scala parity spec pins the reduction), but the closure
+    // runs on ≤1k nodes instead of a 154k-edge clique graph (236 s → 2 s)
     "q67_image_canonical" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.row_id AS id_a, b.row_id AS id_b
-        |  FROM read_parquet('__IMGDIR__/*.parquet') a
-        |  JOIN read_parquet('__IMGDIR__/*.parquet') b ON a.row_id < b.row_id
-        |  WHERE bit_count(xor(a.phash, b.phash)) <= 1),
+      """WITH RECURSIVE sigs AS (
+        |  SELECT phash, min(row_id) AS rep FROM read_parquet('__IMGDIR__/*.parquet')
+        |  WHERE phash IS NOT NULL GROUP BY phash),
+        |pairs AS (
+        |  SELECT a.rep AS id_a, b.rep AS id_b FROM sigs a JOIN sigs b
+        |    ON a.rep < b.rep AND bit_count(xor(a.phash, b.phash)) <= 1),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges),
         |reach(id, comp) AS (
@@ -1605,8 +1610,10 @@ object SparkEntry {
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
         |),
         |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
-        |SELECT i.row_id AS id, coalesce(l.comp, i.row_id) AS comp
-        |FROM read_parquet('__IMGDIR__/*.parquet') i LEFT JOIN labels l ON l.id = i.row_id
+        |SELECT i.row_id AS id, coalesce(l.comp, s.rep, i.row_id) AS comp
+        |FROM read_parquet('__IMGDIR__/*.parquet') i
+        |LEFT JOIN sigs s ON s.phash = i.phash
+        |LEFT JOIN labels l ON l.id = s.rep
         |ORDER BY id""".stripMargin,
     "q65_top_domains" ->
       """WITH planted AS (
