@@ -854,6 +854,20 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // ---- the C4-style composite keep/drop verdict: token bounds +
+    // stopword floor + dominant-bigram repetition + PII presence in ONE
+    // pass; planting layers the q60 PII fixture with a 20×-repeated
+    // phrase (doc_id%9==4) and a 2-token replacement doc (doc_id%31==8)
+    "q68_curation_verdicts" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), piiPlant)
+      val spam = " " + Seq.fill(20)("spam ham").mkString(" ")
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 31 === 8, lit("tiny doc"))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 9 === 4, lit(spam)).otherwise(lit(""))))
+          .as("text"))
+      TextOps.curationVerdicts(docs, col("text"), col("doc_id")).orderBy("doc_id")
+    }),
     // ---- the IMAGE-axis dedup pipeline end-to-end (q54's text analogue):
     // phash near-dup pairs (banded, exact at hamming<=1) → connected
     // components → one canonical id per EVERY image (singletons = own id);
@@ -1589,6 +1603,44 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // every rule restated in integer arithmetic (stop×20 < n, top×5 >
+    // total) so the comparison is exact on both engines; the 20× phrase is
+    // trim(repeat(...)) to reproduce the Scala mkString byte-for-byte
+    "q68_curation_verdicts" ->
+      s"""WITH p1 AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 2 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or u' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.15' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 4 THEN ' call 555-867-5309' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 31 = 8 THEN 'tiny doc'
+        |    ELSE text || CASE WHEN doc_id % 9 = 4 THEN ' ' || trim(repeat('spam ham ', 20)) ELSE '' END END AS text
+        |  FROM p1),
+        |toks AS (SELECT doc_id, text, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
+        |bg AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
+        |  ELSE list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) END AS g FROM toks),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g) AS gram FROM bg) GROUP BY doc_id, gram),
+        |rep AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt GROUP BY doc_id),
+        |sig AS (
+        |  SELECT t.doc_id, len(t.tk) AS n,
+        |    len(list_filter(t.tk, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS stop_cnt,
+        |    coalesce(r.top, 0) AS top, coalesce(r.total, 0) AS total,
+        |    len(regexp_extract_all(t.text, '$piiEmailPat'))
+        |      + len(regexp_extract_all(t.text, '$piiIpPat'))
+        |      + len(regexp_extract_all(t.text, '$piiPhonePat'))
+        |      + len(regexp_extract_all(t.text, '$piiSsnPat')) AS pii
+        |  FROM toks t LEFT JOIN rep r USING(doc_id))
+        |SELECT doc_id, reasons FROM (
+        |  SELECT doc_id, concat_ws(',',
+        |    CASE WHEN n < 30 THEN 'too-short' END,
+        |    CASE WHEN n > 10000 THEN 'too-long' END,
+        |    CASE WHEN stop_cnt * 20 < n THEN 'low-stopword' END,
+        |    CASE WHEN top * 5 > total THEN 'repetitive' END,
+        |    CASE WHEN pii > 0 THEN 'has-pii' END) AS reasons
+        |  FROM sig)
+        |WHERE reasons <> '' ORDER BY doc_id""".stripMargin,
     // q51's recursive-CTE closure, taken over DISTINCT phashes (brute-force
     // bit_count pairs between per-phash min-id representatives, exact
     // transitive closure, rows inherit through their phash) — same ground

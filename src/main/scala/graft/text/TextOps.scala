@@ -350,6 +350,39 @@ object TextOps {
     }
 
   // ---------------------------------------------------------------------
+  // Composite curation verdict (the C4-style keep/drop filter)
+  // ---------------------------------------------------------------------
+
+  /** The keep/drop decision a C4-style curation pipeline makes per doc,
+    * as ONE projection over the existing kernels: token-count bounds,
+    * stopword floor (integer arithmetic — `stopwords × 20 < tokens` is
+    * ratio < 5% without a float in sight, so any SQL oracle restates it
+    * exactly), dominant-bigram repetition (top > 20% of bigrams), and PII
+    * presence. Output (doc_id, reasons) for flagged docs only; reasons is
+    * a deterministic comma-joined string. Codegen'd except the bigram
+    * kernel (primitive-loop UDF in the same pass); no shuffle. */
+  def curationVerdicts(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      minTokens: Int = 30,
+      maxTokens: Int = 10000
+  ): DataFrame = {
+    val n = tokenCount(text)
+    val rep = bigramRepetitionStats(text)
+    val anyPii = piiCounts(text).map(_._2 > 0).reduce(_ || _)
+    corpus
+      .select(id.as("doc_id"),
+        concat_ws(",",
+          when(n < minTokens, lit("too-short")),
+          when(n > maxTokens, lit("too-long")),
+          when(stopwordCount(text) * 20 < n, lit("low-stopword")),
+          when(rep.getField("top") * 5 > rep.getField("total"), lit("repetitive")),
+          when(anyPii, lit("has-pii"))).as("reasons"))
+      .filter(col("reasons") =!= "")
+  }
+
+  // ---------------------------------------------------------------------
   // URL / domain extraction (web-corpus provenance + domain filtering)
   // ---------------------------------------------------------------------
 

@@ -531,6 +531,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1)._2 == "nothing to redact here")
   }
 
+  test("curationVerdicts: C4-style keep/drop reasons in one pass") {
+    val base = "the data of this and that is a fine document with many of the words " +
+      "that a normal page would carry and it keeps going on and on just fine"
+    val fx = Seq(
+      (1L, base), // clean: enough tokens, plenty of stopwords
+      (2L, "tiny doc"), // too-short (+low-stopword, +repetitive on its 1 bigram)
+      (3L, base + " " + Seq.fill(30)("buy now").mkString(" ")), // repetitive
+      (4L, base + " mail me at x@y.io today"), // has-pii
+      (5L, (1 to 40).map(i => s"w$i").mkString(" ")) // no stopwords at all
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.curationVerdicts(fx, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(2L, 3L, 4L, 5L), s"doc 1 must pass clean: $got")
+    assert(got(0)._2.contains("too-short"))
+    assert(got(1)._2 == "repetitive")
+    assert(got(2)._2 == "has-pii")
+    assert(got(3)._2 == "low-stopword")
+  }
+
   test("URL domain extraction and per-domain distinct-doc counts") {
     val web = Seq(
       (1L, "intro http://a.example.com/x then https://b.example.org/y?z=1 done"),
