@@ -74,6 +74,10 @@ object ScalingBench {
       Bench.imageThroughput(s, nImg) // also materializes the stored table
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("streaming")))
         Bench.streamingThroughput(s, nEmb) // full-size: materializes the doc table untimed
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("linededup")))
+        Bench.lineDedupThroughput(s, 100000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("imagecanonical")))
+        Bench.imageCanonicalThroughput(s, 200000)
       s.stop()
     }
 
@@ -99,6 +103,8 @@ object ScalingBench {
         else if (mode == "hammingknn") Bench.hammingKnnThroughput(s, n / 2)
         else if (mode == "contamination") Bench.contaminationThroughput(s, nEmb)
         else if (mode == "streaming") Bench.streamingThroughput(s, nEmb)
+        else if (mode == "linededup") Bench.lineDedupThroughput(s, nEmb * 2)
+        else if (mode == "imagecanonical") Bench.imageCanonicalThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -113,6 +119,7 @@ object ScalingBench {
       val nm =
         if (mode == "text") nText
         else if (mode == "contamination" || mode == "streaming") nEmb
+        else if (mode == "linededup") nEmb * 2
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2
