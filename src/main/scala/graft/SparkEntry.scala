@@ -854,6 +854,26 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.piiRedact(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // ---- per-domain cap (anti-domain-dominance): the q65 URL fixture's
+    // primary domain becomes a quota-sample stratum — at most 10 docs per
+    // domain, membership decided by the SQL-reproducible hash
+    "q69_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 1,
+            concat(lit(" see https://site"), (col("doc_id") % 10).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string"),
+              lit(" and http://cdn.example.org/asset"))).otherwise(lit("")))
+          .as("text"))
+      val withDom = docs
+        .select(col("doc_id"),
+          regexp_extract(col("text"), TextOps.urlDomainPattern, 1).as("domain"))
+        .filter(col("domain") =!= "")
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .quotaSample(withDom, col("domain"), h, col("doc_id"), quota = 10)
+        .orderBy("doc_id")
+    }),
     // ---- the C4-style composite keep/drop verdict: token bounds +
     // stopword floor + dominant-bigram repetition + PII presence in ONE
     // pass; planting layers the q60 PII fixture with a 20×-repeated
@@ -1603,6 +1623,22 @@ object SparkEntry {
         |         '$piiPhonePat', '<PHONE>', 'g'),
         |         '$piiSsnPat', '<SSN>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // primary domain = first URL's host; cap = the q56 window restated
+    // over the domain stratum
+    "q69_domain_cap" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 6 = 1
+        |    THEN ' see https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and http://cdn.example.org/asset'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |wd AS (SELECT doc_id, regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS domain FROM planted),
+        |nz AS (SELECT doc_id, domain FROM wd WHERE domain <> '')
+        |SELECT doc_id, domain FROM (
+        |  SELECT doc_id, domain,
+        |         row_number() OVER (PARTITION BY domain
+        |                            ORDER BY (doc_id*2654435761) % 4294967296, doc_id) AS rk
+        |  FROM nz
+        |) WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     // every rule restated in integer arithmetic (stop×20 < n, top×5 >
     // total) so the comparison is exact on both engines; the 20× phrase is
     // trim(repeat(...)) to reproduce the Scala mkString byte-for-byte
