@@ -695,12 +695,16 @@ object Dedup {
       maxIter: Int = 50,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): CcResult = {
-    val init = truncate(
+    // normalized distinct edges WITH self-loops kept: a node whose only
+    // pairs are (a,a) must still surface as a singleton label (parity with
+    // connectedComponentsStats) — the node set is taken here, the iteration
+    // runs on the self-loop-free subset
+    val base = truncate(
       pairs.select(a.cast("long").as("src"), b.cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
         .distinct()
     )
+    val init = base.filter(col("src") =!= col("dst"))
     // m(u) = min(N(u) ∪ {u}) over the symmetric view of the edge set
     def minOfNbrs(edges: DataFrame): DataFrame =
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -744,11 +748,15 @@ object Dedup {
       iter += 1
     }
     // at the fixpoint the edge set is a star forest rooted at component
-    // minima: every src points at its component's min node
-    val labels = edges.select(col("src").as("id"), col("dst").as("comp"))
+    // minima: every src points at its component's min node; nodes that only
+    // appeared in self-loops re-enter as singleton labels
+    val edgeLabels = edges.select(col("src").as("id"), col("dst").as("comp"))
       .unionAll(edges.select(col("dst").as("id"), col("dst").as("comp")))
       .distinct()
-    CcResult(labels, iter, converged)
+    val selfOnly = base.filter(col("src") === col("dst")).select(col("src").as("id")).distinct()
+      .join(edgeLabels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    CcResult(edgeLabels.unionAll(selfOnly), iter, converged)
   }
 
   /** Full-corpus canonical id — the final step of a dedup pipeline: one
@@ -771,12 +779,48 @@ object Dedup {
       maxIter: Int = 25,
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
-    val labels = connectedComponents(pairs, a, b, maxIter, truncate)
+    val labels = connectedComponentsAuto(pairs, a, b, probeIter = math.min(maxIter, 10),
+      maxIter = math.max(maxIter, 50), truncate).labels
     corpus
       .select(id.cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** Strategy auto-selection: min-label propagation is the cheaper round
+    * for the SHALLOW graphs dedup clusters usually are (each round is one
+    * join + one agg on the symmetric edge list), but needs O(diameter)
+    * rounds — a pathological chain silently blows any fixed budget. So:
+    * probe with propagation for `probeIter` rounds; if the fixpoint is not
+    * reached, switch to small-star/large-star contraction (O(log n) rounds
+    * regardless of diameter) for the full answer. The probe work is
+    * discarded on switch — bounded at `probeIter` cheap rounds, the price
+    * of never asking callers to know their graph's diameter. */
+  def connectedComponentsAuto(
+      pairs: DataFrame,
+      a: Column,
+      b: Column,
+      probeIter: Int = 10,
+      maxIter: Int = 50,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): CcResult = {
+    val probe = connectedComponentsStats(pairs, a, b, probeIter, truncate)
+    if (probe.converged) probe
+    else {
+      org.slf4j.LoggerFactory.getLogger("graft.dedup")
+        .info(s"connectedComponentsAuto: propagation did not converge in $probeIter rounds " +
+          "(deep component) - switching to star contraction")
+      val r = connectedComponentsStars(pairs, a, b, maxIter, truncate)
+      warnIfUnconverged(r, "connectedComponentsAuto(stars)")
+      r
+    }
+  }
+
+  private def warnIfUnconverged(r: CcResult, who: String): Unit =
+    if (!r.converged)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup")
+        .warn(s"$who did NOT converge in ${r.iterations} rounds (maxIter reached): " +
+          "component labels are PARTIAL - raise maxIter")
 
   /** Canonical ids for a SIGNATURE-keyed corpus (phash image dedup): the
     * component graph is built over DISTINCT signatures — one representative
@@ -805,7 +849,9 @@ object Dedup {
       .agg(min("_id").as("_rep"))
     val pairs =
       hammingPairs(reps.select(col("_sig"), col("_rep")), col("_sig"), col("_rep"), maxHamming, bands)
-    val labels = connectedComponentsStars(pairs, col("id_a"), col("id_b"), maxIter).labels
+    val cc = connectedComponentsStars(pairs, col("id_a"), col("id_b"), maxIter)
+    warnIfUnconverged(cc, "componentsBySignature")
+    val labels = cc.labels
     corpus
       .select(id.cast("long").as("id"), sig.as("_sig"))
       .join(reps, Seq("_sig"), "left")
@@ -830,8 +876,12 @@ object Dedup {
     * expected pairs, the standard accepted trade of hash-keyed dedup at
     * corpus scale (same trade as [[exact]]). */
   def dedupLines(corpus: DataFrame, text: Column, id: Column, sep: String = "\n"): DataFrame = {
+    // split() takes a REGEX; sep is a literal separator everywhere else in
+    // this function (mkString below), so quote it — a sep like "|" or "."
+    // must not become a match-anything pattern
     val lines = corpus
-      .select(id.cast("long").as("_id"), posexplode(split(text, sep)).as(Seq("_pos", "_line")))
+      .select(id.cast("long").as("_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("_pos", "_line")))
     val keyed = lines.withColumn("_h", xxhash64(col("_line")))
     val winners = keyed
       .groupBy("_h")

@@ -57,7 +57,11 @@ object Sampling {
   ): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
     import org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("_st", stratum).withColumn("_h", hashCol).withColumn("_tie", tie)
+    // struct-wrap makes the stratum key NULL-SAFE through every equi-join
+    // below (Spark compares complex types structurally, so struct(null) =
+    // struct(null) matches) — a null stratum (e.g. missing lang) is a real
+    // partition exactly as the brute-force window treats it
+    val base = df.withColumn("_st", struct(stratum)).withColumn("_h", hashCol).withColumn("_tie", tie)
     val counts = base.groupBy(col("_st")).agg(count(lit(1)).as("_cnt"))
     // pre-filter threshold per stratum; rate capped at 1 keeps everything
     val withThresh = counts.select(

@@ -208,15 +208,24 @@ object StreamingChecks {
       benchmark: DataFrame,
       btext: Column,
       minOverlap: Int = 3,
-      shingleWords: Int = 3
+      shingleWords: Int = 3,
+      maxBenchmarkShingles: Long = 5000000L
   ): DataFrame = {
+    val bshingles = benchmark
+      .select(explode(graft.text.TextOps.wordShingleHashes(btext, shingleWords)).as("_g"))
+      .distinct()
+    // fail FAST on an oversized benchmark instead of a driver OOM halfway
+    // through the collect: count the distinct shingle set first (one cheap
+    // aggregation over the small side) and name the batch path
+    val nShingles = bshingles.count()
+    require(
+      nShingles <= maxBenchmarkShingles,
+      s"benchmark has $nShingles distinct shingles (> $maxBenchmarkShingles): too large to " +
+        "collect to the driver - use the batch operator graft.text.TextOps.contaminatedDocs " +
+        "(distributed join, no driver set) or raise maxBenchmarkShingles")
     val bset: java.util.HashSet[Long] = {
       val s = new java.util.HashSet[Long]()
-      benchmark
-        .select(explode(graft.text.TextOps.wordShingleHashes(btext, shingleWords)).as("_g"))
-        .distinct()
-        .collect()
-        .foreach(r => s.add(r.getLong(0)))
+      bshingles.collect().foreach(r => s.add(r.getLong(0)))
       s
     }
     val overlapUdf = udf { (sh: Seq[Long]) =>

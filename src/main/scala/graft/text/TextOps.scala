@@ -27,9 +27,25 @@ object TextOps {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
-  /** Number of tokens that are stopwords. */
-  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
-    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+  /** Number of tokens that are stopwords. Primitive-loop per-row kernel —
+    * a Catalyst higher-order `filter()` would run interpreted per element
+    * (see the simhash64 note), which is the wrong shape for the hot
+    * single-pass curation scan this feeds ([[curationVerdicts]]). Null text
+    * → null count. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stops = stopwords.toSet
+    val u = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        val toks = s.trim.split("\\s+")
+        var i = 0
+        var c = 0
+        while (i < toks.length) { if (stops.contains(toks(i))) c += 1; i += 1 }
+        java.lang.Integer.valueOf(c)
+      }
+    }
+    u(text)
+  }
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -359,8 +375,9 @@ object TextOps {
     * ratio < 5% without a float in sight, so any SQL oracle restates it
     * exactly), dominant-bigram repetition (top > 20% of bigrams), and PII
     * presence. Output (doc_id, reasons) for flagged docs only; reasons is
-    * a deterministic comma-joined string. Codegen'd except the bigram
-    * kernel (primitive-loop UDF in the same pass); no shuffle. */
+    * a deterministic comma-joined string. Codegen'd except the bigram and
+    * stopword kernels (primitive-loop UDFs in the same pass — never
+    * interpreted Catalyst HOFs); no shuffle. */
   def curationVerdicts(
       corpus: DataFrame,
       text: Column,

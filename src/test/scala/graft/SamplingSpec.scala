@@ -63,6 +63,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.count(_._2 == "bad") == 10, "the adversarial stratum still fills its quota exactly")
   }
 
+  test("quotaSample: NULL stratum is a real partition, not silently dropped") {
+    // real curation strata go null (missing lang); the null-safe struct key
+    // must carry them through every join like the brute-force window does
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) null else "en"))
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.quotaSample(df, col("lang"), mhash(col("id")), col("id"), quota = 15)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(mhash(col("id")), col("id"))
+    val brute = df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 15)
+      .select("id", "lang").collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(got == brute)
+    assert(got.count(_._2.isEmpty) == 15, "the null stratum fills its own quota")
+  }
+
   test("Packing.assignBins: exact prefix-sum bins, partitioning-independent, no global window") {
     import graft.stats.Packing
     val n = 5000L

@@ -227,4 +227,16 @@ class StreamingSpec extends SparkSpec {
     assert(!contam.isStreaming)
     assert(contam.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((5L, 4)))
   }
+
+  test("streamingContaminated fails FAST on an oversized benchmark, naming the batch path") {
+    import graft.streaming.StreamingChecks
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingChecks.streamingContaminated(
+        docs, col("text"), col("doc_id"), bench, col("text"),
+        minOverlap = 2, maxBenchmarkShingles = 2L)
+    }
+    assert(ex.getMessage.contains("contaminatedDocs"), s"must redirect to the batch operator: ${ex.getMessage}")
+  }
 }

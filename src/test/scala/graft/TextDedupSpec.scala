@@ -444,6 +444,49 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.length == 300 && labels.forall(_._2 == 1L))
   }
 
+  test("connectedComponentsStars: self-loop-only nodes surface as singleton labels (parity with propagation)") {
+    import spark.implicits._
+    // node 7 appears ONLY as (7,7); propagation labels it with itself, so
+    // stars must too — and a self-loop on a connected node changes nothing
+    val pairs = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("id_a", "id_b")
+    val stars = Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b"))
+    val got = stars.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prop = Dedup.connectedComponentsStats(pairs, col("id_a"), col("id_b")).labels
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == prop)
+    assert(got == Seq((1L, 1L), (2L, 1L), (7L, 7L)))
+  }
+
+  test("connectedComponentsAuto: shallow graphs stay on propagation, deep chains silently take the stars path") {
+    import spark.implicits._
+    val shallow = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val s = Dedup.connectedComponentsAuto(shallow, col("id_a"), col("id_b"))
+    assert(s.converged && s.iterations <= 5, "a shallow graph converges inside the propagation probe")
+    // a 300-node chain blows the probe budget; the caller never chooses —
+    // auto switches to star contraction and still converges
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Dedup.connectedComponentsAuto(chain, col("id_a"), col("id_b"))
+    assert(deep.converged, "auto must converge on a diameter-299 chain")
+    assert(deep.iterations <= 12, "the deep path must be star contraction, not propagation")
+    assert(deep.labels.collect().forall(_.getLong(1) == 1L))
+    // and components() (which routes through auto) now handles the same
+    // chain end-to-end: every node labeled with the chain head
+    val corpus = (1L to 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val comp = Dedup.components(corpus, col("doc_id"), chain, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 300 && comp.forall(_._2 == 1L))
+  }
+
+  test("dedupLines: a separator with regex metacharacters is treated literally") {
+    val multi = Seq(
+      (1L, "alpha|shared|beta"),
+      (2L, "shared|gamma")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(multi, col("text"), col("doc_id"), sep = "|")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "alpha|shared|beta"), (2L, "gamma")))
+  }
+
   test("components: every corpus row gets a canonical id, singletons carry their own") {
     import spark.implicits._
     val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
