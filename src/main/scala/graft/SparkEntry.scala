@@ -962,6 +962,108 @@ object SparkEntry {
         .select(col("doc_id"), col("r.total").as("total_bigrams"),
           col("r.distinct").as("distinct_bigrams"), col("r.top").as("top_bigram"))
         .orderBy("doc_id")
+    }),
+    // ---- the WATERMARKED streaming family in BATCH-REPLAY mode (the
+    // q58/q59 technique): withWatermark is a no-op on batch plans
+    // (Catalyst's EliminateEventTimeWatermark), so the SAME operator —
+    // explode-above-watermark plan shape, window aggregation and all —
+    // runs over the stored events and a GROUP BY hour-bucket oracles it.
+    // Tumbling windows are epoch-aligned, so window.start == the DuckDB
+    // date_trunc('hour') bucket
+    "q70_windowed_rates_replay" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("_rid", col("event_id"))
+      graft.streaming.StreamingChecks
+        .windowedViolationRates(
+          ev,
+          TableSchema(fields = Seq(
+            Field("value", ftype = "number", constraints = fc(minimum = Some(50))),
+            Field("event_type",
+              constraints = fc(enumVals = Some(Seq("click", "view", "signup", "purchase")))))),
+          ValidationConfig(rowNumberCol = "_rid"),
+          tsCol = "ts",
+          windowDuration = "1 hour")
+        // ts reads as TIMESTAMP_NTZ; the session tz is pinned UTC (Verify/
+        // Bench/tests), so NTZ -> timestamp -> long is epoch seconds
+        .select(col("window.start").cast("timestamp").cast("long").as("window_start"),
+          col("code"), col("violations"))
+        .orderBy("window_start", "code")
+    }),
+    // stateful flatMapGroupsWithState uniqueness replayed on batch: first
+    // occurrence (min row id) per key wins, every later row violates —
+    // the q58 replay technique applied to the unique-constraint operator
+    "q71_streaming_unique_replay" -> ((s, dir) =>
+      graft.streaming.StreamingChecks
+        .streamingUniqueViolations(t(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+        .orderBy("row_number")),
+    // ---- audio kernel with a CLOSED-FORM oracle: square-wave WAV fixtures
+    // whose rms/peak/crossings/duration are integer arithmetic in doc_id
+    // (see ImageOps.syntheticWavBlock); doc_id%37==0 plants an undecodable
+    // payload (truncated RIFF magic) -> all-null features. crossings is
+    // recovered from the rate (zcr*(n-1) is exact well past float
+    // precision); rms/peak are exact in float AND double by construction
+    "q72_audio_features" -> ((s, dir) => {
+      val wavU = udf { (id: Long) =>
+        if (id % 37 == 0) Array[Byte](82, 73, 70, 70)
+        else graft.images.ImageOps.syntheticWavBlock(id)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 500)
+      graft.images.ImageOps
+        .withAudioFeatures(docs.withColumn("bytes", wavU(col("doc_id"))))
+        .select(
+          col("doc_id"),
+          col("audio_features.duration_ms").as("duration_ms"),
+          col("audio_features.sample_rate").cast("long").as("sample_rate"),
+          col("audio_features.channels").cast("long").as("channels"),
+          col("audio_features.rms").cast("double").as("rms"),
+          round(col("audio_features.zero_crossing_rate") * lit(1199)).cast("long").as("crossings"),
+          col("audio_features.peak").cast("double").as("peak"))
+        .orderBy("doc_id")
+    }),
+    // ---- video demux + frame sampling with a CLOSED-FORM oracle: MJPEG
+    // payloads of 1+id%7 frames at (16+8*(id%4)) x (16+8*(id%3)); the
+    // kernel samples 3 evenly spaced frames (picks = i*frames/3, integer
+    // division — restated verbatim in SQL) and DECODES each (dims are
+    // exact; mean_luma is real but JPEG-lossy, so it is pinned by
+    // ImageOpsSpec, not the SQL oracle). doc_id%41==0 plants a non-JPEG
+    // payload -> demux refuses -> zero frames (absent rows)
+    "q73_video_frames" -> ((s, dir) => {
+      val vidU = udf { (id: Long) =>
+        if (id % 41 == 0) Array[Byte](0, 1, 2, 3)
+        else graft.images.ImageOps.syntheticMjpeg(id, frames = (1 + id % 7).toInt,
+          w = (16 + 8 * (id % 4)).toInt, h = (16 + 8 * (id % 3)).toInt)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 300)
+      graft.images.ImageOps
+        .sampleFrames(docs.withColumn("bytes", vidU(col("doc_id"))), n = 3)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_w").cast("long").as("frame_w"), col("frame_h").cast("long").as("frame_h"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    // ---- the composed END-TO-END curation pipeline: verdicts -> line
+    // dedup -> minhash canonical ids -> per-lang cap -> packing as ONE
+    // DataFrame program with each stage materialized exactly once
+    // (PlanSpec asserts the final plan reads no parquet — only stage
+    // checkpoints); the oracle restates all five stages as chained CTEs
+    "q74_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), pipelinePlant)
+      // bands=32 over 32 hashes = single-row bands: ANY shared minhash makes
+      // a candidate pair, so recall at the 0.5 jaccard threshold is exact to
+      // ~2^-32 per pair (the brute-force oracle demands exact recall; the
+      // default 8-hash bands are the scale geometry, not the oracle one)
+      graft.text.CurationPipeline
+        .run(docs, col("text"), col("doc_id"), col("lang"), quota = 50, budget = 500L, bands = 32)
+        .orderBy("id")
+    }),
+    // ---- deep-chain fixture for star-contraction CC: consecutive event
+    // ids link except at %1000 boundaries -> diameter-999 components, far
+    // past any propagation budget; the oracle is the planted closed form
+    // (chain head = (id/1000)*1000)
+    "q75_cc_stars_chain" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id")).filter(col("event_id") < 20000)
+      val pairs = ev.filter(col("event_id") % 1000 =!= 999)
+        .select(col("event_id").as("id_a"), (col("event_id") + 1).as("id_b"))
+        .join(ev.select(col("event_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b")).labels.orderBy("id")
     })
   )
 
@@ -987,6 +1089,21 @@ object SparkEntry {
       concat(lit("unique line "), col("doc_id").cast("string")),
       when(col("doc_id") % 7 === 6, lit("promo offer ends soon"))
     ).as("text")
+
+  /** q74's deterministic planting: a per-doc multi-line body (base text +
+    * shared boilerplate + a doc-unique line + a shared promo line on
+    * doc_id%7==6) with drop triggers layered in — doc_id%31==8 becomes a
+    * too-short doc, doc_id%17==5 carries planted PII. All arithmetic in
+    * doc_id, so the oracle reconstructs the byte-identical corpus. */
+  private def pipelinePlant: Column =
+    when(col("doc_id") % 31 === 8, lit("tiny doc"))
+      .otherwise(concat_ws("\n",
+        concat(col("text"),
+          when(col("doc_id") % 17 === 5, lit(" ssn 123-45-6789")).otherwise(lit(""))),
+        lit("shared boilerplate footer"),
+        concat(lit("unique line "), col("doc_id").cast("string")),
+        when(col("doc_id") % 7 === 6, lit("promo offer ends soon"))))
+      .as("text")
 
   private def piiPlant: Column =
     concat(
@@ -1767,7 +1884,129 @@ object SparkEntry {
         |       CAST(coalesce(a.total_bigrams, 0) AS BIGINT) AS total_bigrams,
         |       CAST(coalesce(a.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
         |       CAST(coalesce(a.top_bigram, 0) AS BIGINT) AS top_bigram
-        |FROM bg b LEFT JOIN agg a USING(doc_id) ORDER BY b.doc_id""".stripMargin
+        |FROM bg b LEFT JOIN agg a USING(doc_id) ORDER BY b.doc_id""".stripMargin,
+    // hour-bucket violation counts: tumbling 1h windows are epoch-aligned,
+    // so window.start (cast to epoch seconds) == date_trunc('hour'); the
+    // two check predicates are restated exactly as in q02/q03
+    "q70_windowed_rates_replay" ->
+      """WITH v AS (
+        |  SELECT ts, 'minimum-constraint' AS code FROM events
+        |  WHERE value IS NOT NULL AND value < 50
+        |  UNION ALL
+        |  SELECT ts, 'enumerable-constraint' AS code FROM events
+        |  WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','signup','purchase')
+        |)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, code,
+        |       CAST(count(*) AS BIGINT) AS violations
+        |FROM v GROUP BY 1, 2 ORDER BY window_start, code""".stripMargin,
+    // first occurrence (min row id) per (user_id, event_type) wins; every
+    // later row is a unique-constraint violation
+    "q71_streaming_unique_replay" ->
+      """SELECT 'unique-constraint' AS code, event_id AS row_number FROM (
+        |  SELECT event_id, min(event_id) OVER (PARTITION BY user_id, event_type) AS first_id
+        |  FROM events
+        |) WHERE event_id > first_id ORDER BY row_number""".stripMargin,
+    // the square-wave closed form: every |sample| = A so rms = peak =
+    // A/32768 exactly (perfect-square sqrt, power-of-two divide);
+    // crossings = n/b - 1 (n = 1200 divisible by every b); undecodable
+    // payloads (doc_id%37==0) carry all-null features
+    "q72_audio_features" ->
+      """WITH ids AS (SELECT doc_id, 1000 + (doc_id % 100) * 300 AS a, 1 + doc_id % 4 AS b
+        |             FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 150 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 1 END AS BIGINT) AS channels,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL ELSE CAST(a AS DOUBLE) / CAST(32768 AS DOUBLE) END AS rms,
+        |  CAST(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 1200 // b - 1 END AS BIGINT) AS crossings,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL ELSE CAST(a AS DOUBLE) / CAST(32768 AS DOUBLE) END AS peak
+        |FROM ids ORDER BY doc_id""".stripMargin,
+    // demux + sampling arithmetic restated verbatim: payloads carry
+    // 1+doc_id%7 frames; 3 evenly spaced picks = i*frames/3 (integer
+    // division); decoded dims are the planted (16+8*(id%4), 16+8*(id%3));
+    // mean_luma is JPEG-lossy (real decode, not SQL-expressible) and is
+    // pinned by ImageOpsSpec instead; doc_id%41==0 payloads demux to zero
+    // frames and are absent
+    "q73_video_frames" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 7 AS f FROM documents
+        |             WHERE doc_id < 300 AND doc_id % 41 <> 0),
+        |fr AS (SELECT doc_id, unnest(CASE WHEN f <= 3 THEN list_transform(range(f), x -> CAST(x AS BIGINT))
+        |         ELSE [CAST(0 AS BIGINT), f // 3, (2 * f) // 3] END) AS frame_idx FROM ids)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(16 + 8 * (doc_id % 4) AS BIGINT) AS frame_w,
+        |       CAST(16 + 8 * (doc_id % 3) AS BIGINT) AS frame_h
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    // all five pipeline stages as chained CTEs: plant -> verdict drop
+    // (q68's rules) -> corpus line dedup (q63) -> minhash canonical via
+    // brute jaccard + recursive closure (q54) -> per-lang quota cap (q69's
+    // window) -> prefix-sum packing (q64). Each CTE feeds the next exactly
+    // like the DataFrame stages feed their checkpoints
+    "q74_curation_pipeline" ->
+      s"""WITH RECURSIVE planted AS (
+        |  SELECT doc_id, lang, CASE WHEN doc_id % 31 = 8 THEN 'tiny doc'
+        |    ELSE concat_ws(chr(10),
+        |      text || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END,
+        |      'shared boilerplate footer',
+        |      'unique line ' || CAST(doc_id AS VARCHAR),
+        |      CASE WHEN doc_id % 7 = 6 THEN 'promo offer ends soon' END) END AS text
+        |  FROM documents),
+        |toks1 AS (SELECT doc_id, text, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
+        |bg1 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
+        |  ELSE list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) END AS g FROM toks1),
+        |cnt1 AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g) AS gram FROM bg1) GROUP BY doc_id, gram),
+        |rep1 AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt1 GROUP BY doc_id),
+        |sig1 AS (SELECT t.doc_id, len(t.tk) AS n,
+        |    len(list_filter(t.tk, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS stop_cnt,
+        |    coalesce(r.top, 0) AS top, coalesce(r.total, 0) AS total,
+        |    len(regexp_extract_all(t.text, '$piiEmailPat'))
+        |      + len(regexp_extract_all(t.text, '$piiIpPat'))
+        |      + len(regexp_extract_all(t.text, '$piiPhonePat'))
+        |      + len(regexp_extract_all(t.text, '$piiSsnPat')) AS pii
+        |  FROM toks1 t LEFT JOIN rep1 r USING(doc_id)),
+        |kept1 AS (SELECT p.doc_id, p.lang, p.text FROM planted p JOIN sig1 s USING(doc_id)
+        |  WHERE NOT (s.n < 30 OR s.n > 10000 OR s.stop_cnt * 20 < s.n OR s.top * 5 > s.total OR s.pii > 0)),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM kept1),
+        |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+        |         i -> struct_pack(pos := i, line := l[i]))) AS u FROM ls),
+        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ex),
+        |ranked AS (SELECT doc_id, pos, line,
+        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM lines),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |            FROM ranked WHERE rk = 1 GROUP BY doc_id),
+        |stage2 AS (SELECT k.doc_id, k.lang, coalesce(r.text, '') AS text
+        |           FROM kept1 k LEFT JOIN rebuilt r USING(doc_id)),
+        |toks3 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM stage2),
+        |sh3 AS (SELECT doc_id, CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |     ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' '))) END AS ng FROM toks3),
+        |pairs3 AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+        |edges3 AS (SELECT id_a AS src, id_b AS dst FROM pairs3 UNION SELECT id_b, id_a FROM pairs3),
+        |nodes3 AS (SELECT DISTINCT src AS id FROM edges3),
+        |reach(id, comp) AS (SELECT id, id FROM nodes3
+        |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges3 e ON e.src = r.id),
+        |labels3 AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |stage3 AS (SELECT s.doc_id, s.lang, s.text FROM stage2 s LEFT JOIN labels3 l ON l.id = s.doc_id
+        |  WHERE coalesce(l.comp, s.doc_id) = s.doc_id),
+        |stage4 AS (SELECT doc_id, lang, text FROM (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM stage3) WHERE rk <= 50),
+        |w5 AS (SELECT doc_id, len(string_split_regex(trim(text),'\\s+')) AS wt FROM stage4),
+        |c5 AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w5)
+        |SELECT doc_id AS id, CAST((cum - wt) // 500 AS BIGINT) AS bin FROM c5 ORDER BY id""".stripMargin,
+    // the planted chain structure IS the closed form: every node's
+    // component head is (id/1000)*1000 (nodes = pair endpoints only,
+    // like the operator's label frame)
+    "q75_cc_stars_chain" ->
+      """WITH ev AS (SELECT event_id FROM events WHERE event_id < 20000),
+        |pairs AS (SELECT a.event_id AS id_a, a.event_id + 1 AS id_b
+        |          FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+        |          WHERE a.event_id % 1000 <> 999),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
+        |SELECT id, CAST((id // 1000) * 1000 AS BIGINT) AS comp FROM nodes ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -167,6 +167,34 @@ object ImageOps {
     bos.toByteArray
   }
 
+  /** Deterministic square-wave WAV whose features are CLOSED-FORM integer
+    * arithmetic in `id` — the audio fixture a SQL oracle can restate
+    * exactly (the q32 injection-arithmetic technique):
+    *  - amplitude A = 1000 + (id%100)*300 (≤ 30700 < 2^15), samples
+    *    alternate +A / −A in blocks of b = 1 + id%4;
+    *  - rms = peak = A/32768 EXACTLY (every |sample| = A; n·A² < 2^53 so
+    *    the mean is exact, sqrt of a perfect square is exact, /2^15 is
+    *    exact in float and double);
+    *  - zero crossings = n/b − 1 (n divisible by every b ∈ 1..4);
+    *  - duration_ms = n·1000/sampleRate, an integer by construction. */
+  def syntheticWavBlock(id: Long, n: Int = 1200, sampleRate: Int = 8000): Array[Byte] = {
+    val a = (1000 + (id % 100) * 300).toInt
+    val b = (1 + id % 4).toInt
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / b) % 2 == 0) a else -a
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   // --------------------------------------------------------------------
   // Video: REAL for MJPEG-style streams (concatenated JPEG frames) — the
   // demux walks the JPEG segment structure (no codec needed; baseline JPEG

@@ -56,6 +56,20 @@ class ImageOpsSpec extends SparkSpec {
       .select("id", "audio_features").collect().map(_.toString).sorted.toSeq)
   }
 
+  test("audio: syntheticWavBlock features are EXACTLY the closed form (the q72 oracle's arithmetic)") {
+    for (id <- Seq(0L, 3L, 37L, 99L, 123L)) {
+      val f = ImageOps.audioFeatureKernel(ImageOps.syntheticWavBlock(id))
+      val a = 1000 + (id % 100) * 300
+      val b = 1 + id % 4
+      assert(f.duration_ms == 150L && f.sample_rate == 8000 && f.channels == 1)
+      // rms and peak are exact: every |sample| = A, perfect-square sqrt,
+      // power-of-two divide — bit-for-bit equality, no tolerance
+      assert(f.rms == (a / 32768.0).toFloat, s"id=$id rms")
+      assert(f.peak == (a / 32768.0).toFloat, s"id=$id peak")
+      assert(math.round(f.zero_crossing_rate.toDouble * 1199) == 1200 / b - 1, s"id=$id crossings")
+    }
+  }
+
   test("video: MJPEG demux splits exactly the encoded frame boundaries") {
     val payload = ImageOps.syntheticMjpeg(7L, frames = 10)
     val ranges = ImageOps.splitJpegFrames(payload)

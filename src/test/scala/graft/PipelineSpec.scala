@@ -18,6 +18,44 @@ import graft.stats.SketchDrift
   * operators COMPOSE, not just pass their unit specs. */
 class PipelineSpec extends SparkSpec {
 
+  test("CurationPipeline.run == the five stages composed by hand (verdicts→lines→canonical→cap→packing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.{CurationPipeline, TextOps}
+    import graft.dedup.Dedup
+    import graft.stats.{Packing, Sampling}
+    // a corpus that exercises every stage: a too-short doc (dropped), a
+    // shared boilerplate line (line-deduped), two near-identical docs
+    // (canonicalized to one), and enough per-lang rows for the cap to bite
+    val base = "the cat sat on the mat and it is a fine day in the park " * 3
+    val docs = ((1L to 20L).map(i => (i, s"$base variant $i\nshared footer line", if (i % 2 == 0) "en" else "de")) :+
+      ((30L, "tiny", "en")) :+ // dropped: too-short
+      ((31L, s"$base variant 4\nshared footer line", "en")) // near-dup of doc 4
+      ).toDF("doc_id", "text", "lang")
+    val got = CurationPipeline
+      .run(docs, col("text"), col("doc_id"), col("lang"), quota = 8, budget = 40L, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    val hash = pmod(col("id") * lit(2654435761L), lit(4294967296L))
+    val s0 = docs.select(col("doc_id").cast("long").as("id"), col("text"), col("lang").as("_st"))
+    val s1 = s0.join(TextOps.curationVerdicts(s0, col("text"), col("id"))
+      .select(col("doc_id").as("id")), Seq("id"), "left_anti")
+    val s2 = Dedup.dedupLines(s1, col("text"), col("id"))
+      .join(s1.select(col("id"), col("_st")), Seq("id"))
+    val pairs = Dedup.minHashPairs(s2, col("text"), col("id"), bands = 32, threshold = 0.5)
+    val s3 = s2.join(
+      Dedup.components(s2, col("id"), pairs, col("id_a"), col("id_b"))
+        .filter(col("id") === col("comp")).select("id"), Seq("id"), "left_semi")
+    val s4 = Sampling.quotaSample(s3, col("_st"), hash, col("id"), quota = 8)
+    val manual = Packing.assignBins(s4, col("id"), col("id"), TextOps.tokenCount(col("text")), budget = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == manual)
+    assert(!got.map(_._1).contains(30L), "the too-short doc must be dropped")
+    assert(got.map(_._1).contains(4L) != got.map(_._1).contains(31L),
+      "exactly one of the near-dup pair survives canonicalization")
+    assert(got.map(_._2).distinct.size > 1, "packing must produce multiple bins")
+  }
+
   test("validate → dedup → embed → ANN store → drift: stages compose end to end") {
     val tmp = Files.createTempDirectory("graft_pipe").toString
     val n = 600L

@@ -237,6 +237,23 @@ class PlanSpec extends SparkSpec {
       s"winner election must pre-aggregate map-side (hot boilerplate keys):\n$plan")
   }
 
+  test("curation pipeline: each stage materialized once — the final plan reads NO parquet") {
+    // the composed pipeline must not let Catalyst inline the whole chain
+    // into every downstream self-join (line dedup reads its input 3x, the
+    // minhash family more): stage boundaries are checkpointed, so the final
+    // packing plan consumes ONLY in-memory stage outputs — zero file scans,
+    // and therefore zero re-derivation of any stage
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        concat_ws("\n", col("text"), lit("footer"),
+          concat(lit("u"), col("doc_id"))).as("text"))
+    val out = graft.text.CurationPipeline
+      .run(docs, col("text"), col("doc_id"), col("lang"), quota = 40, budget = 500L, bands = 32)
+    val plan = executedPlan(out)
+    assert(!plan.contains("FileScan parquet"),
+      s"pipeline stages must flow through single materializations, not re-scans:\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
