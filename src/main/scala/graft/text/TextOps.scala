@@ -77,12 +77,28 @@ object TextOps {
   )
 
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = langMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"), lit(lang).as("lang"))
+    // one tokenization pass scoring every marker set — a primitive-loop
+    // kernel like stopwordCount (the HOF filter-per-language chain ran
+    // interpreted AND tokenized once per language). Tie-break preserved
+    // from the struct-max formulation: highest score, then greatest lang
+    // string; null/no-match → "unk".
+    val sets = langMarkers.map { case (l, ms) => (l, ms.toSet) }
+    val u = udf { (s: String) =>
+      if (s == null) "unk"
+      else {
+        val toks = s.trim.split("\\s+")
+        var bestLang = "unk"
+        var best = 0
+        for ((lang, set) <- sets) {
+          var c = 0
+          var i = 0
+          while (i < toks.length) { if (set.contains(toks(i))) c += 1; i += 1 }
+          if (c > best || (c == best && c > 0 && lang > bestLang)) { best = c; bestLang = lang }
+        }
+        bestLang
+      }
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unk"))
+    u(text)
   }
 
   /** Document fingerprint: 64-bit hash of the whitespace-normalised,
