@@ -34,6 +34,24 @@ object SparkEntry {
   private[graft] def images(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(SyntheticImages.materialized(s, imageCount(dir)))
 
+  /** The q26 near-dup pair set (minHashPairs over documents, bands=4,
+    * threshold=0.5), materialized ONCE per sf-dir and read back by the
+    * queries that CONSUME pairs (q51 components, q54 canonical ids) — their
+    * bench time then measures the operator under test, not a re-derivation
+    * of q26 (r4 verdict noted ~70% of their cost was pair derivation).
+    * q26 itself always derives live: it is the minHashPairs oracle. Same
+    * `_SUCCESS` cache discipline as the image/embedding stores: if the pair
+    * DEFINITION changes, bump the path segment. */
+  private def minhashPairCache(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/paircache/${new java.io.File(dir).getName}/b4t05").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Dedup
+        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** the planted embeddings table materialized ONCE as an LSH-bucketed
     * store (parquet partitioned by signature prefix) — probes are
     * partition-pruned reads, the plan shape the scaled deployment uses. */
@@ -356,8 +374,7 @@ object SparkEntry {
     // component); the oracle computes the transitive closure's min
     // reachable id with a DuckDB recursive CTE over the SAME SQL pair set
     "q51_dedup_components" -> ((s, dir) => {
-      val pairs = Dedup
-        .minHashPairs(t(s, dir, "documents"), col("text"), col("doc_id"), bands = 4, threshold = 0.5)
+      val pairs = minhashPairCache(s, dir)
       Dedup.connectedComponents(pairs, col("id_a"), col("id_b")).orderBy("id")
     }),
     "q27_ngram_jaccard" -> ((s, dir) =>
@@ -802,8 +819,7 @@ object SparkEntry {
     // pipeline's final output, whose keep-set is filter(id = comp)
     "q54_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup
-        .minHashPairs(docs, col("text"), col("doc_id"), bands = 4, threshold = 0.5)
+      val pairs = minhashPairCache(s, dir)
       Dedup.components(docs, col("doc_id"), pairs, col("id_a"), col("id_b")).orderBy("id")
     }),
     // ---- streaming ops in BATCH-REPLAY mode: flatMapGroupsWithState runs
@@ -1064,6 +1080,22 @@ object SparkEntry {
         .select(col("event_id").as("id_a"), (col("event_id") + 1).as("id_b"))
         .join(ev.select(col("event_id").as("id_b")), Seq("id_b"), "left_semi")
       Dedup.connectedComponentsStars(pairs, col("id_a"), col("id_b")).labels.orderBy("id")
+    }),
+    // ---- training-shard export (the delivery step after packing): the
+    // sink WRITES shard=K parquet partitions (token-budget bins round-robin
+    // onto shards) and the query reads the WRITTEN files back — the oracle
+    // re-derives the q64 prefix-sum arithmetic plus the bin%shards mapping,
+    // so the whole write→layout→read path is driver-checked like q40/q53
+    "q76_sharded_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = new java.io.File(
+        s"target/shardcache/${new java.io.File(dir).getName}").getAbsolutePath
+      graft.sources.ShardedSink.write(
+        docs, col("doc_id"), col("doc_id"), TextOps.tokenCount(col("text")),
+        budget = 2000L, shards = 8, path)
+      s.read.parquet(path)
+        .select(col("id"), col("bin"), col("shard").cast("long").as("shard"), col("lang"))
+        .orderBy("id")
     })
   )
 
@@ -2006,7 +2038,16 @@ object SparkEntry {
         |          FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
         |          WHERE a.event_id % 1000 <> 999),
         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)
-        |SELECT id, CAST((id // 1000) * 1000 AS BIGINT) AS comp FROM nodes ORDER BY id""".stripMargin
+        |SELECT id, CAST((id // 1000) * 1000 AS BIGINT) AS comp FROM nodes ORDER BY id""".stripMargin,
+    // the q64 prefix-sum arithmetic + round-robin bin%shards; the Spark
+    // side reads the WRITTEN shard partitions back, so a layout bug (row
+    // lost to the wrong shard, partition column mangled) breaks the match
+    "q76_sharded_export" ->
+      """WITH w AS (SELECT doc_id, lang, len(string_split_regex(trim(text),'\s+')) AS wt FROM documents),
+        |c AS (SELECT doc_id, lang, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT doc_id AS id, CAST((cum - wt) // 2000 AS BIGINT) AS bin,
+        |       CAST(((cum - wt) // 2000) % 8 AS BIGINT) AS shard, lang
+        |FROM c ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -392,6 +392,14 @@ object Dedup {
     * (exactly what jaccardLong(a, a) returns, empty sets included), and
     * rep-level pairs expand back through membership. Results are identical
     * to the naive all-pairs at any duplication level.
+    *
+    * Fail-fast scale guard: before the rep-level self-join, the largest
+    * block's DISTINCT-set count is checked against `maxBlockDistinct` —
+    * past it the quadratic pair volume is the wrong tool and the call
+    * raises, naming [[minHashPairs]] (the scale path). The guard costs one
+    * extra aggregation pass over the shingled corpus; the baseline is for
+    * modest blocks by contract, where that pass is cheap. Opt out with
+    * `maxBlockDistinct = Int.MaxValue`.
     * Output: (id_a, id_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -399,13 +407,23 @@ object Dedup {
       id: Column,
       block: Column,
       shingleWords: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBlockDistinct: Int = 20000
   ): DataFrame = {
     val base = df
       .select(block.as("_blk"), id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
       .withColumn("_shkey", xxhash64(col("_sh")))
     val members = base.select(col("_blk"), col("_shkey"), col("_id"))
     val groups = members.groupBy(col("_blk"), col("_shkey")).agg(count(lit(1)).as("_cnt"))
+    if (maxBlockDistinct != Int.MaxValue) {
+      val r = groups.groupBy(col("_blk")).agg(count(lit(1)).as("_d")).agg(max(col("_d"))).head
+      val worst = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(worst <= maxBlockDistinct,
+        s"ngramJaccardPairs: largest block holds $worst DISTINCT shingle sets " +
+          s"(> maxBlockDistinct=$maxBlockDistinct) - the all-pairs baseline is quadratic in that " +
+          "count; use Dedup.minHashPairs (banded MinHash, bucket-bounded) for corpora of this " +
+          "shape, or raise maxBlockDistinct explicitly")
+    }
 
     // intra-group pairs: identical sets, jaccard 1.0 by identity
     val samePairs = {
@@ -524,13 +542,16 @@ object Dedup {
     * before the self-join; intra-group pairs score the representative
     * against itself (the exact arithmetic the naive pair would have run,
     * so zero-norm vectors keep their NaN behaviour), and rep-level pairs
-    * expand back through membership. Results identical to naive all-pairs. */
+    * expand back through membership. Results identical to naive all-pairs.
+    * Fail-fast scale guard: raises past `maxBlockDistinct` DISTINCT vectors
+    * in any block, naming [[embeddingCosinePairsLsh]] (the scale path). */
   def embeddingCosinePairs(
       df: DataFrame,
       vec: Column,
       id: Column,
       block: Column,
-      threshold: Double = 0.95
+      threshold: Double = 0.95,
+      maxBlockDistinct: Int = 20000
   ): DataFrame = {
     import graft.ann.Ann
     // pre-normalise once per row (UDF kernel), pair score is then a pure dot
@@ -542,6 +563,18 @@ object Dedup {
     ).withColumn("_vkey", xxhash64(col("_v")))
     val members = base.select(col("_blk"), col("_vkey"), col("_id"))
     val groups = members.groupBy(col("_blk"), col("_vkey")).agg(count(lit(1)).as("_cnt"))
+    // fail-fast scale guard (same contract as ngramJaccardPairs): quadratic
+    // in DISTINCT vectors per block — past the cap, raise and name the
+    // bucket-bounded sibling instead of running an all-pairs explosion
+    if (maxBlockDistinct != Int.MaxValue) {
+      val r = groups.groupBy(col("_blk")).agg(count(lit(1)).as("_d")).agg(max(col("_d"))).head
+      val worst = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(worst <= maxBlockDistinct,
+        s"embeddingCosinePairs: largest block holds $worst DISTINCT vectors " +
+          s"(> maxBlockDistinct=$maxBlockDistinct) - the all-pairs baseline is quadratic in that " +
+          "count; use Dedup.embeddingCosinePairsLsh (sign-LSH, bucket-bounded) for corpora of " +
+          "this shape, or raise maxBlockDistinct explicitly")
+    }
     val reps = base
       .groupBy(col("_blk"), col("_vkey"))
       .agg(min_by(struct(col("_id"), col("_v"), col("_n")), col("_id")).as("_r"))

@@ -47,6 +47,9 @@ object Packing {
     require(budget > 0, s"budget must be positive: $budget")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    // ROW CONTRACT: everything below the .rdd drop reads fields by ordinal —
+    // getLong(0)=_id, getLong(2)=_w. If this select list ever grows, the
+    // ordinals (and the Row(...) construction) must move with it.
     val prepared = df
       .select(id.cast("long").as("_id"), order.as("_o"), weight.cast("long").as("_w"))
       .repartitionByRange(p, col("_o"))

@@ -219,6 +219,16 @@ class AnnStoreSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embeddingCosinePairs fails fast past maxBlockDistinct, naming the scale path") {
+    val rows = (1L to 4L).map(i => (i, Seq.tabulate(8)(d => (i * 10 + d).toFloat), 1))
+    val df = rows.toDF("vec_id", "embedding", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(df, col("embedding"), col("vec_id"), col("blk"),
+        threshold = 0.0, maxBlockDistinct = 3)
+    }
+    assert(e.getMessage.contains("embeddingCosinePairsLsh"))
+  }
+
   test("embeddingCosinePairs collapses identical vectors: duplicate-heavy block stays exact") {
     // 20 bit-identical copies of one vector + 2 distinct vectors in a block:
     // the collapsed plan scores C(3,2) rep pairs + one self-cosine, then

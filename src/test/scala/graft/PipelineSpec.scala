@@ -56,6 +56,31 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size > 1, "packing must produce multiple bins")
   }
 
+  test("ShardedSink: shard=K layout on disk, round-robin bins, token totals within one budget") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val tmp = Files.createTempDirectory("graft_shard").toString
+    // 40 docs × 10 tokens, budget 20 → 20 bins of exactly 2 docs, 4 shards
+    val docs = (1L to 40L).map(i => (i, Seq.fill(10)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val asg = graft.sources.ShardedSink
+      .write(docs, col("doc_id"), col("doc_id"), TextOps.tokenCount(col("text")),
+        budget = 20L, shards = 4, path = s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // round-robin: shard == bin % 4, every shard used
+    assert(asg.forall { case (_, bin, shard) => shard == bin % 4 })
+    assert(asg.map(_._3).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    // physical layout: one directory per shard, rows land in THEIR shard
+    val dirs = new java.io.File(s"$tmp/out").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(s"$tmp/out")
+      .select(col("id"), col("bin"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(back == asg, "read-back assignment must equal the returned manifest")
+    // uniform bins round-robin exactly: every shard carries the same token total
+    val totals = back.groupBy(_._3).view.mapValues(_.size * 10L).values.toSeq
+    assert(totals.max == totals.min, s"shard totals $totals")
+  }
+
   test("validate → dedup → embed → ANN store → drift: stages compose end to end") {
     val tmp = Files.createTempDirectory("graft_pipe").toString
     val n = 600L

@@ -91,6 +91,26 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 3L)))
   }
 
+  test("ngram jaccard fails fast past maxBlockDistinct, naming the scale path") {
+    // 4 DISTINCT shingle sets in one block with a cap of 3: the quadratic
+    // baseline must refuse before the self-join and point at minHashPairs
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", 1),
+      (2L, "one two three four five six", 1),
+      (3L, "red green blue yellow purple", 1),
+      (4L, "north south east west center", 1)
+    ).toDF("doc_id", "text", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"), col("blk"), maxBlockDistinct = 3)
+    }
+    assert(e.getMessage.contains("minHashPairs"))
+    // identical copies do NOT count against the cap (they collapse first)
+    val dups = Seq.tabulate(10)(i => (i.toLong, "same text every time here", 1))
+      .toDF("doc_id", "text", "blk")
+    assert(Dedup.ngramJaccardPairs(dups, col("text"), col("doc_id"), col("blk"),
+      maxBlockDistinct = 1).count() == 45L)
+  }
+
   test("ngram jaccard collapses identical shingle sets: duplicate-heavy block stays exact") {
     // 25 exact copies + 2 distinct docs in one block + 1 cross-block copy:
     // naive all-pairs is C(28,2) jaccard kernels; the collapsed plan runs
