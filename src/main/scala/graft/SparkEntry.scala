@@ -1096,7 +1096,22 @@ object SparkEntry {
       s.read.parquet(path)
         .select(col("id"), col("bin"), col("shard").cast("long").as("shard"), col("lang"))
         .orderBy("id")
-    })
+    }),
+    // ---- oversized-doc splitting (the upstream contract of q64's packing):
+    // consecutive 32-token chunks, chunk text rejoined with single spaces —
+    // the oracle restates the slice arithmetic on DuckDB's 1-based lists
+    "q77_split_oversized" -> ((s, dir) =>
+      TextOps
+        .splitOversized(t(s, dir, "documents"), col("text"), col("doc_id"), budget = 32)
+        .orderBy("id", "chunk")),
+    // ---- bin materialization (the downstream endpoint of q64): one row
+    // per bin, member docs concatenated in doc_id order — the sequence a
+    // loader feeds the tokenizer; oracle = ordered string_agg per bin
+    "q78_packed_sequences" -> ((s, dir) =>
+      graft.stats.Packing
+        .packedSequences(t(s, dir, "documents"), col("text"), col("doc_id"), col("doc_id"),
+          TextOps.tokenCount(col("text")), budget = 2000L)
+        .orderBy("bin"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -2047,7 +2062,24 @@ object SparkEntry {
         |c AS (SELECT doc_id, lang, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w)
         |SELECT doc_id AS id, CAST((cum - wt) // 2000 AS BIGINT) AS bin,
         |       CAST(((cum - wt) // 2000) % 8 AS BIGINT) AS shard, lang
-        |FROM c ORDER BY id""".stripMargin
+        |FROM c ORDER BY id""".stripMargin,
+    // consecutive 32-token chunks; DuckDB lists are 1-based and slices are
+    // inclusive+clamped, so chunk i = tk[32i+1 : 32i+32]
+    "q77_split_oversized" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 32.0) AS BIGINT) AS nc FROM t),
+        |c AS (SELECT doc_id, tk, unnest(range(nc)) AS chunk FROM n)
+        |SELECT doc_id AS id, CAST(chunk AS BIGINT) AS chunk,
+        |       array_to_string(tk[chunk*32+1 : chunk*32+32], ' ') AS text
+        |FROM c ORDER BY id, chunk""".stripMargin,
+    // q64's prefix-sum bins + ordered per-bin concatenation
+    "q78_packed_sequences" ->
+      """WITH w AS (SELECT doc_id, text, len(string_split_regex(trim(text),'\s+')) AS wt FROM documents),
+        |c AS (SELECT doc_id, text, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+        |b AS (SELECT doc_id, text, wt, CAST((cum - wt) // 2000 AS BIGINT) AS bin FROM c)
+        |SELECT bin, string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -80,4 +80,43 @@ object Packing {
     spark.createDataFrame(out,
       StructType(Seq(StructField("id", LongType, false), StructField("bin", LongType, false))))
   }
+
+  /** Materialize packed bins into TRAINING SEQUENCES: one row per bin with
+    * its member documents concatenated in global `order` — the final text a
+    * data loader feeds a tokenizer ([[assignBins]] decides membership; this
+    * builds the sequence). `order` must cast to long (it is the sort key
+    * inside each bin's assembly kernel).
+    *
+    * Scale shape: one 8-byte-keyed shuffle on `bin`; each reduce group is
+    * ONE bin — bounded at ~budget tokens plus one doc's overshoot by
+    * construction, so group state never grows with corpus size (split
+    * oversized docs upstream with
+    * [[graft.text.TextOps.splitOversized]]). The in-group concat is a
+    * primitive sort+mkString kernel on the collected (order, text) structs.
+    * Output: (bin, seq_text, n_docs, total_tokens). */
+  def packedSequences(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      order: Column,
+      weight: Column,
+      budget: Long,
+      sep: String = " "
+  ): DataFrame = {
+    val bins = assignBins(df, id, order, weight, budget)
+    val keyed = df
+      .select(id.cast("long").as("id"), order.cast("long").as("_o"),
+        text.as("_t"), weight.cast("long").as("_w"))
+      .join(bins, Seq("id"))
+    val sepL = sep
+    val assemble = udf { (xs: Seq[Row]) =>
+      xs.sortBy(_.getLong(0)).map(_.getString(1)).mkString(sepL)
+    }
+    keyed
+      .groupBy("bin")
+      .agg(
+        assemble(collect_list(struct(col("_o"), col("_t")))).as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("total_tokens"))
+  }
 }

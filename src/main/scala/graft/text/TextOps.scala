@@ -415,6 +415,25 @@ object TextOps {
       .filter(col("reasons") =!= "")
   }
 
+  /** Split documents into consecutive `budget`-token chunks — the upstream
+    * companion of [[graft.stats.Packing.assignBins]] (whose contract says
+    * "callers split oversized docs upstream"; this is that operator).
+    * Tokenization matches [[tokenCount]] (whitespace split of the trimmed
+    * text); chunks rejoin with single spaces, so a chunk's [[tokenCount]]
+    * is exactly `budget` except the last. Per-row primitive-loop kernel,
+    * no shuffle (posexplode is pipelined); null text yields no rows.
+    * Output: (id, chunk, text) with chunk 0-based. */
+  def splitOversized(df: DataFrame, text: Column, id: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val b = budget
+    val chunksU = udf { (s: String) =>
+      if (s == null) Seq.empty[String]
+      else s.trim.split("\\s+").grouped(b).map(_.mkString(" ")).toSeq
+    }
+    df.select(id.cast("long").as("id"), posexplode(chunksU(text)).as(Seq("chunk", "text")))
+      .withColumn("chunk", col("chunk").cast("long"))
+  }
+
   // ---------------------------------------------------------------------
   // URL / domain extraction (web-corpus provenance + domain filtering)
   // ---------------------------------------------------------------------

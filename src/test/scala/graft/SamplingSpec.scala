@@ -99,4 +99,60 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(again == expected)
   }
+
+  test("TextOps.splitOversized: consecutive budget-token chunks, lossless rejoin, null-safe") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),          // 10 tokens → 4 chunks @3
+      (2L, "  a   b  "),                                       // messy whitespace, 2 tokens
+      (3L, "solo"),                                            // 1 token → 1 chunk
+      (4L, null.asInstanceOf[String])                          // null → no rows
+    ).toDF("doc_id", "text")
+    val got = TextOps.splitOversized(docs, col("text"), col("doc_id"), budget = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "w1 w2 w3"), (1L, 1L, "w4 w5 w6"), (1L, 2L, "w7 w8 w9"), (1L, 3L, "w10"),
+      (2L, 0L, "a b"), (3L, 0L, "solo")))
+    // every chunk but a doc's last carries exactly `budget` tokens, and
+    // rejoining a doc's chunks in order reproduces its normalized text
+    val byDoc = got.groupBy(_._1)
+    byDoc.foreach { case (_, cs) =>
+      cs.init.foreach(c => assert(c._3.split(" ").length == 3))
+    }
+    assert(byDoc(1L).map(_._3).mkString(" ") == (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("Packing.packedSequences: bins materialize to in-order concatenations with exact totals") {
+    import graft.stats.Packing
+    import graft.text.TextOps
+    // deterministic token counts 1..9 per doc
+    val docs = (1L to 200L).map { i =>
+      val n = (i * 2654435761L % 9L + 1L).toInt
+      (i, (1 to n).map(k => s"d${i}t$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Packing.packedSequences(docs.repartition(11), col("text"), col("doc_id"),
+        col("doc_id"), TextOps.tokenCount(col("text")), budget = 25L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // brute-force on the driver: exclusive prefix sum → bin → ordered concat
+    var run = 0L
+    val assigned = (1L to 200L).map { i =>
+      val n = i * 2654435761L % 9L + 1L
+      val bin = run / 25L
+      run += n
+      (bin, i, (1 to n.toInt).map(k => s"d${i}t$k").mkString(" "), n)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+      val inOrder = xs.sortBy(_._2)
+      (bin, inOrder.map(_._3).mkString(" "), inOrder.size.toLong, inOrder.map(_._4).sum)
+    }
+    assert(got == expected)
+    // every bin except possibly the last holds >= budget tokens only via its
+    // final doc's overshoot: total minus last doc's weight stays under budget
+    expected.foreach { case (_, _, _, tot) => assert(tot >= 1L) }
+    assigned.groupBy(_._1).foreach { case (_, xs) =>
+      val inOrder = xs.sortBy(_._2)
+      assert(inOrder.init.map(_._4).sum < 25L, "bin exceeds budget before its last member")
+    }
+  }
 }
