@@ -632,4 +632,41 @@ object Bench {
     val bins = out.agg(countDistinct(col("bin"))).head().getLong(0)
     (n, (System.nanoTime() - t0) / 1e9, bins)
   }
+
+  /** Packed-sequence materialization (q78's operator) over n synthetic docs
+    * of 1–9 tokens each: prefix-sum bin assignment + the bin-keyed shuffle +
+    * in-group assembly. Result = bin count; total tokens asserted equal to
+    * the synthesized sum so a wrong shuffle can't pass silently. */
+  def packedSeqThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val df = spark
+      .range(0, n, 1, slices)
+      .select(col("id"),
+        trim(expr("repeat(concat('t', id % 1000, ' '), cast(id % 9 + 1 as int))")).as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.stats.Packing.packedSequences(df, col("text"), col("id"), col("id"),
+      graft.text.TextOps.tokenCount(col("text")), budget = 4096L)
+    val r = out.agg(count(lit(1)), sum(col("total_tokens"))).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expectedTokens = (0L until 9L).map(k => (n / 9L) * (k + 1)).sum +
+      (0L until n % 9L).map(k => k + 1).sum
+    require(r.getLong(1) == expectedTokens, s"token sum ${r.getLong(1)} != $expectedTokens")
+    (n, sec, r.getLong(0))
+  }
+
+  /** Oversized-doc splitting (q77's operator) over n synthetic 200-token
+    * docs at budget 32 → 7 chunks each; counts output chunks (the kernel +
+    * posexplode pipeline, no shuffle). */
+  def splitDocsThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val df = spark
+      .range(0, n, 1, slices)
+      .select(col("id"), trim(expr("repeat(concat('w', id % 997, ' '), 200)")).as("text"))
+    val t0 = System.nanoTime()
+    val chunks = graft.text.TextOps.splitOversized(df, col("text"), col("id"), budget = 32)
+      .agg(count(lit(1))).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(chunks == n * 7, s"chunk count $chunks != ${n * 7}")
+    (n, sec, chunks)
+  }
 }

@@ -47,6 +47,8 @@ object ScalePoint {
       case "imagecanonical" => Bench.imageCanonicalThroughput(spark, rows)
       case "packing"       => Bench.packingThroughput(spark, rows)
       case "packingnaive"  => Bench.packingThroughput(spark, rows, naive = true)
+      case "packedseq"     => Bench.packedSeqThroughput(spark, rows)
+      case "splitdocs"     => Bench.splitDocsThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
