@@ -1111,7 +1111,19 @@ object SparkEntry {
       graft.stats.Packing
         .packedSequences(t(s, dir, "documents"), col("text"), col("doc_id"), col("doc_id"),
           TextOps.tokenCount(col("text")), budget = 2000L)
-        .orderBy("bin"))
+        .orderBy("bin")),
+    // ---- unigram LM quality score (CCNet-style filter, first-order):
+    // model trained on the even-id half, every doc scored; add-one
+    // smoothing makes p(t) exact rational arithmetic the oracle restates,
+    // rounded to 6 decimals on both sides (the q19 float protocol)
+    "q79_unigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps
+        .unigramLogProb(docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 2 === 0), col("text"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id")
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -2079,7 +2091,19 @@ object SparkEntry {
         |b AS (SELECT doc_id, text, wt, CAST((cum - wt) // 2000 AS BIGINT) AS bin FROM c)
         |SELECT bin, string_agg(text, ' ' ORDER BY doc_id) AS seq_text,
         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS total_tokens
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // add-one-smoothed unigram NLL: p(t) = (c(t)+1)/(N+V+1), model = the
+    // even-id half; round(avg, 6) absorbs engine-level ln/summation ulps
+    "q79_unigram_logprob" ->
+      """WITH ref AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok
+        |             FROM documents WHERE doc_id % 2 = 0),
+        |model AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok),
+        |d AS (SELECT (SELECT count(*) FROM ref) + (SELECT count(*) FROM model) + 1 AS denom),
+        |dt AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+        |sc AS (SELECT dt.doc_id, -ln((COALESCE(m.c, 0) + 1.0) / (SELECT denom FROM d)) AS nll
+        |       FROM dt LEFT JOIN model m USING(tok))
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS ntok, round(avg(nll), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -339,6 +339,47 @@ object TextOps {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** CCNet-style unigram language-model quality score: per-document mean
+    * negative log-likelihood of its tokens under an add-one-smoothed
+    * unigram model trained on `ref` (lower = more reference-like; filtering
+    * the high tail is the classic LM quality filter — Wenzek et al. 2020
+    * use a 5-gram KenLM, the unigram variant is its distributable
+    * first-order sibling). p(t) = (c(t)+1)/(N+V+1) with c(t) the reference
+    * count, N total reference tokens, V vocabulary size; out-of-vocabulary
+    * tokens get the +1 floor. Tokenization = [[tokens]] on both sides.
+    *
+    * Scale shape: the model is ONE token-keyed aggregation over the
+    * reference (map-side combined); N and V are a bounded 2-long driver
+    * read off the already-aggregated model, injected as literals so the
+    * scoring plan stays a single join + agg. The scoring pass explodes doc
+    * tokens once, joins the model (broadcast under AQE when the vocab is
+    * small; shuffle-hash otherwise — both sides are already keyed by
+    * token), and reduces with a map-side-combinable avg. Zero-token docs
+    * (null text) produce no rows, by construction of explode.
+    * Output: (id, ntok, score) — score unrounded; callers comparing across
+    * engines should round (see q79). */
+  def unigramLogProb(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      ref: DataFrame,
+      refText: Column
+  ): DataFrame = {
+    val model = ref
+      .select(explode(tokens(refText)).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val head = model.agg(coalesce(sum("c"), lit(0L)), count(lit(1))).head()
+    val denom = (head.getLong(0) + head.getLong(1) + 1L).toDouble
+    docs
+      .select(id.cast("long").as("id"), explode(tokens(text)).as("tok"))
+      .join(model, Seq("tok"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("ntok"),
+        avg(-log((coalesce(col("c"), lit(0L)) + lit(1.0)) / lit(denom))).as("score"))
+  }
+
   // ---------------------------------------------------------------------
   // PII screening (corpus-curation: detect / redact before training)
   // ---------------------------------------------------------------------

@@ -648,4 +648,27 @@ class TextDedupSpec extends SparkSpec {
       (4L, 3L, 1L, 3L)
     ))
   }
+
+  test("unigramLogProb: add-one-smoothed NLL equals the driver brute force, OOV floored, null text absent") {
+    val ref = Seq((10L, "alpha beta beta gamma"), (11L, "alpha alpha delta")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "alpha beta"),            // in-vocab
+      (2L, "omega omega"),           // fully OOV -> +1 floor
+      (3L, "alpha zzz"),             // mixed
+      (4L, null.asInstanceOf[String]) // no tokens -> no output row
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(score, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .sortBy(_._1).toSeq
+    // driver brute force: N=7 tokens, V=4 vocab, denom=12
+    val c = Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L)
+    def nll(t: String) = -math.log((c.getOrElse(t, 0L) + 1.0) / 12.0)
+    def sc(ts: String*) = math.round(ts.map(nll).sum / ts.size * 1e6)
+    assert(got == Seq(
+      (1L, 2L, sc("alpha", "beta")),
+      (2L, 2L, sc("omega", "omega")),
+      (3L, 2L, sc("alpha", "zzz"))))
+    // ordering sanity: the in-vocab doc scores strictly lower than the OOV doc
+    assert(got(0)._3 < got(1)._3)
+  }
 }
