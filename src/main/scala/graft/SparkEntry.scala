@@ -1123,6 +1123,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), col("text"))
         .withColumn("score", round(col("score"), 6))
         .orderBy("id")
+    }),
+    // ---- deterministic mixture sampling (corpus assembly's data-mixing
+    // step): per-language keep rates in ONE codegen'd filter; es is
+    // unlisted (whitelist semantics), zh rate 0 keeps nothing
+    "q80_mixture_sample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .mixtureSample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), h, Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.0))
+        .orderBy("doc_id")
     })
   )
 
@@ -2103,7 +2113,14 @@ object SparkEntry {
         |sc AS (SELECT dt.doc_id, -ln((COALESCE(m.c, 0) + 1.0) / (SELECT denom FROM d)) AS nll
         |       FROM dt LEFT JOIN model m USING(tok))
         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS ntok, round(avg(nll), 6) AS score
-        |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin,
+    // per-lang thresholds: floor(rate * 2^32); unlisted lang (es) dropped
+    "q80_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id*2654435761) % 4294967296 <
+        |      CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 4294967296
+        |                WHEN 'fr' THEN 1073741824 WHEN 'zh' THEN 0 END
+        |ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -29,6 +29,39 @@ object Sampling {
     df.filter(hashCol < lit((rate * hashMax).toLong))
   }
 
+  /** Deterministic MIXTURE sampling — per-stratum rates in one pass (the
+    * data-mixing step of corpus assembly: sample each source/language at
+    * its own rate to hit a target mixture). Semantics per row: keep iff
+    * its stratum has a listed rate r and `hashCol < floor(r * hashMax)`;
+    * strata ABSENT from `rates` are dropped entirely — the rate map is a
+    * whitelist. The NULL stratum cannot be listed (string keys) and is
+    * always dropped; coalesce it to a sentinel upstream to mix it.
+    *
+    * Scale shape: the rate map compiles to ONE codegen'd CASE threshold —
+    * a single filter, no shuffle, no RNG, partitioning-independent, and
+    * pushable to the scan like any predicate. Same reproducibility
+    * contract as [[rateSample]]: membership is a pure function of
+    * (stratum, hash). */
+  def mixtureSample(
+      df: DataFrame,
+      stratum: Column,
+      hashCol: Column,
+      rates: Map[String, Double],
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    require(rates.nonEmpty, "rates must list at least one stratum")
+    rates.foreach { case (k, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate for stratum '$k' must be in [0,1]: $r")
+    }
+    // disjoint conditions: fold order is irrelevant to the result
+    val threshold = rates.foldLeft(lit(null).cast("long")) { case (acc, (k, r)) =>
+      when(stratum <=> lit(k), lit((r * hashMax).toLong)).otherwise(acc)
+    }
+    // an unlisted stratum yields a NULL threshold; `hash < NULL` is NULL
+    // and filter drops it — the whitelist semantics above
+    df.filter(hashCol < threshold)
+  }
+
   /** EXACT deterministic top-`quota` rows per stratum, ordered by ascending
     * (hashCol, tie) — per-language / per-source / per-domain caps with
     * reproducible membership.

@@ -78,6 +78,36 @@ class SamplingSpec extends SparkSpec {
     assert(got.count(_._2.isEmpty) == 15, "the null stratum fills its own quota")
   }
 
+  test("mixtureSample: per-stratum whitelist rates, rate-1 keeps all, rate-0 and unlisted/null drop") {
+    val df = (1L to 8000L).map { i =>
+      val lang = (i % 5) match {
+        case 0 => "en"; case 1 => "de"; case 2 => "fr"; case 3 => "zh"
+        case _ => null
+      }
+      (i, lang)
+    }.toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.0)
+    val got = Sampling.mixtureSample(df.repartition(9), col("lang"), mhash(col("id")), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val expected = (1L to 8000L).flatMap { i =>
+      val lang = (i % 5) match {
+        case 0 => "en"; case 1 => "de"; case 2 => "fr"; case 3 => "zh"
+        case _ => null
+      }
+      val h = i * 2654435761L % 4294967296L
+      Option(lang).flatMap(l => rates.get(l))
+        .filter(r => h < (r * 4294967296.0).toLong).map(_ => (i, lang))
+    }.sorted.toSeq
+    assert(got == expected)
+    val byLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("de") == 1600, "rate 1.0 keeps the whole stratum")
+    assert(!byLang.contains("zh") && !byLang.contains(null), "rate 0 and null stratum drop")
+    // partitioning independence
+    val again = Sampling.mixtureSample(df.repartition(2), col("lang"), mhash(col("id")), rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(again == expected)
+  }
+
   test("Packing.assignBins: exact prefix-sum bins, partitioning-independent, no global window") {
     import graft.stats.Packing
     val n = 5000L
