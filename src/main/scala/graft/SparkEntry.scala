@@ -1133,6 +1133,17 @@ object SparkEntry {
         .mixtureSample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
           col("lang"), h, Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.0))
         .orderBy("doc_id")
+    }),
+    // ---- q74's pipeline continued to the TRAINING-SEQUENCE endpoint:
+    // survivors split into 32-token chunks, packed at 500 tokens, each bin
+    // materialized to its final sequence — the oracle restates q74's five
+    // stages then the q77 slice arithmetic and the q78 ordered string_agg
+    "q81_pipeline_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), pipelinePlant)
+      graft.text.CurationPipeline
+        .runToSequences(docs, col("text"), col("doc_id"), col("lang"),
+          quota = 50, chunkBudget = 32, seqBudget = 500L, bands = 32)
+        .orderBy("bin")
     })
   )
 
@@ -1185,6 +1196,63 @@ object SparkEntry {
       when(col("doc_id") % 13 === 4, lit(" call 555-867-5309")).otherwise(lit("")),
       when(col("doc_id") % 17 === 5, lit(" ssn 123-45-6789")).otherwise(lit(""))
     ).as("text")
+
+  /** Shared oracle prefix for q74/q81: the five curation stages
+    * (planting -> verdicts -> line dedup -> canonical ids -> per-lang
+    * cap) as chained CTEs ending at stage4. */
+  private val pipelineStagesSql: String =
+    s"""WITH RECURSIVE planted AS (
+        |  SELECT doc_id, lang, CASE WHEN doc_id % 31 = 8 THEN 'tiny doc'
+        |    ELSE concat_ws(chr(10),
+        |      text || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END,
+        |      'shared boilerplate footer',
+        |      'unique line ' || CAST(doc_id AS VARCHAR),
+        |      CASE WHEN doc_id % 7 = 6 THEN 'promo offer ends soon' END) END AS text
+        |  FROM documents),
+        |toks1 AS (SELECT doc_id, text, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
+        |bg1 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
+        |  ELSE list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) END AS g FROM toks1),
+        |cnt1 AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g) AS gram FROM bg1) GROUP BY doc_id, gram),
+        |rep1 AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt1 GROUP BY doc_id),
+        |sig1 AS (SELECT t.doc_id, len(t.tk) AS n,
+        |    len(list_filter(t.tk, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS stop_cnt,
+        |    coalesce(r.top, 0) AS top, coalesce(r.total, 0) AS total,
+        |    len(regexp_extract_all(t.text, '$piiEmailPat'))
+        |      + len(regexp_extract_all(t.text, '$piiIpPat'))
+        |      + len(regexp_extract_all(t.text, '$piiPhonePat'))
+        |      + len(regexp_extract_all(t.text, '$piiSsnPat')) AS pii
+        |  FROM toks1 t LEFT JOIN rep1 r USING(doc_id)),
+        |kept1 AS (SELECT p.doc_id, p.lang, p.text FROM planted p JOIN sig1 s USING(doc_id)
+        |  WHERE NOT (s.n < 30 OR s.n > 10000 OR s.stop_cnt * 20 < s.n OR s.top * 5 > s.total OR s.pii > 0)),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM kept1),
+        |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+        |         i -> struct_pack(pos := i, line := l[i]))) AS u FROM ls),
+        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ex),
+        |ranked AS (SELECT doc_id, pos, line,
+        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM lines),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |            FROM ranked WHERE rk = 1 GROUP BY doc_id),
+        |stage2 AS (SELECT k.doc_id, k.lang, coalesce(r.text, '') AS text
+        |           FROM kept1 k LEFT JOIN rebuilt r USING(doc_id)),
+        |toks3 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM stage2),
+        |sh3 AS (SELECT doc_id, CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |     ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' '))) END AS ng FROM toks3),
+        |pairs3 AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+        |edges3 AS (SELECT id_a AS src, id_b AS dst FROM pairs3 UNION SELECT id_b, id_a FROM pairs3),
+        |nodes3 AS (SELECT DISTINCT src AS id FROM edges3),
+        |reach(id, comp) AS (SELECT id, id FROM nodes3
+        |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges3 e ON e.src = r.id),
+        |labels3 AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |stage3 AS (SELECT s.doc_id, s.lang, s.text FROM stage2 s LEFT JOIN labels3 l ON l.id = s.doc_id
+        |  WHERE coalesce(l.comp, s.doc_id) = s.doc_id),
+        |stage4 AS (SELECT doc_id, lang, text FROM (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM stage3) WHERE rk <= 50)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_required_navalue" ->
@@ -2011,58 +2079,7 @@ object SparkEntry {
     // window) -> prefix-sum packing (q64). Each CTE feeds the next exactly
     // like the DataFrame stages feed their checkpoints
     "q74_curation_pipeline" ->
-      s"""WITH RECURSIVE planted AS (
-        |  SELECT doc_id, lang, CASE WHEN doc_id % 31 = 8 THEN 'tiny doc'
-        |    ELSE concat_ws(chr(10),
-        |      text || CASE WHEN doc_id % 17 = 5 THEN ' ssn 123-45-6789' ELSE '' END,
-        |      'shared boilerplate footer',
-        |      'unique line ' || CAST(doc_id AS VARCHAR),
-        |      CASE WHEN doc_id % 7 = 6 THEN 'promo offer ends soon' END) END AS text
-        |  FROM documents),
-        |toks1 AS (SELECT doc_id, text, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
-        |bg1 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
-        |  ELSE list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) END AS g FROM toks1),
-        |cnt1 AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g) AS gram FROM bg1) GROUP BY doc_id, gram),
-        |rep1 AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt1 GROUP BY doc_id),
-        |sig1 AS (SELECT t.doc_id, len(t.tk) AS n,
-        |    len(list_filter(t.tk, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS stop_cnt,
-        |    coalesce(r.top, 0) AS top, coalesce(r.total, 0) AS total,
-        |    len(regexp_extract_all(t.text, '$piiEmailPat'))
-        |      + len(regexp_extract_all(t.text, '$piiIpPat'))
-        |      + len(regexp_extract_all(t.text, '$piiPhonePat'))
-        |      + len(regexp_extract_all(t.text, '$piiSsnPat')) AS pii
-        |  FROM toks1 t LEFT JOIN rep1 r USING(doc_id)),
-        |kept1 AS (SELECT p.doc_id, p.lang, p.text FROM planted p JOIN sig1 s USING(doc_id)
-        |  WHERE NOT (s.n < 30 OR s.n > 10000 OR s.stop_cnt * 20 < s.n OR s.top * 5 > s.total OR s.pii > 0)),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM kept1),
-        |ex AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
-        |         i -> struct_pack(pos := i, line := l[i]))) AS u FROM ls),
-        |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ex),
-        |ranked AS (SELECT doc_id, pos, line,
-        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM lines),
-        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-        |            FROM ranked WHERE rk = 1 GROUP BY doc_id),
-        |stage2 AS (SELECT k.doc_id, k.lang, coalesce(r.text, '') AS text
-        |           FROM kept1 k LEFT JOIN rebuilt r USING(doc_id)),
-        |toks3 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM stage2),
-        |sh3 AS (SELECT doc_id, CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
-        |     ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' '))) END AS ng FROM toks3),
-        |pairs3 AS (SELECT id_a, id_b FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
-        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
-        |edges3 AS (SELECT id_a AS src, id_b AS dst FROM pairs3 UNION SELECT id_b, id_a FROM pairs3),
-        |nodes3 AS (SELECT DISTINCT src AS id FROM edges3),
-        |reach(id, comp) AS (SELECT id, id FROM nodes3
-        |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges3 e ON e.src = r.id),
-        |labels3 AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
-        |stage3 AS (SELECT s.doc_id, s.lang, s.text FROM stage2 s LEFT JOIN labels3 l ON l.id = s.doc_id
-        |  WHERE coalesce(l.comp, s.doc_id) = s.doc_id),
-        |stage4 AS (SELECT doc_id, lang, text FROM (
-        |  SELECT doc_id, lang, text,
-        |    row_number() OVER (PARTITION BY lang
-        |                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
-        |  FROM stage3) WHERE rk <= 50),
+      s"""$pipelineStagesSql,
         |w5 AS (SELECT doc_id, len(string_split_regex(trim(text),'\\s+')) AS wt FROM stage4),
         |c5 AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w5)
         |SELECT doc_id AS id, CAST((cum - wt) // 500 AS BIGINT) AS bin FROM c5 ORDER BY id""".stripMargin,
@@ -2120,7 +2137,23 @@ object SparkEntry {
         |WHERE (doc_id*2654435761) % 4294967296 <
         |      CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 4294967296
         |                WHEN 'fr' THEN 1073741824 WHEN 'zh' THEN 0 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q74's five stages, then q77's 32-token slice arithmetic over the
+    // survivors (cid = doc_id*2^20 + chunk) and q78's prefix-sum pack +
+    // ordered string_agg at the 500-token sequence budget
+    "q81_pipeline_sequences" ->
+      s"""$pipelineStagesSql,
+        |tk6 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM stage4),
+        |n6 AS (SELECT doc_id, tk, CAST(ceil(len(tk) / 32.0) AS BIGINT) AS nc FROM tk6),
+        |ch6 AS (SELECT doc_id, tk, unnest(range(nc)) AS chunk FROM n6),
+        |cs6 AS (SELECT doc_id * 1048576 + chunk AS cid,
+        |               array_to_string(tk[chunk*32+1 : chunk*32+32], ' ') AS ctext FROM ch6),
+        |w6 AS (SELECT cid, ctext, len(string_split_regex(trim(ctext),'\\s+')) AS wt FROM cs6),
+        |c6 AS (SELECT cid, ctext, wt, sum(wt) OVER (ORDER BY cid ROWS UNBOUNDED PRECEDING) AS cum FROM w6),
+        |b6 AS (SELECT cid, ctext, wt, CAST((cum - wt) // 500 AS BIGINT) AS bin FROM c6)
+        |SELECT bin, string_agg(ctext, ' ' ORDER BY cid) AS seq_text,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS total_tokens
+        |FROM b6 GROUP BY bin ORDER BY bin""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

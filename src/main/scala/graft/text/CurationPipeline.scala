@@ -49,6 +49,62 @@ object CurationPipeline {
       threshold: Double = 0.5,
       hash: Column => Column = c => pmod(c * lit(2654435761L), lit(4294967296L)),
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame =
+    Packing.assignBins(
+      survivors(corpus, text, id, stratum, quota, minTokens, maxTokens, bands,
+        threshold, hash, truncate),
+      col("id"), col("id"), TextOps.tokenCount(col("text")), budget)
+
+  /** [[run]] continued to the TRAINING-SEQUENCE endpoint: survivors are
+    * split into `chunkBudget`-token chunks ([[TextOps.splitOversized]] —
+    * so no single doc overshoots a bin by more than one chunk), packed,
+    * and materialized to one sequence per bin
+    * ([[graft.stats.Packing.packedSequences]]). Chunk ids are
+    * `id * 2^20 + chunk` — callers' ids must fit 43 bits and docs must
+    * chunk below 2^20 pieces (guaranteed here: verdicts cap docs at
+    * `maxTokens` tokens upstream). Output: (bin, seq_text, n_docs,
+    * total_tokens) where n_docs counts CHUNKS. */
+  def runToSequences(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      stratum: Column,
+      quota: Int,
+      chunkBudget: Int,
+      seqBudget: Long,
+      minTokens: Int = 30,
+      maxTokens: Int = 10000,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      hash: Column => Column = c => pmod(c * lit(2654435761L), lit(4294967296L)),
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame = {
+    val s4 = truncate(
+      survivors(corpus, text, id, stratum, quota, minTokens, maxTokens, bands,
+        threshold, hash, truncate))
+    // packedSequences reads its input twice (bin assignment + the join
+    // back) — cut the chunk fan-out once so the split kernel runs once
+    val chunks = truncate(
+      TextOps.splitOversized(s4, col("text"), col("id"), chunkBudget)
+        .select((col("id") * lit(1L << 20) + col("chunk")).as("cid"), col("text")))
+    Packing.packedSequences(chunks, col("text"), col("cid"), col("cid"),
+      TextOps.tokenCount(col("text")), seqBudget)
+  }
+
+  /** Stages 0–4 (verdicts → line dedup → canonical → cap): the surviving
+    * (id, text, _st) rows every endpoint packs. */
+  private def survivors(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      stratum: Column,
+      quota: Int,
+      minTokens: Int,
+      maxTokens: Int,
+      bands: Int,
+      threshold: Double,
+      hash: Column => Column,
+      truncate: DataFrame => DataFrame
   ): DataFrame = {
     // stage 0: project the pipeline's working set once — id, text, stratum
     val stage0 = truncate(
@@ -77,10 +133,6 @@ object CurationPipeline {
 
     // stage 4: deterministic per-stratum cap (hash membership — resumable,
     // partitioning-independent)
-    val stage4 = Sampling.quotaSample(stage3, col("_st"), hash(col("id")), col("id"), quota)
-
-    // stage 5: token-budget packing over survivors in id order
-    Packing
-      .assignBins(stage4, col("id"), col("id"), TextOps.tokenCount(col("text")), budget)
+    Sampling.quotaSample(stage3, col("_st"), hash(col("id")), col("id"), quota)
   }
 }

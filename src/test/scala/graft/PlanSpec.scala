@@ -254,6 +254,22 @@ class PlanSpec extends SparkSpec {
       s"pipeline stages must flow through single materializations, not re-scans:\n$plan")
   }
 
+  test("curation pipeline to sequences: the chunk fan-out is cut once — final plan reads NO parquet") {
+    // packedSequences reads its input twice (bin assignment + join back);
+    // without the chunk checkpoint the split kernel and every upstream
+    // stage would run twice
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        concat_ws("\n", col("text"), lit("footer"),
+          concat(lit("u"), col("doc_id"))).as("text"))
+    val out = graft.text.CurationPipeline
+      .runToSequences(docs, col("text"), col("doc_id"), col("lang"),
+        quota = 40, chunkBudget = 32, seqBudget = 500L, bands = 32)
+    val plan = executedPlan(out)
+    assert(!plan.contains("FileScan parquet"),
+      s"sequence endpoint must consume only stage materializations:\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
