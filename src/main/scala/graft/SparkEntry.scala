@@ -52,6 +52,30 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** q74's curated survivor set (the five pipeline stages at the oracle
+    * geometry: bands=32, quota=50 over the planted corpus), materialized
+    * ONCE per sf-dir and read back by the endpoint queries that PACK
+    * survivors (q81 sequences) — their bench time then measures the
+    * endpoint under test, not a re-derivation of the q74 chain (the two
+    * together re-ran the same five stages for ~26 s at sf0.1). q74 itself
+    * always derives live: it is the composed-pipeline oracle. Same
+    * `_SUCCESS` cache discipline as the pair/image/embedding stores: if
+    * the stage DEFINITION changes, bump the path segment. */
+  private def pipelineSurvivorCache(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/pipecache/${new java.io.File(dir).getName}/b32q50").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), pipelinePlant)
+      graft.text.CurationPipeline
+        .survivors(docs, col("text"), col("doc_id"), col("lang"), quota = 50,
+          minTokens = 30, maxTokens = 10000, bands = 32, threshold = 0.5,
+          hash = c => pmod(c * lit(2654435761L), lit(4294967296L)),
+          truncate = _.localCheckpoint(true))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** the planted embeddings table materialized ONCE as an LSH-bucketed
     * store (parquet partitioned by signature prefix) — probes are
     * partition-pruned reads, the plan shape the scaled deployment uses. */
@@ -1137,14 +1161,13 @@ object SparkEntry {
     // ---- q74's pipeline continued to the TRAINING-SEQUENCE endpoint:
     // survivors split into 32-token chunks, packed at 500 tokens, each bin
     // materialized to its final sequence — the oracle restates q74's five
-    // stages then the q77 slice arithmetic and the q78 ordered string_agg
-    "q81_pipeline_sequences" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), pipelinePlant)
+    // stages then the q77 slice arithmetic and the q78 ordered string_agg.
+    // The survivor stages come from the per-sf cache (q74 derives them
+    // live); this query measures the chunk→pack→assemble endpoint.
+    "q81_pipeline_sequences" -> ((s, dir) =>
       graft.text.CurationPipeline
-        .runToSequences(docs, col("text"), col("doc_id"), col("lang"),
-          quota = 50, chunkBudget = 32, seqBudget = 500L, bands = 32)
-        .orderBy("bin")
-    })
+        .sequencesFrom(pipelineSurvivorCache(s, dir), chunkBudget = 32, seqBudget = 500L)
+        .orderBy("bin"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived

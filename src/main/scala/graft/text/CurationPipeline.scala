@@ -78,22 +78,36 @@ object CurationPipeline {
       threshold: Double = 0.5,
       hash: Column => Column = c => pmod(c * lit(2654435761L), lit(4294967296L)),
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame =
+    sequencesFrom(
+      truncate(survivors(corpus, text, id, stratum, quota, minTokens, maxTokens,
+        bands, threshold, hash, truncate)),
+      chunkBudget, seqBudget, truncate)
+
+  /** The sequence endpoint over an ALREADY-CURATED survivor set (the
+    * `(id, text, _st)` frame [[survivors]] produces — e.g. read back from
+    * a stage checkpoint or a persisted curation run): chunk → pack →
+    * assemble, without re-deriving the five curation stages. */
+  def sequencesFrom(
+      survivors: DataFrame,
+      chunkBudget: Int,
+      seqBudget: Long,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
-    val s4 = truncate(
-      survivors(corpus, text, id, stratum, quota, minTokens, maxTokens, bands,
-        threshold, hash, truncate))
     // packedSequences reads its input twice (bin assignment + the join
     // back) — cut the chunk fan-out once so the split kernel runs once
     val chunks = truncate(
-      TextOps.splitOversized(s4, col("text"), col("id"), chunkBudget)
+      TextOps.splitOversized(survivors, col("text"), col("id"), chunkBudget)
         .select((col("id") * lit(1L << 20) + col("chunk")).as("cid"), col("text")))
     Packing.packedSequences(chunks, col("text"), col("cid"), col("cid"),
       TextOps.tokenCount(col("text")), seqBudget)
   }
 
   /** Stages 0–4 (verdicts → line dedup → canonical → cap): the surviving
-    * (id, text, _st) rows every endpoint packs. */
-  private def survivors(
+    * (id, text, _st) rows every endpoint packs. Public so a persisted
+    * curation run can be packed to different endpoints ([[run]]'s bins,
+    * [[sequencesFrom]]'s sequences) without re-running the stages. */
+  def survivors(
       corpus: DataFrame,
       text: Column,
       id: Column,
