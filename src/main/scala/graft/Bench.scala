@@ -585,6 +585,33 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, chars)
   }
 
+  /** Scaling workload — span-level duplication stats
+    * (`Dedup.duplicatedSpanStats`, token 8-grams): n docs of ~60 tokens —
+    * a 50-token doc-unique body, a doc-unique marker, and one of 1000
+    * shared 13-token boilerplate sentences (hot duplicated spans repeated
+    * in n/1000 docs each; map-side combine keeps the hot keys to one row
+    * per partition per shuffle). Slices scale with n so per-task gram
+    * volume stays bounded (~56 grams/doc — 10× docs at fixed slices was
+    * measured 2× worse per gram from partial-agg spill alone). Returns
+    * (docs, seconds, totalDupNgrams). */
+  def spanDedupThroughput(spark: SparkSession, n: Long, slices: Int = 0): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val sl = if (slices > 0) slices else math.min(512L, math.max(64L, n / 50000L)).toInt
+    val docs = spark
+      .range(0, n, 1, sl)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          docTextUdf(col("id")),
+          concat(lit("docmarker"), col("id").cast("string")),
+          concat(lit("shared trailing boilerplate sentence number "),
+            (col("id") % 1000).cast("string"),
+            lit(" about terms of service and cookie consent"))).as("text"))
+    val out = graft.dedup.Dedup.duplicatedSpanStats(docs, col("text"), col("doc_id"), n = 8)
+    val t0 = System.nanoTime()
+    val dup = out.agg(sum(col("dup_ngrams"))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, dup)
+  }
+
   /** Scaling workload #13 — image canonical ids at scale
     * (`Dedup.componentsBySignature`): n rows over n/100 distinct
     * signatures (mass-duplication: 100 members each, the web-corpus

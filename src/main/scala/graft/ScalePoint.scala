@@ -44,6 +44,7 @@ object ScalePoint {
         Bench.contaminationThroughput(spark, rows, bloom = true, sparseBench = true)
       case "streaming"     => Bench.streamingThroughput(spark, rows)
       case "linededup"     => Bench.lineDedupThroughput(spark, rows)
+      case "spandedup"     => Bench.spanDedupThroughput(spark, rows)
       case "imagecanonical" => Bench.imageCanonicalThroughput(spark, rows)
       case "packing"       => Bench.packingThroughput(spark, rows)
       case "packingnaive"  => Bench.packingThroughput(spark, rows, naive = true)

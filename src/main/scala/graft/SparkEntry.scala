@@ -1167,7 +1167,35 @@ object SparkEntry {
     "q81_pipeline_sequences" -> ((s, dir) =>
       graft.text.CurationPipeline
         .sequencesFrom(pipelineSurvivorCache(s, dir), chunkBudget = 32, seqBudget = 500L)
-        .orderBy("bin"))
+        .orderBy("bin")),
+    // ---- span-level duplication metric (Lee et al. 2021's exact-substring
+    // dedup signal at token-8-gram granularity): doc_id%5==0 docs share a
+    // planted sentence (cross-doc dups), doc_id%13==2 docs carry a
+    // twice-repeated sentence (within-doc dups count toward the >=2 global
+    // rule); all arithmetic in doc_id so the oracle rebuilds the corpus
+    "q82_dup_span_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), spanPlant)
+      Dedup.duplicatedSpanStats(docs, col("text"), col("doc_id"), n = 8)
+        .withColumn("dup_frac", round(col("dup_frac"), 6))
+        .orderBy("id")
+    }),
+    // ---- the ACTION over the same planting: later occurrences of each
+    // duplicated 8-gram are cut token-wise, docs rebuilt from survivors
+    "q83_remove_dup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), spanPlant)
+      Dedup.removeDuplicatedSpans(docs, col("text"), col("doc_id"), n = 8)
+        .orderBy("id")
+    }),
+    // ---- deterministic train/validation/test split (holdout assignment):
+    // one codegen'd CASE over the q80 multiplicative hash; thresholds are
+    // the same float arithmetic on both sides, interpolated as literals
+    "q84_hash_split" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .hashSplit(t(s, dir, "documents").select(col("doc_id"), col("lang")), h,
+          Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -1207,6 +1235,30 @@ object SparkEntry {
         concat(lit("unique line "), col("doc_id").cast("string")),
         when(col("doc_id") % 7 === 6, lit("promo offer ends soon"))))
       .as("text")
+
+  /** q82/q83's deterministic span planting: doc_id%5==0 docs append a
+    * shared 10-token sentence (cross-doc duplicated 8-grams), doc_id%13==2
+    * docs append a different 10-token sentence TWICE (within-doc dups).
+    * concat_ws skips the null branches, matching DuckDB byte for byte. */
+  private def spanPlant: Column =
+    concat_ws(" ",
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        lit("the quick brown fox jumps over the lazy dog tonight")),
+      when(col("doc_id") % 13 === 2,
+        lit("pack my box with five dozen liquor jugs right now")),
+      when(col("doc_id") % 13 === 2,
+        lit("pack my box with five dozen liquor jugs right now"))
+    ).as("text")
+
+  /** [[spanPlant]] restated for the q82/q83 oracles (DuckDB concat_ws
+    * skips NULL CASE branches exactly like Spark's). */
+  private val spanPlantSql: String =
+    """SELECT doc_id, concat_ws(' ', text,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'the quick brown fox jumps over the lazy dog tonight' END,
+      |  CASE WHEN doc_id % 13 = 2 THEN 'pack my box with five dozen liquor jugs right now' END,
+      |  CASE WHEN doc_id % 13 = 2 THEN 'pack my box with five dozen liquor jugs right now' END) AS text
+      |FROM documents""".stripMargin
 
   private def piiPlant: Column =
     concat(
@@ -2176,7 +2228,54 @@ object SparkEntry {
         |b6 AS (SELECT cid, ctext, wt, CAST((cum - wt) // 500 AS BIGINT) AS bin FROM c6)
         |SELECT bin, string_agg(ctext, ' ' ORDER BY cid) AS seq_text,
         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS total_tokens
-        |FROM b6 GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM b6 GROUP BY bin ORDER BY bin""".stripMargin,
+    // positional 8-grams, per-doc local counts, global >=2 rule
+    "q82_dup_span_stats" ->
+      s"""WITH planted AS ($spanPlantSql),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
+        |gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-7),
+        |         i -> array_to_string(tk[i:i+7], ' '))) AS g FROM toks),
+        |loc AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+        |gc AS (SELECT g, sum(c) AS cg FROM loc GROUP BY g),
+        |dup AS (SELECT l.doc_id, sum(l.c) AS dup FROM loc l JOIN gc USING(g)
+        |        WHERE gc.cg >= 2 GROUP BY l.doc_id)
+        |SELECT t.doc_id AS id,
+        |       CAST(greatest(len(t.tk)-7, 0) AS BIGINT) AS total_ngrams,
+        |       CAST(coalesce(d.dup, 0) AS BIGINT) AS dup_ngrams,
+        |       round(CASE WHEN len(t.tk) < 8 THEN 0.0
+        |             ELSE coalesce(d.dup, 0) * 1.0 / (len(t.tk)-7) END, 6) AS dup_frac
+        |FROM toks t LEFT JOIN dup d USING(doc_id) ORDER BY id""".stripMargin,
+    // winner = row_number 1 over (doc_id, pos); a token is cut when any
+    // removed span start covers it (pos..pos+7); rebuild = ordered agg
+    "q83_remove_dup_spans" ->
+      s"""WITH planted AS ($spanPlantSql),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS tk FROM planted),
+        |gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-7),
+        |         i -> struct_pack(pos := i, g := array_to_string(tk[i:i+7], ' ')))) AS u FROM toks),
+        |spans AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM gr),
+        |ranked AS (SELECT doc_id, pos,
+        |             count(*) OVER (PARTITION BY g) AS cg,
+        |             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk FROM spans),
+        |removed AS (SELECT doc_id, pos FROM ranked WHERE cg >= 2 AND rk > 1),
+        |tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+        |          i -> struct_pack(p := i, t := tk[i]))) AS u FROM toks),
+        |tpos AS (SELECT doc_id, u.p AS p, u.t AS t FROM tok),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.t FROM tpos tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM removed r
+        |            WHERE r.doc_id = tp.doc_id AND tp.p BETWEEN r.pos AND r.pos + 7)),
+        |reb AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text, count(*) AS kept_n
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id AS id, coalesce(r.text, '') AS text,
+        |       CAST(len(t.tk) - coalesce(r.kept_n, 0) AS BIGINT) AS removed_tokens
+        |FROM toks t LEFT JOIN reb r USING(doc_id) ORDER BY id""".stripMargin,
+    // thresholds computed with the engine's own float arithmetic
+    // (floor(cum * 2^32)) and interpolated as integer literals
+    "q84_hash_split" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN (doc_id*2654435761) % 4294967296 < ${(0.8 * 4294967296.0).toLong} THEN 'train'
+        |       WHEN (doc_id*2654435761) % 4294967296 < ${((0.8 + 0.1) * 4294967296.0).toLong} THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -934,4 +934,135 @@ object Dedup {
       .join(rebuilt, Seq("_id"), "left")
       .select(col("_id").as("id"), coalesce(col("_text"), lit("")).as("text"))
   }
+
+  /** Positional token-`n`-gram hashes of a document: FNV-1a 64 of each
+    * window of `n` whitespace tokens joined by single spaces (identical to
+    * [[TextOps.fnv1a64]] over the joined string, computed without
+    * materializing it), one hash per start position in order. Fewer than
+    * `n` tokens → empty. The span-granularity signature both span ops key
+    * on. */
+  private def spanHashes(n: Int): Column => Column = {
+    val nn = n
+    val u = udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val toks = s.trim.split("\\s+")
+        if (toks.length < nn) Array.empty[Long]
+        else {
+          val out = new Array[Long](toks.length - nn + 1)
+          var i = 0
+          while (i < out.length) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < nn) {
+              val t = toks(i + j)
+              var k = 0
+              while (k < t.length) { h = (h ^ t.charAt(k)) * 0x100000001b3L; k += 1 }
+              if (j < nn - 1) h = (h ^ ' ') * 0x100000001b3L
+              j += 1
+            }
+            out(i) = h
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    u(_)
+  }
+
+  /** SPAN-LEVEL duplication stats — the metric behind exact-substring
+    * training-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", done there with suffix arrays on one
+    * machine; re-expressed here at token-n-gram granularity as a
+    * distributed aggregation). A position is duplicated when its n-gram
+    * occurs ≥ 2 times ANYWHERE in the corpus (another doc or the same
+    * one). Output: (id, total_ngrams, dup_ngrams, dup_frac) per doc —
+    * the fraction drives the usual drop/trim curation rules.
+    *
+    * Plan shape for 100 TB: the kernel emits 8-byte span hashes; global
+    * counts aggregate the exploded rows keyed on the hash alone (map-side
+    * combine collapses hot boilerplate spans in-task; a doc's body grams
+    * are mostly unique, so a finer (id, hash) pre-collapse was measured
+    * pure overhead — giant spilling hash tables for nothing); only hashes
+    * with count ≥ 2 flow into the semi join back, which AQE broadcasts
+    * when the duplicated-span inventory is small, and the per-doc
+    * aggregation sees only the duplicated positions. Collisions: ~n²/2⁶⁵
+    * expected false duplicate pairs — the same accepted trade as
+    * [[dedupLines]]/[[exact]]. */
+  def duplicatedSpanStats(corpus: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val ex = corpus.select(id.cast("long").as("id"), explode(spanHashes(n)(text)).as("_h"))
+    val dup = ex.groupBy("_h").agg(count(lit(1)).as("_cg")).filter(col("_cg") >= 2).select("_h")
+    val dupPerDoc = ex
+      .join(dup, Seq("_h"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("dup_ngrams"))
+    corpus
+      .select(id.cast("long").as("id"),
+        greatest(size(TextOps.tokens(text)) - (n - 1), lit(0)).cast("long").as("total_ngrams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("total_ngrams"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        when(col("total_ngrams") === 0, lit(0.0))
+          .otherwise(col("dup_ngrams") / col("total_ngrams")).as("dup_frac"))
+      .withColumn("dup_frac", coalesce(col("dup_frac"), lit(0.0)))
+  }
+
+  /** SPAN-LEVEL dedup — the ACTION of Lee et al. 2021: every duplicated
+    * token-n-gram keeps its first occurrence (lowest (id, position)) and
+    * every LATER occurrence is cut out of its document; a token is removed
+    * when ANY removed n-gram covers it, and the doc is reassembled from
+    * surviving tokens joined by single spaces (whitespace normalizes, the
+    * [[TextOps.splitOversized]] rejoin convention). Output: (id, text,
+    * removed_tokens).
+    *
+    * Plan shape mirrors [[dedupLines]] one level finer: positional span
+    * hashes explode once; the winner per span is a map-side-combinable
+    * min((id, pos)) keyed on the 8-byte hash; only spans with global
+    * count ≥ 2 mark removals; removal positions shuffle once by doc id and
+    * a per-row primitive kernel merges the covering intervals and rebuilds
+    * the text (interval merge is doc-local — never a corpus-wide sort). */
+  def removeDuplicatedSpans(corpus: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val ex = corpus.select(id.cast("long").as("_id"),
+      posexplode(spanHashes(n)(text)).as(Seq("_pos", "_h")))
+    val winners = ex
+      .groupBy("_h")
+      .agg(count(lit(1)).as("_cnt"), min(struct(col("_id"), col("_pos"))).as("_w"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_h"), col("_w._id").as("_wid"), col("_w._pos").as("_wpos"))
+    val removed = ex
+      .join(winners, Seq("_h"))
+      .filter(!(col("_id") === col("_wid") && col("_pos") === col("_wpos")))
+      .groupBy("_id")
+      .agg(collect_list(col("_pos")).as("_rm"))
+    // rebuild kernel: mark tokens covered by any removed span start
+    // (positions i..i+n-1), emit survivors — primitive loop, doc-local
+    val nn = n
+    val rebuild = udf { (s: String, rm: Seq[Int]) =>
+      val toks = if (s == null) Array.empty[String] else s.trim.split("\\s+")
+      if (rm == null || rm.isEmpty) (toks.mkString(" "), 0L)
+      else {
+        val cut = new Array[Boolean](toks.length)
+        rm.foreach { i =>
+          var j = i; val end = math.min(i + nn, toks.length)
+          while (j < end) { cut(j) = true; j += 1 }
+        }
+        val sb = new StringBuilder
+        var kept = 0
+        var i = 0
+        while (i < toks.length) {
+          if (!cut(i)) { if (kept > 0) sb.append(' '); sb.append(toks(i)); kept += 1 }
+          i += 1
+        }
+        (sb.toString, (toks.length - kept).toLong)
+      }
+    }
+    corpus
+      .select(id.cast("long").as("_id"), text.as("_text"))
+      .join(removed, Seq("_id"), "left")
+      .select(col("_id").as("id"), rebuild(col("_text"), col("_rm")).as("_r"))
+      .select(col("id"), col("_r._1").as("text"), col("_r._2").as("removed_tokens"))
+  }
 }

@@ -122,4 +122,32 @@ object Sampling {
       .filter(col("_rk") <= quota)
       .drop("_st", "_h", "_tie", "_rk")
   }
+
+  /** Deterministic TRAIN/VALIDATION/TEST split — the holdout-assignment
+    * step of corpus assembly. Every row gets a `split` label from `splits`
+    * (ordered (name, weight) fractions): split i owns the hash range
+    * [floor(cum_{i-1}·hashMax), floor(cum_i·hashMax)), and the LAST split
+    * absorbs any float-rounding remainder so the assignment is total.
+    * Assignment is a pure function of the hash — reproducible across runs
+    * and partitionings, and a row's split never changes when the corpus
+    * grows (the property per-partition RNG splits lack, and the reason
+    * test contamination can't creep in on re-ingestion).
+    *
+    * Scale shape: one codegen'd CASE projection, no shuffle, no RNG. */
+  def hashSplit(
+      df: DataFrame,
+      hashCol: Column,
+      splits: Seq[(String, Double)],
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    require(splits.nonEmpty, "splits must list at least one label")
+    splits.foreach { case (k, w) => require(w > 0.0, s"weight for '$k' must be > 0: $w") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1: $total")
+    val bounds = splits.scanLeft(0.0) { case (cum, (_, w)) => cum + w }.tail
+    val label = splits.init.zip(bounds.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), acc) => when(hashCol < lit((cum * hashMax).toLong), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

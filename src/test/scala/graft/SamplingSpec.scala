@@ -108,6 +108,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("hashSplit: total assignment, exact hash-range boundaries, last split absorbs rounding") {
+    // hash = the id itself on [0, 10000): boundaries land exactly at
+    // floor(0.8*10000)=8000 and floor((0.8+0.1)*10000)=9000
+    val df = (0L until 10000L).map(i => Tuple1(i)).toDF("id")
+    val got = Sampling
+      .hashSplit(df, col("id"), Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), hashMax = 10000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 10000)
+    assert(got(0L) == "train" && got(7999L) == "train")
+    assert(got(8000L) == "validation" && got(8999L) == "validation")
+    assert(got(9000L) == "test" && got(9999L) == "test")
+    assert(got.values.count(_ == "train") == 8000)
+    assert(got.values.count(_ == "validation") == 1000)
+    assert(got.values.count(_ == "test") == 1000)
+    // repartitioning cannot move a row across splits
+    val re = Sampling
+      .hashSplit(df.repartition(7), col("id"), Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), hashMax = 10000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("Packing.assignBins: exact prefix-sum bins, partitioning-independent, no global window") {
     import graft.stats.Packing
     val n = 5000L

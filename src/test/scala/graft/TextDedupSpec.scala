@@ -563,6 +563,43 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  // span-fixture geometry (n=8): docs 1/2 share exactly one 8-gram
+  // ("a b c d e f g h" at (1,0) and (2,1)); doc 4 repeats an 8-token
+  // phrase, so its pos-0 and pos-8 grams are equal (within-doc dup);
+  // doc 3 and doc 5 (< 8 tokens) have nothing duplicated
+  private val spanDocs = Seq(
+    (1L, "a b c d e f g h x"),
+    (2L, "z a b c d e f g h"),
+    (3L, "p q r s t u v w"),
+    (4L, "m n o p q r s t m n o p q r s t"),
+    (5L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpanStats: global >=2 occurrences (cross- and within-doc), hand-counted") {
+    val got = Dedup.duplicatedSpanStats(spanDocs, col("text"), col("doc_id"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0),
+      (4L, 9L, 2L, 2.0 / 9.0),
+      (5L, 0L, 0L, 0.0)
+    ))
+  }
+
+  test("removeDuplicatedSpans: first (id, pos) occurrence kept, later spans cut token-wise") {
+    val got = Dedup.removeDuplicatedSpans(spanDocs, col("text"), col("doc_id"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f g h x", 0L), // winner of the shared gram
+      (2L, "z", 8L), // its (2,1) gram loses to (1,0) -> tokens 1..8 cut
+      (3L, "p q r s t u v w", 0L),
+      (4L, "m n o p q r s t", 8L), // second phrase copy cut
+      (5L, "too short", 0L)
+    ))
+  }
+
   test("PII scan: per-type counts, multi-hit, no false positives on clean text") {
     val pii = Seq(
       (1L, "write to alice.smith+x@example.com or bob@mail.co today"),
