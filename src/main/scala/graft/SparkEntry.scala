@@ -1195,6 +1195,17 @@ object SparkEntry {
         .hashSplit(t(s, dir, "documents").select(col("doc_id"), col("lang")), h,
           Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")
+    }),
+    // ---- quality-aware canonical ids over the q54 pair set: each near-dup
+    // component keeps its LONGEST member (token count; ties -> lowest id)
+    // instead of the lowest id — the curation rule real pipelines use
+    "q85_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = minhashPairCache(s, dir)
+      Dedup
+        .componentsKeepBest(docs, col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long"), pairs, col("id_a"), col("id_b"))
+        .orderBy("id")
     })
   )
 
@@ -1271,6 +1282,29 @@ object SparkEntry {
       when(col("doc_id") % 13 === 4, lit(" call 555-867-5309")).otherwise(lit("")),
       when(col("doc_id") % 17 === 5, lit(" ssn 123-45-6789")).otherwise(lit(""))
     ).as("text")
+
+  /** Shared oracle prefix for q54/q85: brute-force 3-gram-Jaccard pairs
+    * at the 0.5 threshold over documents, recursive-CTE transitive
+    * closure, min-label per node (CTEs end at `labels`). */
+  private val minhashClosureSql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+      |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+      |  END AS ng FROM toks),
+      |pairs AS (SELECT id_a, id_b FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |) WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+      |),
+      |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
   /** Shared oracle prefix for q74/q81: the five curation stages
     * (planting -> verdicts -> line dedup -> canonical ids -> per-lang
@@ -1588,24 +1622,7 @@ object SparkEntry {
     // q51's transitive closure LEFT-joined onto every document: singleton
     // docs (in no pair) carry their own id as the canonical component
     "q54_dedup_canonical" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
-        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
-        |  END AS ng FROM toks),
-        |pairs AS (SELECT id_a, id_b FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)/len(list_distinct(a.ng || b.ng)) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, comp) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
-        |),
-        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      s"""$minhashClosureSql
         |SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
         |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY id""".stripMargin,
     "q27_ngram_jaccard" ->
@@ -2275,7 +2292,17 @@ object SparkEntry {
         |  CASE WHEN (doc_id*2654435761) % 4294967296 < ${(0.8 * 4294967296.0).toLong} THEN 'train'
         |       WHEN (doc_id*2654435761) % 4294967296 < ${((0.8 + 0.1) * 4294967296.0).toLong} THEN 'validation'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the q54 closure, then an argmax election: longest member (token
+    // count), ties -> lowest id
+    "q85_keep_best" ->
+      s"""$minhashClosureSql,
+        |fl AS (SELECT t.doc_id AS id, coalesce(l.comp, t.doc_id) AS comp, len(t.tk) AS score
+        |         FROM toks t LEFT JOIN labels l ON l.id = t.doc_id),
+        |keep AS (SELECT comp, id AS keep_id FROM (
+        |  SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) AS rk
+        |  FROM fl) WHERE rk = 1)
+        |SELECT f.id, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY f.id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

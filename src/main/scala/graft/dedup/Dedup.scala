@@ -935,6 +935,35 @@ object Dedup {
       .select(col("_id").as("id"), coalesce(col("_text"), lit("")).as("text"))
   }
 
+  /** Canonical ids with a QUALITY-AWARE representative — real curation
+    * keeps the BEST doc of a near-dup cluster (longest, highest quality
+    * score), not the lowest id. Labels come from [[components]]; each
+    * component elects `keep_id` = the member maximizing `score` (ties →
+    * lowest id). Output: (id, comp, keep_id) for every corpus row;
+    * `filter(id === keep_id)` IS the deduplicated corpus.
+    *
+    * Scale shape: the election is one map-side-combinable
+    * `max(struct(score, -id))` aggregation keyed on comp (hot components
+    * pre-aggregate in-task), joined back broadcast-style — never a
+    * per-component window over the corpus. */
+  def componentsKeepBest(
+      corpus: DataFrame,
+      id: Column,
+      score: Column,
+      pairs: DataFrame,
+      pairA: Column,
+      pairB: Column
+  ): DataFrame = {
+    val labeled = components(corpus.select(id.as("_id0")), col("_id0"), pairs, pairA, pairB)
+    val scored = corpus.select(id.cast("long").as("id"), score.as("_score"))
+    val withScore = labeled.join(scored, Seq("id"))
+    val best = withScore
+      .groupBy("comp")
+      .agg(max(struct(col("_score"), (-col("id")).as("_nid"))).as("_b"))
+      .select(col("comp"), (-col("_b._nid")).as("keep_id"))
+    withScore.join(best, Seq("comp")).select(col("id"), col("comp"), col("keep_id"))
+  }
+
   /** Positional token-`n`-gram hashes of a document: FNV-1a 64 of each
     * window of `n` whitespace tokens joined by single spaces (identical to
     * [[TextOps.fnv1a64]] over the joined string, computed without

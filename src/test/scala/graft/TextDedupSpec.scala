@@ -600,6 +600,20 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  test("componentsKeepBest: argmax-score representative per component, ties -> lowest id") {
+    val kb = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (20L, 6L), (21L, 6L))
+      .toDF("doc_id", "score")
+    val pairsKb = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup
+      .componentsKeepBest(kb, col("doc_id"), col("score"), pairsKb, col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L), // comp {1,2,3}: doc 2 scores 9
+      (10L, 10L, 10L), // singleton keeps itself
+      (20L, 20L, 20L), (21L, 20L, 20L) // tie at 6 -> lowest id
+    ))
+  }
+
   test("PII scan: per-type counts, multi-hit, no false positives on clean text") {
     val pii = Seq(
       (1L, "write to alice.smith+x@example.com or bob@mail.co today"),
