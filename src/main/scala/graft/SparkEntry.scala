@@ -1206,6 +1206,26 @@ object SparkEntry {
         .componentsKeepBest(docs, col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long"), pairs, col("id_a"), col("id_b"))
         .orderBy("id")
+    }),
+    // ---- incremental EXACT dedup against a persisted bucketed store (the
+    // exact sibling of q55): the batch is half case/whitespace-mangled
+    // corpus copies (match — their fingerprints normalize identically) and
+    // half novel docs with a doc-unique suffix (no match); only the batch
+    // side exchanges into the store's bucketing (PlanSpec-asserted shape)
+    "q86_exact_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val table = s"graft_exact_${new java.io.File(dir).getName.replace('.', '_')}"
+      if (!s.catalog.tableExists(table))
+        graft.dedup.ExactStore.write(docs, col("text"), col("doc_id"), table, buckets = 16)
+      val batch = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zznovel"), col("doc_id").cast("string")).as("text")))
+      graft.dedup.ExactStore
+        .incrementalExactDups(batch, col("text"), col("doc_id"), table)
+        .orderBy("id")
     })
   )
 
@@ -2302,7 +2322,22 @@ object SparkEntry {
         |keep AS (SELECT comp, id AS keep_id FROM (
         |  SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) AS rk
         |  FROM fl) WHERE rk = 1)
-        |SELECT f.id, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY f.id""".stripMargin
+        |SELECT f.id, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY f.id""".stripMargin,
+    // the store groups by the NORMALIZED STRING where the engine groups by
+    // its xxhash64 (the q28 technique — the partition is checkable, the
+    // hash values are engine-specific); mangled copies match, novels don't
+    "q86_exact_incremental" ->
+      """WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt FROM documents),
+        |store AS (SELECT nt, min(doc_id) AS kept_id FROM norm GROUP BY nt),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS id,
+        |         lower(regexp_replace(trim(upper(text) || '  '), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS id,
+        |         lower(regexp_replace(trim(text || ' zznovel' || CAST(doc_id AS VARCHAR)), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE doc_id % 10 = 4)
+        |SELECT b.id, s.kept_id FROM batch b JOIN store s USING(nt) ORDER BY b.id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -1,0 +1,47 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.BucketedStore
+import graft.text.TextOps
+
+/** INCREMENTAL exact dedup against a persisted corpus — the exact-match
+  * sibling of [[MinHashStore]] (admission screening: is this batch doc
+  * identical, modulo whitespace/case, to ANYTHING already ingested?).
+  *
+  * The corpus is fingerprinted ONCE ([[TextOps.fingerprint]]: xxhash64 of
+  * the whitespace-normalized lowercased text) and stored as a BUCKETED
+  * table keyed on the 8-byte fingerprint — one row per DISTINCT
+  * fingerprint carrying its keeper (min id). Each incoming batch pays one
+  * fingerprint pass plus one exchange of the BATCH side into the store's
+  * bucketing; the store side joins with NO shuffle and NO re-hashing
+  * (the [[BucketedStore]] Exchange-elision mechanics, PlanSpec-asserted),
+  * so admission cost scales with the batch, never the corpus. Collisions:
+  * ~n²/2⁶⁴ expected false matches — the accepted trade of every hash-keyed
+  * exact-dedup path here ([[Dedup.exact]], [[Dedup.dedupLines]]).
+  *
+  * The store lives in the session catalog (`saveAsTable`): within a
+  * session it is written once and reused; a new session re-registers it.
+  */
+object ExactStore {
+
+  /** Fingerprint `corpus` and write the (fp, kept_id) store bucketed by
+    * fp. `buckets` fixes the layout every batch join will co-locate to. */
+  def write(corpus: DataFrame, text: Column, id: Column, table: String, buckets: Int = 64): Unit =
+    BucketedStore.writeBucketed(
+      corpus
+        .select(TextOps.fingerprint(text).as("fp"), id.cast("long").as("kept_id"))
+        .groupBy("fp")
+        .agg(min("kept_id").as("kept_id")),
+      table, "fp", buckets)
+
+  /** Batch rows whose normalized text already exists in the stored corpus:
+    * (id, kept_id) with kept_id = the corpus keeper (min corpus id of the
+    * fingerprint). Rows NOT returned are novel and safe to ingest. */
+  def incrementalExactDups(batch: DataFrame, text: Column, id: Column, table: String): DataFrame =
+    batch
+      .select(id.cast("long").as("id"), TextOps.fingerprint(text).as("fp"))
+      .join(batch.sparkSession.table(table), Seq("fp"))
+      .select(col("id"), col("kept_id"))
+}

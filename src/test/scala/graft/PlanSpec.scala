@@ -166,6 +166,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ExactStore: the batch join exchanges ONLY the batch side — the corpus store never shuffles") {
+    import spark.implicits._
+    val corpus = (1L to 2000L).map(i => (i, s"doc body number ${i % 500}")).toDF("doc_id", "text")
+    graft.dedup.ExactStore.write(corpus, col("text"), col("doc_id"), "graft_exact_b", buckets = 8)
+    try {
+      val batch = (1L to 100L).map(i => (i + 9000L, s"DOC BODY NUMBER ${i % 500}  ")).toDF("doc_id", "text")
+      val out = graft.dedup.ExactStore.incrementalExactDups(
+        batch.hint("merge"), col("text"), col("doc_id"), "graft_exact_b")
+      val plan = executedPlan(out)
+      assert("Exchange".r.findAllIn(plan).length == 1,
+        s"only the batch side may exchange into the store bucketing:\n$plan")
+      // every batch doc normalizes (case + trailing ws) to an existing
+      // corpus class; keeper = min corpus id of the class = bid - 9000
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got.size == 100)
+      assert(got.forall { case (bid, kept) => kept == bid - 9000L })
+    } finally spark.sql("DROP TABLE IF EXISTS graft_exact_b")
+  }
+
   test("hammingKnnJoin plan: banded equi-join, never a cartesian/nested-loop product") {
     import spark.implicits._
     val sigs = (0 until 100).map(i => (i.toLong, i.toLong * 0x9e3779b97f4a7c15L)).toDF("id", "sig")
