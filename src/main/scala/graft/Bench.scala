@@ -527,6 +527,31 @@ object Bench {
     (nb, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** Scaling workload — incremental EXACT dedup against the persisted
+    * bucketed fingerprint store ([[graft.dedup.ExactStore]]): an n-doc
+    * corpus is fingerprinted + bucketed ONCE per session (untimed —
+    * one-time setup like the MinHash index); the timed region is screening
+    * an n/10-doc batch, half exact copies of corpus docs (seed reuse),
+    * half novel. The comparison number is `Dedup.exact` over
+    * corpus ∪ batch — the full-recompute cost an engine without the store
+    * pays per ingestion. Returns (batchDocs, seconds, dups). */
+  def exactIncrementalThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val table = s"graft_bench_exactstore_$n"
+    if (!spark.catalog.tableExists(table))
+      graft.dedup.ExactStore.write(
+        syntheticDocs(spark, n, slices), col("text"), col("doc_id"), table)
+    val nb = math.max(n / 10, 1L)
+    val batch = spark.range(n, n + nb, 1, slices).select(
+      col("id").as("doc_id"),
+      docTextUdf(when(col("id") % 2 === 0, ((col("id") - n) * 10) % n).otherwise(col("id"))).as("text"))
+    val t0 = System.nanoTime()
+    val dups = graft.dedup.ExactStore
+      .incrementalExactDups(batch, col("text"), col("doc_id"), table)
+      .count()
+    (nb, (System.nanoTime() - t0) / 1e9, dups)
+  }
+
   /** Scaling workload #10 — STREAMING admission dedup: n synthetic docs
     * (10% planted exact dups via seed reuse) written ONCE to parquet
     * (untimed, like the image table), then streamed through

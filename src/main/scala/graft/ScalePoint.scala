@@ -52,6 +52,7 @@ object ScalePoint {
       case "splitdocs"     => Bench.splitDocsThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
+      case "exactincr"     => Bench.exactIncrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

@@ -16,8 +16,11 @@ import graft.text.TextOps
   * fingerprint carrying its keeper (min id). Each incoming batch pays one
   * fingerprint pass plus one exchange of the BATCH side into the store's
   * bucketing; the store side joins with NO shuffle and NO re-hashing
-  * (the [[BucketedStore]] Exchange-elision mechanics, PlanSpec-asserted),
-  * so admission cost scales with the batch, never the corpus. Collisions:
+  * (the [[BucketedStore]] Exchange-elision mechanics, PlanSpec-asserted).
+  * What an admission run touches of the corpus is the compact store scan
+  * only — 16 bytes per distinct corpus doc, never the corpus text and
+  * never a corpus-side shuffle (the two costs that make naive
+  * re-deduplication of corpus ∪ batch unpayable at 100 TB). Collisions:
   * ~n²/2⁶⁴ expected false matches — the accepted trade of every hash-keyed
   * exact-dedup path here ([[Dedup.exact]], [[Dedup.dedupLines]]).
   *
