@@ -541,7 +541,12 @@ object Bench {
     if (!spark.catalog.tableExists(table))
       graft.dedup.ExactStore.write(
         syntheticDocs(spark, n, slices), col("text"), col("doc_id"), table)
-    val nb = math.max(n / 10, 1L)
+    // batch = n / GRAFT_EXACTINCR_BATCH_DIV (default 10). The scaling
+    // protocol needs the TIMED region in the tens of seconds at the low
+    // level — div=1 sizes the batch like the corpus without paying a
+    // bigger store build per pinned session.
+    val div = sys.env.get("GRAFT_EXACTINCR_BATCH_DIV").map(_.toLong).getOrElse(10L)
+    val nb = math.max(n / div, 1L)
     val batch = spark.range(n, n + nb, 1, slices).select(
       col("id").as("doc_id"),
       docTextUdf(when(col("id") % 2 === 0, ((col("id") - n) * 10) % n).otherwise(col("id"))).as("text"))

@@ -78,6 +78,8 @@ object ScalingBench {
         Bench.lineDedupThroughput(s, 100000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("spandedup")))
         Bench.spanDedupThroughput(s, 100000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("exactincr")))
+        Bench.exactIncrementalThroughput(s, 1000000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("imagecanonical")))
         Bench.imageCanonicalThroughput(s, 200000)
       s.stop()
@@ -107,6 +109,7 @@ object ScalingBench {
         else if (mode == "streaming") Bench.streamingThroughput(s, nEmb)
         else if (mode == "linededup") Bench.lineDedupThroughput(s, nEmb * 2)
         else if (mode == "spandedup") Bench.spanDedupThroughput(s, nEmb / 2)
+        else if (mode == "exactincr") Bench.exactIncrementalThroughput(s, n)
         else if (mode == "imagecanonical") Bench.imageCanonicalThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
@@ -124,6 +127,7 @@ object ScalingBench {
         else if (mode == "contamination" || mode == "streaming") nEmb
         else if (mode == "linededup") nEmb * 2
         else if (mode == "spandedup") nEmb / 2
+        else if (mode == "exactincr") n / 10
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

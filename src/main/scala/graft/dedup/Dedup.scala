@@ -945,7 +945,9 @@ object Dedup {
     * Scale shape: the election is one map-side-combinable
     * `max(struct(score, -id))` aggregation keyed on comp (hot components
     * pre-aggregate in-task), joined back broadcast-style — never a
-    * per-component window over the corpus. */
+    * per-component window over the corpus. `score` must be non-null
+    * (struct ordering over null fields is undefined here) — coalesce
+    * upstream if the quality signal can be missing. */
   def componentsKeepBest(
       corpus: DataFrame,
       id: Column,
@@ -1016,9 +1018,11 @@ object Dedup {
     * pure overhead — giant spilling hash tables for nothing); only hashes
     * with count ≥ 2 flow into the semi join back, which AQE broadcasts
     * when the duplicated-span inventory is small, and the per-doc
-    * aggregation sees only the duplicated positions. Collisions: ~n²/2⁶⁵
-    * expected false duplicate pairs — the same accepted trade as
-    * [[dedupLines]]/[[exact]]. */
+    * aggregation sees only the duplicated positions. Like [[dedupLines]],
+    * the exploded frame feeds two consumers, so the span kernel runs twice
+    * over the scan — callers chaining more stages can cut it once with a
+    * checkpoint. Collisions: ~n²/2⁶⁵ expected false duplicate pairs — the
+    * same accepted trade as [[dedupLines]]/[[exact]]. */
   def duplicatedSpanStats(corpus: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     val ex = corpus.select(id.cast("long").as("id"), explode(spanHashes(n)(text)).as("_h"))

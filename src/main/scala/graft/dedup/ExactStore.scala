@@ -30,14 +30,31 @@ import graft.text.TextOps
 object ExactStore {
 
   /** Fingerprint `corpus` and write the (fp, kept_id) store bucketed by
-    * fp. `buckets` fixes the layout every batch join will co-locate to. */
-  def write(corpus: DataFrame, text: Column, id: Column, table: String, buckets: Int = 64): Unit =
+    * fp. `buckets` fixes the layout every batch join will co-locate to.
+    * A managed-table location left behind by a PREVIOUS session (the
+    * in-memory catalog forgets tables, the warehouse dir doesn't —
+    * Spark 4 then refuses with LOCATION_ALREADY_EXISTS) is removed
+    * first, so re-registering in a fresh process just works. */
+  def write(corpus: DataFrame, text: Column, id: Column, table: String, buckets: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     BucketedStore.writeBucketed(
       corpus
         .select(TextOps.fingerprint(text).as("fp"), id.cast("long").as("kept_id"))
         .groupBy("fp")
         .agg(min("kept_id").as("kept_id")),
       table, "fp", buckets)
+  }
 
   /** Batch rows whose normalized text already exists in the stored corpus:
     * (id, kept_id) with kept_id = the corpus keeper (min corpus id of the

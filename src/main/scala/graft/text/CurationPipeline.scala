@@ -48,11 +48,12 @@ object CurationPipeline {
       bands: Int = 4,
       threshold: Double = 0.5,
       hash: Column => Column = c => pmod(c * lit(2654435761L), lit(4294967296L)),
-      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true),
+      keepBest: Boolean = false
   ): DataFrame =
     Packing.assignBins(
       survivors(corpus, text, id, stratum, quota, minTokens, maxTokens, bands,
-        threshold, hash, truncate),
+        threshold, hash, truncate, keepBest),
       col("id"), col("id"), TextOps.tokenCount(col("text")), budget)
 
   /** [[run]] continued to the TRAINING-SEQUENCE endpoint: survivors are
@@ -77,11 +78,12 @@ object CurationPipeline {
       bands: Int = 4,
       threshold: Double = 0.5,
       hash: Column => Column = c => pmod(c * lit(2654435761L), lit(4294967296L)),
-      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true),
+      keepBest: Boolean = false
   ): DataFrame =
     sequencesFrom(
       truncate(survivors(corpus, text, id, stratum, quota, minTokens, maxTokens,
-        bands, threshold, hash, truncate)),
+        bands, threshold, hash, truncate, keepBest)),
       chunkBudget, seqBudget, truncate)
 
   /** The sequence endpoint over an ALREADY-CURATED survivor set (the
@@ -106,7 +108,10 @@ object CurationPipeline {
   /** Stages 0–4 (verdicts → line dedup → canonical → cap): the surviving
     * (id, text, _st) rows every endpoint packs. Public so a persisted
     * curation run can be packed to different endpoints ([[run]]'s bins,
-    * [[sequencesFrom]]'s sequences) without re-running the stages. */
+    * [[sequencesFrom]]'s sequences) without re-running the stages.
+    * `keepBest = true` swaps stage 3's min-id representative for the
+    * LONGEST member of each near-dup component (ties → lowest id) via
+    * [[Dedup.componentsKeepBest]] — the keep-the-best-copy curation rule. */
   def survivors(
       corpus: DataFrame,
       text: Column,
@@ -118,7 +123,8 @@ object CurationPipeline {
       bands: Int,
       threshold: Double,
       hash: Column => Column,
-      truncate: DataFrame => DataFrame
+      truncate: DataFrame => DataFrame,
+      keepBest: Boolean = false
   ): DataFrame = {
     // stage 0: project the pipeline's working set once — id, text, stratum
     val stage0 = truncate(
@@ -140,9 +146,16 @@ object CurationPipeline {
     // stage 3: near-dup canonical ids over the REBUILT texts; keep one doc
     // per component (the id == comp representative)
     val pairs = Dedup.minHashPairs(stage2, col("text"), col("id"), bands = bands, threshold = threshold)
-    val keepers = Dedup.components(stage2, col("id"), pairs, col("id_a"), col("id_b"))
-      .filter(col("id") === col("comp"))
-      .select(col("id"))
+    val keepers =
+      if (keepBest)
+        Dedup.componentsKeepBest(stage2, col("id"),
+            TextOps.tokenCount(col("text")).cast("long"), pairs, col("id_a"), col("id_b"))
+          .filter(col("id") === col("keep_id"))
+          .select(col("id"))
+      else
+        Dedup.components(stage2, col("id"), pairs, col("id_a"), col("id_b"))
+          .filter(col("id") === col("comp"))
+          .select(col("id"))
     val stage3 = truncate(stage2.join(keepers, Seq("id"), "left_semi"))
 
     // stage 4: deterministic per-stratum cap (hash membership — resumable,

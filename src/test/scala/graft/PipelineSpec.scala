@@ -97,6 +97,29 @@ class PipelineSpec extends SparkSpec {
     got.foreach { case (_, _, _, tot) => assert(tot < 40L + 8L) }
   }
 
+  test("CurationPipeline keepBest: the LONGER near-dup member survives instead of the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.CurationPipeline
+    // single-line docs (line dedup can't touch them) with disjoint content
+    // words; doc 20 = doc 3's body + a longer tail -> near-dup pair {3, 20}
+    def body(i: Int) = (0 until 12).map(j => s"the p${i}x$j of q${i}y$j and r${i}z$j").mkString(" ")
+    val docs = Seq(
+      (1L, body(1), "en"),
+      (3L, body(3), "en"),
+      (20L, body(3) + " plus some extra trailing content words here now", "en")
+    ).toDF("doc_id", "text", "lang")
+    def survivors(kb: Boolean) = CurationPipeline
+      .run(docs, col("text"), col("doc_id"), col("lang"),
+        quota = 50, budget = 40L, bands = 32, keepBest = kb)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dflt = survivors(false)
+    val best = survivors(true)
+    assert(dflt.contains(3L) && !dflt.contains(20L), s"min-id rule keeps doc 3: $dflt")
+    assert(best.contains(20L) && !best.contains(3L), s"keepBest keeps the longer doc 20: $best")
+    assert(dflt - 3L == best - 20L, "only the pair's representative differs")
+  }
+
   test("ShardedSink: shard=K layout on disk, round-robin bins, token totals within one budget") {
     import spark.implicits._
     import graft.text.TextOps
