@@ -1226,7 +1226,15 @@ object SparkEntry {
       graft.dedup.ExactStore
         .incrementalExactDups(batch, col("text"), col("doc_id"), table)
         .orderBy("id")
-    })
+    }),
+    // ---- embedding outlier score (SemDeDup-style quality prefilter): L2
+    // distance to the corpus centroid; round(6) absorbs the summation-
+    // order ulps between the engine's double math and DuckDB's (the q79
+    // float protocol)
+    "q87_embedding_outliers" -> ((s, dir) =>
+      Ann.embeddingOutliers(t(s, dir, "embeddings"), col("embedding"), col("vec_id"))
+        .withColumn("dist", round(col("dist"), 6))
+        .orderBy("id"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -2337,7 +2345,17 @@ object SparkEntry {
         |  SELECT doc_id + 2000000 AS id,
         |         lower(regexp_replace(trim(text || ' zznovel' || CAST(doc_id AS VARCHAR)), '\s+', ' ', 'g')) AS nt
         |  FROM documents WHERE doc_id % 10 = 4)
-        |SELECT b.id, s.kept_id FROM batch b JOIN store s USING(nt) ORDER BY b.id""".stripMargin
+        |SELECT b.id, s.kept_id FROM batch b JOIN store s USING(nt) ORDER BY b.id""".stripMargin,
+    // per-dim mean then per-vec L2 distance; double casts before the avg
+    // so both engines do float->double once, then double math throughout
+    "q87_embedding_outliers" ->
+      """WITH ex AS (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+        |         i -> struct_pack(pos := i, v := embedding[i]))) AS u FROM embeddings),
+        |exp AS (SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM ex),
+        |c AS (SELECT pos, avg(v) AS m FROM exp GROUP BY pos),
+        |d AS (SELECT e.vec_id, sqrt(sum((e.v - c.m)*(e.v - c.m))) AS dist
+        |      FROM exp e JOIN c USING(pos) GROUP BY e.vec_id)
+        |SELECT vec_id AS id, round(dist, 6) AS dist FROM d ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

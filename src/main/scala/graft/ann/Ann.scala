@@ -614,4 +614,37 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** Embedding OUTLIER score — L2 distance of each vector to the CORPUS
+    * CENTROID (per-dimension mean). The standard embedding-quality
+    * prefilter: junk rows (corrupt encodes, off-distribution content)
+    * land far from the centroid and get dropped/reviewed before the
+    * expensive dedup/ANN stages (the SemDeDup-family screening step).
+    *
+    * Scale shape: pass 1 is a map-side-combinable per-dimension mean
+    * (posexplode → d groups; the shuffle carries d rows per partition);
+    * the centroid — d doubles, a bounded driver read like the IVF
+    * centroid set — is closed over by the pass-2 scoring kernel: one
+    * codegen-friendly projection, no join, no second shuffle. */
+  def embeddingOutliers(df: DataFrame, vec: Column, id: Column): DataFrame = {
+    val ex = df.select(posexplode(vec).as(Seq("_p", "_v")))
+    val centroid = ex
+      .groupBy("_p")
+      .agg(avg(col("_v").cast("double")).as("_m"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getDouble(1))
+    val c = centroid
+    val u = udf { (e: Seq[Float]) =>
+      if (e == null) null.asInstanceOf[java.lang.Double]
+      else {
+        var s = 0.0
+        var i = 0
+        val n = math.min(e.length, c.length)
+        while (i < n) { val d = e(i) - c(i); s += d * d; i += 1 }
+        java.lang.Double.valueOf(math.sqrt(s))
+      }
+    }
+    df.select(id.cast("long").as("id"), u(vec).as("dist"))
+  }
 }

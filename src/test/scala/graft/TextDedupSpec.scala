@@ -600,6 +600,16 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  test("embeddingOutliers: exact L2 distance to the per-dimension centroid") {
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(2f, 0f)), (3L, Array(1f, 3f))
+    ).toDF("vec_id", "embedding")
+    // centroid = (1, 1); dists: v1 = v2 = sqrt(2), v3 = 2
+    val got = Ann.embeddingOutliers(vecs, col("embedding"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, math.sqrt(2.0)), (2L, math.sqrt(2.0)), (3L, 2.0)))
+  }
+
   test("componentsKeepBest: argmax-score representative per component, ties -> lowest id") {
     val kb = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (20L, 6L), (21L, 6L))
       .toDF("doc_id", "score")
