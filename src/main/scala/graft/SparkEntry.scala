@@ -1234,7 +1234,15 @@ object SparkEntry {
     "q87_embedding_outliers" -> ((s, dir) =>
       Ann.embeddingOutliers(t(s, dir, "embeddings"), col("embedding"), col("vec_id"))
         .withColumn("dist", round(col("dist"), 6))
-        .orderBy("id"))
+        .orderBy("id")),
+    // ---- boilerplate phrase discovery: top-8 word-3-grams by containing-
+    // doc count over the q63 planting (the planted footer/promo grams are
+    // the expected winners); exact counts, (cnt desc, phrase asc)
+    // tie-break on both sides
+    "q88_top_phrases" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), lineDedupPlant)
+      TextOps.topPhrases(docs, col("text"), n = 3, k = 8)
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -2355,7 +2363,23 @@ object SparkEntry {
         |c AS (SELECT pos, avg(v) AS m FROM exp GROUP BY pos),
         |d AS (SELECT e.vec_id, sqrt(sum((e.v - c.m)*(e.v - c.m))) AS dist
         |      FROM exp e JOIN c USING(pos) GROUP BY e.vec_id)
-        |SELECT vec_id AS id, round(dist, 6) AS dist FROM d ORDER BY id""".stripMargin
+        |SELECT vec_id AS id, round(dist, 6) AS dist FROM d ORDER BY id""".stripMargin,
+    // the q54 shingle construction (list_distinct 3-grams, short docs ->
+    // whole text) over the q63 planting; exact doc counts
+    "q88_top_phrases" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat_ws(chr(10), text, 'shared boilerplate footer',
+        |         'unique line ' || CAST(doc_id AS VARCHAR),
+        |         CASE WHEN doc_id % 7 = 6 THEN 'promo offer ends soon' END) AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM planted),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |ex AS (SELECT unnest(ng) AS phrase FROM sh)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS docs FROM ex
+        |GROUP BY phrase ORDER BY docs DESC, phrase LIMIT 8""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

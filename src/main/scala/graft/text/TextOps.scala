@@ -475,6 +475,27 @@ object TextOps {
       .withColumn("chunk", col("chunk").cast("long"))
   }
 
+  /** Top-k corpus-wide PHRASES (word n-grams) by containing-document
+    * count — the boilerplate-discovery diagnostic: the phrases this
+    * surfaces are exactly what line/span dedup ([[graft.dedup.Dedup]])
+    * should be deleting, and a spot-check of its output against the
+    * corpus is how a curation run validates its dedup configuration.
+    *
+    * Exact counts: [[wordShingles]] dedupes within each doc, so one
+    * map-side-combinable groupBy counts documents per phrase, and the
+    * top-k is a TakeOrdered (cnt desc, phrase asc — deterministic under
+    * ties). This is the word-count shuffle shape — linear in corpus
+    * grams; when the phrase inventory is too hot for exact counting,
+    * [[graft.stats.ColumnStats.heavyHitters]] over the same exploded
+    * column is the cardinality-independent (approximate) sibling. */
+  def topPhrases(corpus: DataFrame, text: Column, n: Int = 3, k: Int = 10): DataFrame =
+    corpus
+      .select(explode(wordShingles(text, n)).as("phrase"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("docs").desc, col("phrase"))
+      .limit(k)
+
   // ---------------------------------------------------------------------
   // URL / domain extraction (web-corpus provenance + domain filtering)
   // ---------------------------------------------------------------------

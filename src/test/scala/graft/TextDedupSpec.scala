@@ -600,6 +600,15 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  test("topPhrases: exact containing-doc counts, (cnt desc, phrase asc) tie-break") {
+    // docs 1/3/5 share the "the quick brown fox jumps over the" prefix ->
+    // six 3-grams at count 3; lexicographic tie-break picks the first k
+    val got = TextOps.topPhrases(docs, col("text"), n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("brown fox jumps", 3L), ("fox jumps over", 3L), ("jumps over the", 3L)))
+  }
+
   test("embeddingOutliers: exact L2 distance to the per-dimension centroid") {
     val vecs = Seq(
       (1L, Array(0f, 0f)), (2L, Array(2f, 0f)), (3L, Array(1f, 3f))
