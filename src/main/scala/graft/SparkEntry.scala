@@ -1242,6 +1242,17 @@ object SparkEntry {
     "q88_top_phrases" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), lineDedupPlant)
       TextOps.topPhrases(docs, col("text"), n = 3, k = 8)
+    }),
+    // ---- SemDeDup over the raw embeddings: centroids = the first four
+    // corpus vectors (deterministic, restatable in SQL), eps = 0.40 sits
+    // ≥1.3e-4 from every natural pair cosine and the cluster-assignment
+    // margin is ≥9.7e-5 — both decision boundaries engine-robust
+    "q89_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+      Dedup.semDedup(emb, col("embedding"), col("vec_id"), cents, eps = 0.40).orderBy("id")
     })
   )
 
@@ -2379,7 +2390,32 @@ object SparkEntry {
         |  END AS ng FROM toks),
         |ex AS (SELECT unnest(ng) AS phrase FROM sh)
         |SELECT phrase, CAST(count(*) AS BIGINT) AS docs FROM ex
-        |GROUP BY phrase ORDER BY docs DESC, phrase LIMIT 8""".stripMargin
+        |GROUP BY phrase ORDER BY docs DESC, phrase LIMIT 8""".stripMargin,
+    // full SemDeDup restated: nearest-centroid assignment (argmax rounded
+    // cosine, lowest-cid ties), within-cluster pairs at eps=0.40, recursive
+    // closure, argmin cosine-to-centroid representative (id ties)
+    "q89_semdedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |sims AS (SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.v, c.cv), 9) AS sim
+        |         FROM e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cid, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn FROM sims) WHERE rn=1),
+        |p AS (SELECT a.vec_id ia, b.vec_id ib
+        |      FROM asg a JOIN asg b ON a.cid=b.cid AND a.vec_id<b.vec_id
+        |      JOIN e ea ON ea.vec_id=a.vec_id JOIN e eb ON eb.vec_id=b.vec_id
+        |      WHERE list_cosine_similarity(ea.v, eb.v) >= 0.40),
+        |edges AS (SELECT ia src, ib dst FROM p UNION SELECT ib, ia FROM p),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (SELECT id, id FROM nodes
+        |  UNION SELECT g.dst, r.comp FROM reach r JOIN edges g ON g.src=r.id),
+        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        |fl AS (SELECT a.vec_id AS id, a.cid AS cluster, coalesce(l.comp, a.vec_id) AS comp, a.sim
+        |       FROM asg a LEFT JOIN labels l ON l.id = a.vec_id),
+        |keep AS (SELECT comp, id AS keep_id FROM (
+        |  SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim ASC, id ASC) rn FROM fl) WHERE rn=1)
+        |SELECT f.id, f.cluster, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

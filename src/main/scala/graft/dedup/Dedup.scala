@@ -614,6 +614,67 @@ object Dedup {
     samePairs.unionAll(crossPairs)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedding corpus. Rows are assigned to the nearest of `centroids` by
+    * cosine; near-dup pairs (cosine ≥ `eps`) are found ONLY within a
+    * cluster; connected components over those pairs become dedup groups;
+    * each group keeps the member FARTHEST from its centroid (the paper's
+    * diversity-preserving election — lowest cosine-to-centroid, ties →
+    * lowest id). Output: one row per input row,
+    * `(id, cluster, comp, keep_id)` — `filter(id = keep_id)` IS the
+    * semantically deduped corpus.
+    *
+    * 100-TB shape: centroids are a broadcast closure scored in ONE per-row
+    * primitive-loop kernel (no join, no shuffle for assignment — the
+    * [[graft.ann.Ann.trainCentroids]] assignment pattern); the pairwise
+    * stage is [[embeddingCosinePairs]] with the cluster as the block, so
+    * it is quadratic only in DISTINCT vectors per cluster (the paper's
+    * premise: k is sized so clusters are small — k≈50k for 100M docs) and
+    * inherits the fail-fast guard naming the LSH sibling; the election is
+    * [[componentsKeepBest]]'s map-side-combinable max(struct) — never a
+    * per-component window. Cosine-to-centroid is rounded to 9 dp before
+    * the argmax/argmin decisions so the elections are reproducible across
+    * engines; zero-norm vectors are undefined (NaN) as in the paper's
+    * normalized setting. */
+  def semDedup(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      centroids: IndexedSeq[IndexedSeq[Double]],
+      eps: Double
+  ): DataFrame = {
+    require(centroids.nonEmpty, "semDedup: centroids must be non-empty")
+    val cents = centroids.map(_.toArray).toArray
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+      val vn = math.sqrt(s)
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        var d = 0.0; var j = 0
+        while (j < cv.length) { d += arr(j) * cv(j); j += 1 }
+        val sim = BigDecimal(d / (vn * cnorms(c)))
+          .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (sim > bestSim) { bestSim = sim; best = c } // first (lowest) cid wins ties
+        c += 1
+      }
+      (best, bestSim)
+    }
+    val assigned = df
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("_v"))
+      .withColumn("_a", assignUdf(col("_v")))
+      .select(col("id"), col("_a._1").cast("long").as("cluster"),
+        col("_a._2").as("_csim"), col("_v"))
+    val pairs = embeddingCosinePairs(assigned, col("_v"), col("id"), col("cluster"), threshold = eps)
+    componentsKeepBest(assigned, col("id"), -col("_csim"), pairs, col("id_a"), col("id_b"))
+      .join(assigned.select(col("id"), col("cluster")), Seq("id"))
+      .select(col("id"), col("cluster"), col("comp"), col("keep_id"))
+  }
+
   /** Connected components over an undirected pair set — the step that turns
     * near-dup PAIRS into dedup CLUSTERS (one canonical doc per component).
     * Iterative min-label propagation: each node's label becomes the min of

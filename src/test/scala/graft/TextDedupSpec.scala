@@ -609,6 +609,23 @@ class TextDedupSpec extends SparkSpec {
       ("brown fox jumps", 3L), ("fox jumps over", 3L), ("jumps over the", 3L)))
   }
 
+  test("semDedup: cluster assignment (tie -> lowest cid), within-cluster pairs, argmin-cosine keep") {
+    // centroids (1,0)/(0,1); id3 at (5,5) ties both -> cluster 0.
+    // eps=0.99: {1,2} pair (cos .9948) and {4,5} pair (cos .9923); the
+    // keeper is the member FARTHEST from its centroid -> 2 and 5
+    val vecs = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(9.8f, 1f)), (3L, Array(5f, 5f)),
+      (4L, Array(0f, 7f)), (5L, Array(1f, 8f))
+    ).toDF("id", "v")
+    val cents = IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))
+    val got = Dedup.semDedup(vecs, col("v"), col("id"), cents, eps = 0.99)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, 2L), (2L, 0L, 1L, 2L), (3L, 0L, 3L, 3L),
+      (4L, 1L, 4L, 5L), (5L, 1L, 4L, 5L)))
+  }
+
   test("embeddingOutliers: exact L2 distance to the per-dimension centroid") {
     val vecs = Seq(
       (1L, Array(0f, 0f)), (2L, Array(2f, 0f)), (3L, Array(1f, 3f))
