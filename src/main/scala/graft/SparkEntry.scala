@@ -1253,6 +1253,17 @@ object SparkEntry {
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
       Dedup.semDedup(emb, col("embedding"), col("vec_id"), cents, eps = 0.40).orderBy("id")
+    }),
+    // ---- graded decontamination: overlap FRACTION vs the q52 benchmark
+    // slice; every shingled doc scored (benchmark members score 1.0)
+    "q90_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps
+        .contaminationScore(
+          docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 40 === 1), col("text"))
+        .withColumn("frac", round(col("frac"), 6))
+        .orderBy("doc_id")
     })
   )
 
@@ -2415,7 +2426,22 @@ object SparkEntry {
         |       FROM asg a LEFT JOIN labels l ON l.id = a.vec_id),
         |keep AS (SELECT comp, id AS keep_id FROM (
         |  SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim ASC, id ASC) rn FROM fl) WHERE rn=1)
-        |SELECT f.id, f.cluster, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY id""".stripMargin
+        |SELECT f.id, f.cluster, f.comp, k.keep_id FROM fl f JOIN keep k USING(comp) ORDER BY id""".stripMargin,
+    // the q52 shingle construction scored as a fraction: left join keeps
+    // zero-overlap docs; DISTINCT per-doc grams on both sides
+    "q90_contamination_score" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM sh WHERE doc_id % 40 = 1),
+        |corpus AS (SELECT doc_id, unnest(ng) AS g FROM sh)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS ngrams,
+        |       CAST(count(b.g) AS BIGINT) AS overlap,
+        |       round(CAST(count(b.g) AS DOUBLE)/count(*), 6) AS frac
+        |FROM corpus c LEFT JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -609,6 +609,22 @@ class TextDedupSpec extends SparkSpec {
       ("brown fox jumps", 3L), ("fox jumps over", 3L), ("jumps over the", 3L)))
   }
 
+  test("contaminationScore: per-doc overlap fraction, zero-overlap docs kept") {
+    // bench = doc 1 ("a b c d" -> grams {a b c, b c d}); doc 2 shares one
+    // of two grams (0.5); doc 3 shares none (0.0); doc 4 too short for a
+    // full window -> whole-text gram, no match
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c x y"), (3L, "p q r s"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .contaminationScore(corpus, col("text"), col("doc_id"),
+        corpus.filter(col("doc_id") === 1), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 3L, 1L, 1.0 / 3), (3L, 2L, 0L, 0.0), (4L, 1L, 0L, 0.0)))
+  }
+
   test("semDedup: cluster assignment (tie -> lowest cid), within-cluster pairs, argmin-cosine keep") {
     // centroids (1,0)/(0,1); id3 at (5,5) ties both -> cluster 0.
     // eps=0.99: {1,2} pair (cos .9948) and {4,5} pair (cos .9923); the
