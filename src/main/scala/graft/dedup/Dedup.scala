@@ -657,8 +657,13 @@ object Dedup {
         val cv = cents(c)
         var d = 0.0; var j = 0
         while (j < cv.length) { d += arr(j) * cv(j); j += 1 }
-        val sim = BigDecimal(d / (vn * cnorms(c)))
-          .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        val raw = d / (vn * cnorms(c))
+        // BigDecimal cannot represent NaN/Inf — zero-norm vectors keep the
+        // raw undefined value (never win the argmax: NaN > x is false)
+        val sim =
+          if (java.lang.Double.isFinite(raw))
+            BigDecimal(raw).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          else raw
         if (sim > bestSim) { bestSim = sim; best = c } // first (lowest) cid wins ties
         c += 1
       }

@@ -219,6 +219,31 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"one equi-join expected, got $joins")
   }
 
+  test("contaminationScore plan: one equi-join on the shingle hash, one aggregation pass") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i end")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.contaminationScore(
+      docs, col("text"), col("doc_id"), docs.filter(col("doc_id") % 10 === 1), col("text"))
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"score must equi-join on the shingle hash:\n$plan")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).length
+    assert(joins == 1, s"one equi-join expected, got $joins")
+    // totals + hits reduce in the SAME aggregation: one partial + one final
+    // HashAggregate pair keyed on doc_id (plus the benchmark-side distinct)
+    assert(!plan.contains("Window"), "denominator must not re-window the corpus")
+  }
+
+  test("semDedup plan: centroid assignment adds no join before the cluster-blocked pair stage") {
+    import spark.implicits._
+    val vecs = (1L to 40L).map(i => (i, Array(i.toFloat % 7, i.toFloat % 5))).toDF("id", "v")
+    val cents = IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))
+    val out = graft.dedup.Dedup.semDedup(vecs, col("v"), col("id"), cents, eps = 0.999)
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairs must block on the assigned cluster, never a product:\n$plan")
+  }
+
   test("piiScan plan: one scan, one codegen'd projection, zero shuffle") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_pii").toString + "/t"
