@@ -1264,6 +1264,15 @@ object SparkEntry {
           docs.filter(col("doc_id") % 40 === 1), col("text"))
         .withColumn("frac", round(col("frac"), 6))
         .orderBy("doc_id")
+    }),
+    // ---- deterministic epoch upsampling: en 1.5 epochs (half the docs, by
+    // the q80 hash, get a 2nd copy), de 2.0, fr 0.25, zh unlisted (dropped)
+    "q91_upsample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .upsample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), h, Map("en" -> 1.5, "de" -> 2.0, "fr" -> 0.25))
+        .orderBy("doc_id", "epoch")
     })
   )
 
@@ -2441,7 +2450,20 @@ object SparkEntry {
         |       CAST(count(b.g) AS BIGINT) AS overlap,
         |       round(CAST(count(b.g) AS DOUBLE)/count(*), 6) AS frac
         |FROM corpus c LEFT JOIN bench b ON c.g = b.g
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // copies = floor(w) + (hash < frac(w)*2^32); range(copies) fans out the
+    // epoch index; zh unlisted -> NULL copies -> dropped
+    "q91_upsample" ->
+      """WITH w AS (SELECT doc_id, lang, (doc_id*2654435761) % 4294967296 AS h FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 0 END
+        |      + CASE WHEN h < CASE lang WHEN 'en' THEN 2147483648
+        |                                WHEN 'de' THEN 0
+        |                                WHEN 'fr' THEN 1073741824 END
+        |             THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -62,6 +62,50 @@ object Sampling {
     df.filter(hashCol < threshold)
   }
 
+  /** Deterministic per-stratum UPSAMPLING — the weights-above-1 sibling of
+    * [[mixtureSample]] (corpus assembly runs some sources for MORE than
+    * one epoch: LLaMA's sampling table gives Wikipedia 2.45 epochs and
+    * books 2.23 while CommonCrawl stays ≤1, Touvron et al. 2023 §2.1).
+    * A row in stratum s with weight w appears `floor(w)` times, plus once
+    * more iff `hashCol < frac(w)·hashMax` — so the fractional epoch is the
+    * SAME deterministic sub-corpus [[rateSample]] would select, membership
+    * is a pure function of (stratum, hash) (reproducible across runs and
+    * partitionings, stable as the corpus grows), and the extra-epoch sets
+    * nest as weights grow. Strata absent from `weights` are dropped
+    * (whitelist, as in [[mixtureSample]]); the NULL stratum is always
+    * dropped. Output: input columns + `epoch` (0-based copy index) —
+    * downstream shuffling/packing can tell copies apart.
+    *
+    * Scale shape: the weight map compiles to TWO codegen'd CASE columns
+    * (whole epochs, fractional threshold); the fan-out is one Generate
+    * (explode of a 0..copies-1 sequence) — no shuffle, no join, no RNG,
+    * output size exactly sum(w_s·|s|) rows. */
+  def upsample(
+      df: DataFrame,
+      stratum: Column,
+      hashCol: Column,
+      weights: Map[String, Double],
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must list at least one stratum")
+    weights.foreach { case (k, w) =>
+      require(w >= 0.0 && w <= 1000.0, s"weight for stratum '$k' must be in [0,1000]: $w")
+    }
+    val whole = weights.foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
+      when(stratum <=> lit(k), lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracThresh = weights.foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
+      when(stratum <=> lit(k), lit(((w - math.floor(w)) * hashMax).toLong)).otherwise(acc)
+    }
+    // unlisted stratum -> NULL whole -> NULL copies -> filter drops (the
+    // whitelist); fracThresh 0 never fires (hash < 0 is false)
+    val copies = whole + when(hashCol < fracThresh, lit(1L)).otherwise(lit(0L))
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** EXACT deterministic top-`quota` rows per stratum, ordered by ascending
     * (hashCol, tie) — per-language / per-source / per-domain caps with
     * reproducible membership.

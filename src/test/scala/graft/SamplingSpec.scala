@@ -108,6 +108,20 @@ class SamplingSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("upsample: floor(w) copies + hash-selected fractional epoch; unlisted/null strata drop") {
+    // a->1.5: h below 2^31 gets a 2nd copy; b->0.5: membership only below
+    // 2^31; c unlisted and null stratum always drop
+    val rows = Seq(
+      (1L, "a", 0L), (2L, "a", 3000000000L),
+      (3L, "b", 0L), (4L, "b", 2200000000L),
+      (5L, "c", 0L), (6L, null.asInstanceOf[String], 0L)
+    ).toDF("id", "st", "h")
+    val got = Sampling.upsample(rows, col("st"), col("h"), Map("a" -> 1.5, "b" -> 0.5))
+      .select("id", "epoch").orderBy("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
   test("hashSplit: total assignment, exact hash-range boundaries, last split absorbs rounding") {
     // hash = the id itself on [0, 10000): boundaries land exactly at
     // floor(0.8*10000)=8000 and floor((0.8+0.1)*10000)=9000
