@@ -1273,6 +1273,25 @@ object SparkEntry {
         .upsample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
           col("lang"), h, Map("en" -> 1.5, "de" -> 2.0, "fr" -> 0.25))
         .orderBy("doc_id", "epoch")
+    }),
+    // ---- int8 quantization + integer-dot kernel, checked against the
+    // exact float dot vs query vector 0 (bounded 2-row driver read, q29
+    // pattern); floor(x+0.5) half-up rounding is engine-reproducible
+    "q92_int8_quant" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val quant = Ann.quantizeInt8(emb, col("embedding"), col("vec_id"))
+      val r0 = quant.filter(col("id") === 0).head()
+      val s0 = r0.getDouble(1)
+      val q0 = r0.getAs[Array[Byte]]("q")
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      quant
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("_v")), Seq("id"))
+        .select(col("id"), round(col("scale"), 9).as("scale"),
+          round(Ann.int8Dot(col("q"), col("scale"), lit(q0), lit(s0)), 6).as("approx"),
+          round(Ann.dot(col("_v"), typedlit(v0)), 6).as("exact"))
+        .orderBy("id")
     })
   )
 
@@ -2463,7 +2482,20 @@ object SparkEntry {
         |             THEN 1 ELSE 0 END AS copies
         |      FROM w)
         |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
-        |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin
+        |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // the quantization arithmetic restated: scale = max|v|/127, q_i =
+    // floor(v_i/scale + 0.5); approx dot = (scale*s0) * Σ q_i*q0_i (integer
+    // sum ≤ 127²·64 — exact in double); exact dot on the float->double v
+    "q92_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale, v,
+        |        list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) AS qv FROM s),
+        |z AS (SELECT scale AS s0, qv AS q0, v AS v0 FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id AS id, round(q.scale, 9) AS scale,
+        |       round(q.scale * z.s0 * list_dot_product(qv::DOUBLE[], z.q0::DOUBLE[]), 6) AS approx,
+        |       round(list_dot_product(q.v, z.v0), 6) AS exact
+        |FROM q CROSS JOIN z ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -647,4 +647,51 @@ object Ann {
     }
     df.select(id.cast("long").as("id"), u(vec).as("dist"))
   }
+
+  /** Symmetric max-abs int8 quantization of an embedding column — the
+    * storage scale path for ANN stores: a 64-dim float32 vector becomes
+    * 64 bytes + one double (≈4× smaller scan + shuffle footprint, the
+    * standard serving-index compression; e.g. Faiss SQ8). Per vector:
+    * `scale = max|v_i| / 127`, `q_i = floor(v_i/scale + 0.5)` (half-up,
+    * engine-reproducible — never banker's rounding), stored as BINARY.
+    * Zero vectors quantize to scale 0 with all-zero bytes. Output:
+    * (id, scale, q). One per-row primitive-loop kernel, no shuffle;
+    * pairs with [[int8Dot]] for the in-store approximate dot. */
+  def quantizeInt8(df: DataFrame, vec: Column, id: Column): DataFrame = {
+    val u = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        var m = 0.0; var i = 0
+        while (i < arr.length) { val a = math.abs(arr(i)); if (a > m) m = a; i += 1 }
+        val scale = m / 127.0
+        val q = new Array[Byte](arr.length)
+        if (m > 0) {
+          i = 0
+          while (i < arr.length) { q(i) = math.floor(arr(i) / scale + 0.5).toByte; i += 1 }
+        }
+        (scale, q)
+      }
+    }
+    df.select(id.cast("long").as("id"), u(vec.cast("array<double>")).as("_q"))
+      .select(col("id"), col("_q._1").as("scale"), col("_q._2").as("q"))
+  }
+
+  /** Approximate dot product over [[quantizeInt8]] pairs:
+    * `sa·sb·Σ qa_i·qb_i` — the integer accumulation runs in long (exact),
+    * one double multiply chain at the end, so the value is bit-reproducible
+    * across engines. Primitive-loop kernel over BINARY (bytes are the
+    * signed quantized values). */
+  def int8Dot(qa: Column, sa: Column, qb: Column, sb: Column): Column = {
+    val u = udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var s = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+        java.lang.Long.valueOf(s)
+      }
+    }
+    sa * sb * u(qa, qb)
+  }
 }

@@ -315,4 +315,19 @@ class AnnStoreSpec extends SparkSpec {
     // |distinct matching ssigs| (≤ 2 × 31), nowhere near the 10k raw rows
     assert(sigPairs.exists(n => n > 0 && n <= 62), s"expected collapsed candidate volume, got $sigPairs")
   }
+
+  test("quantizeInt8 + int8Dot: half-up byte codes, exact integer accumulation, zero-vector safe") {
+    // v=(1,-0.5,0.25): scale=1/127, q=(127, floor(-63.5+0.5)=-63, floor(32.25)=32)
+    val df = Seq((1L, Array(1f, -0.5f, 0.25f)), (2L, Array(0f, 0f, 0f))).toDF("id", "v")
+    val quant = Ann.quantizeInt8(df, col("v"), col("id"))
+    val rows = quant.orderBy("id").collect()
+    val q1 = rows(0).getAs[Array[Byte]]("q")
+    assert(q1.toSeq == Seq[Byte](127, -63, 32))
+    assert(rows(0).getDouble(1) == 1.0 / 127.0)
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getAs[Array[Byte]]("q").forall(_ == 0))
+    // self-dot: (1/127)^2 * (127^2 + 63^2 + 32^2) = 21122/16129
+    val d = quant.filter(col("id") === 1)
+      .select(Ann.int8Dot(col("q"), col("scale"), col("q"), col("scale"))).head().getDouble(0)
+    assert(d == (1.0 / 127.0) * (1.0 / 127.0) * 21122.0)
+  }
 }
