@@ -1292,6 +1292,26 @@ object SparkEntry {
           round(Ann.int8Dot(col("q"), col("scale"), lit(q0), lit(s0)), 6).as("approx"),
           round(Ann.dot(col("_v"), typedlit(v0)), 6).as("exact"))
         .orderBy("id")
+    }),
+    // ---- BPE-ish pre-tokenizer count vs whitespace count
+    "q93_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws"),
+          TextOps.subwordCount(col("text")).as("n_subword"))
+        .orderBy("doc_id")),
+    // ---- Gopher within-doc duplicate-line stats over a deterministic
+    // planting (doc_id % 5 == 2 gains a twice-repeated line)
+    "q94_dup_line_stats" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit("\ndup line A\ndup line A")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"), TextOps.dupLineStats(col("text")).as("_s"))
+        .select(col("doc_id"), col("_s.total_lines"), col("_s.dup_lines"),
+          col("_s.total_chars"), col("_s.dup_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2495,7 +2515,26 @@ object SparkEntry {
         |SELECT q.vec_id AS id, round(q.scale, 9) AS scale,
         |       round(q.scale * z.s0 * list_dot_product(qv::DOUBLE[], z.q0::DOUBLE[]), 6) AS approx,
         |       round(list_dot_product(q.v, z.v0), 6) AS exact
-        |FROM q CROSS JOIN z ORDER BY id""".stripMargin
+        |FROM q CROSS JOIN z ORDER BY id""".stripMargin,
+    // same RE2-compatible GPT-2 pre-tokenizer pattern; both engines use
+    // leftmost-first alternation so segment counts agree
+    "q93_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // occurrences beyond a line's first are duplicates; char totals exclude
+    // separators — exact integers via one (doc, line) group
+    "q94_dup_line_stats" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 2 THEN text || chr(10) || 'dup line A' || chr(10) || 'dup line A'
+        |       ELSE text END AS text FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM planted),
+        |g AS (SELECT doc_id, ln, count(*) AS c, length(ln) AS le FROM l GROUP BY doc_id, ln)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_lines, CAST(sum(c-1) AS BIGINT) AS dup_lines,
+        |       CAST(sum(c*le) AS BIGINT) AS total_chars, CAST(sum((c-1)*le) AS BIGINT) AS dup_chars
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

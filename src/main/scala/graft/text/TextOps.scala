@@ -19,10 +19,22 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count estimate: words + punctuation marks + digit runs —
-    * a cheap, deterministic proxy for tokenizer cost accounting. */
-  def subwordCountEstimate(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= ""))
+  /** GPT-2-style pre-tokenizer segment pattern (Radford et al. 2019,
+    * simplified to the RE2-compatible subset — the trailing-whitespace
+    * lookahead branch is dropped, so runs of whitespace count as one
+    * segment): contractions, letter runs, digit runs, punctuation runs,
+    * each with an optional leading space. Identical leftmost-first
+    * alternation semantics in Java regex and RE2, so counts are
+    * engine-reproducible. */
+  private[graft] val subwordPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword token count — the tokenizer-cost accounting sibling of
+    * the whitespace [[tokenCount]]: pre-tokenizer segments are the upper
+    * bound of BPE merges, so this tracks real tokenizer cost far closer
+    * than word count on punctuation- or digit-heavy text. One codegen'd
+    * `regexp_count` projection — no UDF, no shuffle. */
+  def subwordCount(text: Column): Column = regexp_count(text, lit(subwordPattern))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
@@ -375,6 +387,42 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("ngrams"), count(col("_hit")).as("overlap"))
       .withColumn("frac", col("overlap") / col("ngrams"))
+  }
+
+  /** Gopher within-document duplicate-line statistics (Rae et al. 2021
+    * appendix A1.1: "duplicate line fraction" and "duplicate line character
+    * fraction" — pages whose dup-line fraction exceeds 0.30 or dup-char
+    * fraction exceeds 0.20 are filtered). Returns a struct of exact LONG
+    * counts `(total_lines, dup_lines, total_chars, dup_chars)` — a line
+    * occurrence beyond its first is a duplicate; char totals exclude the
+    * separators; fractions are left to the caller so the integers stay
+    * oracle-checkable (the [[bigramRepetitionStats]] contract).
+    *
+    * Per-row primitive-loop kernel (one hash map per doc), no shuffle —
+    * this is the WITHIN-doc sibling of the corpus-level
+    * [[graft.dedup.Dedup.dedupLines]]. `sep` is treated literally
+    * (Pattern.quote), trailing empty lines count. */
+  def dupLineStats(text: Column, sep: String = "\n"): Column = {
+    val sp = java.util.regex.Pattern.quote(sep)
+    val u = udf { (s: String) =>
+      if (s == null) (0L, 0L, 0L, 0L)
+      else {
+        val lines = s.split(sp, -1)
+        val seen = new java.util.HashMap[String, Long]()
+        var dupL = 0L; var dupC = 0L; var totC = 0L
+        var i = 0
+        while (i < lines.length) {
+          val ln = lines(i)
+          totC += ln.length
+          val c = seen.merge(ln, 1L, (a, b) => a + b)
+          if (c > 1L) { dupL += 1; dupC += ln.length }
+          i += 1
+        }
+        (lines.length.toLong, dupL, totC, dupC)
+      }
+    }
+    u(text).cast(
+      "struct<total_lines:bigint,dup_lines:bigint,total_chars:bigint,dup_chars:bigint>")
   }
 
   /** CCNet-style unigram language-model quality score: per-document mean

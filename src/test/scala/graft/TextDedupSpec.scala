@@ -609,6 +609,22 @@ class TextDedupSpec extends SparkSpec {
       ("brown fox jumps", 3L), ("fox jumps over", 3L), ("jumps over the", 3L)))
   }
 
+  test("subwordCount: GPT-2-ish segments — contractions, letter/digit/punct runs, leading spaces") {
+    // Hello | , | _world | ! | _It | 's | _42  -> 7 segments
+    val got = Seq(("Hello, world! It's 42", 1)).toDF("text", "x")
+      .select(graft.text.TextOps.subwordCount(col("text"))).head().getInt(0)
+    assert(got == 7)
+  }
+
+  test("dupLineStats: occurrences beyond first are dups; char totals exclude separators") {
+    // lines: a, bb, a, "", "" -> 5 total / 2 dup; chars 4 total / 1 dup
+    val got = Seq(("a\nbb\na\n\n", 1)).toDF("text", "x")
+      .select(graft.text.TextOps.dupLineStats(col("text")).as("s"))
+      .select("s.total_lines", "s.dup_lines", "s.total_chars", "s.dup_chars")
+      .head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) == ((5L, 2L, 4L, 1L)))
+  }
+
   test("contaminationScore: per-doc overlap fraction, zero-overlap docs kept") {
     // bench = doc 1 ("a b c d" -> grams {a b c, b c d}); doc 2 shares one
     // of two grams (0.5); doc 3 shares none (0.0); doc 4 too short for a
