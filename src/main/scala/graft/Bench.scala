@@ -214,6 +214,34 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** SemDeDup throughput at the REALISTIC corpus shape: mass-duplicated
+    * embeddings (templated/boilerplate docs embed identically), 64 clusters
+    * × 200 distinct vectors repeated across n rows — so the within-cluster
+    * pair stage rides [[graft.dedup.Dedup.embeddingCosinePairs]]' identical-
+    * vector collapse and stays bounded (≤200 distinct per cluster) while
+    * assignment + component labeling + election scale with n. Centroids are
+    * the 64 cluster base directions (driver-computed, broadcast closure).
+    * Returns (rows, seconds, outputRows). */
+  def semDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    def baseDir(c: Int): Array[Double] =
+      Array.tabulate(dim)(d => math.sin(c * 17.0 + d) * 10.0)
+    val bases = Array.tabulate(64)(baseDir)
+    val gen = udf { (id: Long) =>
+      val b = bases((id % 64L).toInt)
+      val v = ((id / 64L) % 200L).toInt
+      Array.tabulate(dim)(d => (b(d) + math.sin(v * 7.0 + d) * 0.4).toFloat)
+    }
+    val df = spark.range(0, n, 1, slices).select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+    val centroids = IndexedSeq.tabulate(64)(c => baseDir(c).toIndexedSeq)
+    val t0 = System.nanoTime()
+    val out = graft.dedup.Dedup
+      .semDedup(df, col("embedding"), col("vec_id"), centroids, eps = 0.995)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, out)
+  }
+
   /** Scaling workload #5 — the IMAGE-axis validation pass: the stored
     * synthetic image table (materialized once OUTSIDE timing; real PNG/JPEG
     * payloads), full validation = decode checks (payload decodability,

@@ -51,6 +51,7 @@ object ScalePoint {
       case "packedseq"     => Bench.packedSeqThroughput(spark, rows)
       case "splitdocs"     => Bench.splitDocsThroughput(spark, rows)
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
+      case "semdedup"      => Bench.semDedupThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case "exactincr"     => Bench.exactIncrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

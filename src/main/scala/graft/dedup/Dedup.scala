@@ -635,13 +635,19 @@ object Dedup {
     * per-component window. Cosine-to-centroid is rounded to 9 dp before
     * the argmax/argmin decisions so the elections are reproducible across
     * engines; zero-norm vectors are undefined (NaN) as in the paper's
-    * normalized setting. */
+    * normalized setting. The assignment frame is materialized ONCE via
+    * `truncate` (localCheckpoint by default; pass a reliable-storage cut
+    * on a real cluster) because four downstream stages consume it. At
+    * very large centroid counts (k ≳ 10⁴) the linear-scan kernel is the
+    * bottleneck — route assignment through the IVF store
+    * ([[graft.ann.Ann.knnJoinIvf]] with k=1) instead. */
   def semDedup(
       df: DataFrame,
       vec: Column,
       id: Column,
       centroids: IndexedSeq[IndexedSeq[Double]],
-      eps: Double
+      eps: Double,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(centroids.nonEmpty, "semDedup: centroids must be non-empty")
     val cents = centroids.map(_.toArray).toArray
@@ -669,11 +675,16 @@ object Dedup {
       }
       (best, bestSim)
     }
-    val assigned = df
-      .select(id.cast("long").as("id"), vec.cast("array<double>").as("_v"))
-      .withColumn("_a", assignUdf(col("_v")))
-      .select(col("id"), col("_a._1").cast("long").as("cluster"),
-        col("_a._2").as("_csim"), col("_v"))
+    // the assignment projection feeds FOUR consumers (both pair-join
+    // sides, the election corpus, the label join-back) — cut it once
+    // (CurationPipeline's truncate contract: localCheckpoint by default,
+    // a reliable-storage cut on a real cluster) so the kernel and the
+    // input scan run a single time
+    val assigned = truncate(
+      df.select(id.cast("long").as("id"), vec.cast("array<double>").as("_v"))
+        .withColumn("_a", assignUdf(col("_v")))
+        .select(col("id"), col("_a._1").cast("long").as("cluster"),
+          col("_a._2").as("_csim"), col("_v")))
     val pairs = embeddingCosinePairs(assigned, col("_v"), col("id"), col("cluster"), threshold = eps)
     componentsKeepBest(assigned, col("id"), -col("_csim"), pairs, col("id_a"), col("id_b"))
       .join(assigned.select(col("id"), col("cluster")), Seq("id"))
