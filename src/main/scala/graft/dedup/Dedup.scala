@@ -664,12 +664,15 @@ object Dedup {
         var d = 0.0; var j = 0
         while (j < cv.length) { d += arr(j) * cv(j); j += 1 }
         val raw = d / (vn * cnorms(c))
-        // BigDecimal cannot represent NaN/Inf — zero-norm vectors keep the
-        // raw undefined value (never win the argmax: NaN > x is false)
+        // half-away-from-zero at 9 dp in pure double math — the exact
+        // arithmetic DuckDB's round(x, 9) runs (round(x·1e9)/1e9), and
+        // ~100× cheaper than BigDecimal on this k·n hot path; zero-norm
+        // vectors keep the raw NaN (never wins the argmax: NaN > x false)
         val sim =
-          if (java.lang.Double.isFinite(raw))
-            BigDecimal(raw).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-          else raw
+          if (java.lang.Double.isFinite(raw)) {
+            val y = raw * 1e9
+            (math.signum(y) * math.floor(math.abs(y) + 0.5)) / 1e9
+          } else raw
         if (sim > bestSim) { bestSim = sim; best = c } // first (lowest) cid wins ties
         c += 1
       }
