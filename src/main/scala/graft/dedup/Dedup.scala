@@ -627,10 +627,14 @@ object Dedup {
     * 100-TB shape: centroids are a broadcast closure scored in ONE per-row
     * primitive-loop kernel (no join, no shuffle for assignment — the
     * [[graft.ann.Ann.trainCentroids]] assignment pattern); the pairwise
-    * stage is [[embeddingCosinePairs]] with the cluster as the block, so
-    * it is quadratic only in DISTINCT vectors per cluster (the paper's
+    * stage is [[embeddingCosinePairs]] over one min-id rep per DISTINCT
+    * vector per cluster, so it is quadratic only in those (the paper's
     * premise: k is sized so clusters are small — k≈50k for 100M docs) and
-    * inherits the fail-fast guard naming the LSH sibling; the election is
+    * inherits the fail-fast guard naming the LSH sibling; the CC edge set
+    * is SPANNING, never all-pairs — identical-vector groups contribute a
+    * star to their rep, so a mass-duplicated corpus (templated docs embed
+    * identically) costs O(repPairs + n) edges instead of
+    * quadratic-per-group; the election is
     * [[componentsKeepBest]]'s map-side-combinable max(struct) — never a
     * per-component window. Cosine-to-centroid is rounded to 9 dp before
     * the argmax/argmin decisions so the elections are reproducible across
@@ -688,8 +692,33 @@ object Dedup {
         .withColumn("_a", assignUdf(col("_v")))
         .select(col("id"), col("_a._1").cast("long").as("cluster"),
           col("_a._2").as("_csim"), col("_v")))
-    val pairs = embeddingCosinePairs(assigned, col("_v"), col("id"), col("cluster"), threshold = eps)
-    componentsKeepBest(assigned, col("id"), -col("_csim"), pairs, col("id_a"), col("id_b"))
+    // CC needs a SPANNING edge set, not every verified pair: on a
+    // mass-duplicated corpus (templated docs embed identically) all-pairs
+    // expansion is quadratic PER identical-vector group (3125-member
+    // groups at 200k rows already mean ~5M edges each), while a star to
+    // the group's min-id rep plus verified rep-level pairs yields the SAME
+    // components in O(repPairs + n) edges. Zero-norm groups keep the
+    // brute-force semantics: self-cosine is NaN, never ≥ eps, no star.
+    import graft.ann.Ann
+    val keyed = assigned.withColumn("_vkey", xxhash64(col("_v")))
+    val grp = keyed
+      .groupBy(col("cluster"), col("_vkey"))
+      .agg(min(col("id")).as("_rid"), count(lit(1)).as("_cnt"), first(col("_v")).as("_gv"))
+    val repPairs = embeddingCosinePairs(
+      grp.select(col("cluster"), col("_rid").as("id"), col("_gv").as("_v")),
+      col("_v"), col("id"), col("cluster"), threshold = eps)
+      .select(col("id_a"), col("id_b"))
+    val starGroups = grp
+      .filter(col("_cnt") > 1)
+      .withColumn("_n2", Ann.l2norm(col("_gv")) * Ann.l2norm(col("_gv")))
+      .filter(Ann.dot(col("_gv"), col("_gv")) / col("_n2") >= eps)
+      .select(col("cluster"), col("_vkey"), col("_rid"))
+    val starEdges = keyed
+      .join(starGroups, Seq("cluster", "_vkey"))
+      .filter(col("id") =!= col("_rid"))
+      .select(col("_rid").as("id_a"), col("id").as("id_b"))
+    val edges = repPairs.unionAll(starEdges)
+    componentsKeepBest(assigned, col("id"), -col("_csim"), edges, col("id_a"), col("id_b"))
       .join(assigned.select(col("id"), col("cluster")), Seq("id"))
       .select(col("id"), col("cluster"), col("comp"), col("keep_id"))
   }

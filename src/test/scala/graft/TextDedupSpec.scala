@@ -658,6 +658,21 @@ class TextDedupSpec extends SparkSpec {
       (4L, 1L, 4L, 5L), (5L, 1L, 4L, 5L)))
   }
 
+  test("semDedup: mass-duplicated vectors ride the spanning star, components stay exact") {
+    // 500 identical copies of (10,0) + one near-dup (9.8,1) + one far (0,7):
+    // all copies + the near-dup form ONE component (edge count is O(n), not
+    // 500^2/2); keep = farthest from centroid -> the near-dup (id 600)
+    val rows = (1L to 500L).map(i => (i, Array(10f, 0f))) ++
+      Seq((600L, Array(9.8f, 1f)), (700L, Array(0f, 7f)))
+    val df = rows.toDF("id", "v")
+    val cents = IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))
+    val got = Dedup.semDedup(df, col("v"), col("id"), cents, eps = 0.99)
+    val comps = got.groupBy("comp").count().orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comps == Seq((1L, 501L), (700L, 1L)))
+    assert(got.filter(col("comp") === 1L).select("keep_id").distinct().head().getLong(0) == 600L)
+  }
+
   test("embeddingOutliers: exact L2 distance to the per-dimension centroid") {
     val vecs = Seq(
       (1L, Array(0f, 0f)), (2L, Array(2f, 0f)), (3L, Array(1f, 3f))
