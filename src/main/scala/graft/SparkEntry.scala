@@ -1312,6 +1312,22 @@ object SparkEntry {
         .select(col("doc_id"), col("_s.total_lines"), col("_s.dup_lines"),
           col("_s.total_chars"), col("_s.dup_chars"))
         .orderBy("doc_id")
+    }),
+    // ---- q76's export in deterministic SHUFFLED training order: the
+    // multiplicative hash (bijective mod 2^32 for odd multiplier) is the
+    // global order key, so adjacent corpus docs land in different bins —
+    // the decorrelation a training loader needs, still fully reproducible
+    "q95_shuffled_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = new java.io.File(
+        s"target/shardcache_shuffled/${new java.io.File(dir).getName}").getAbsolutePath
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.sources.ShardedSink.write(
+        docs, col("doc_id"), h, TextOps.tokenCount(col("text")),
+        budget = 2000L, shards = 8, path)
+      s.read.parquet(path)
+        .select(col("id"), col("bin"), col("shard").cast("long").as("shard"), col("lang"))
+        .orderBy("id")
     })
   )
 
@@ -2534,7 +2550,16 @@ object SparkEntry {
         |g AS (SELECT doc_id, ln, count(*) AS c, length(ln) AS le FROM l GROUP BY doc_id, ln)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_lines, CAST(sum(c-1) AS BIGINT) AS dup_lines,
         |       CAST(sum(c*le) AS BIGINT) AS total_chars, CAST(sum((c-1)*le) AS BIGINT) AS dup_chars
-        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the q76 prefix sum re-ordered by the multiplicative hash (bijective,
+    // no ties) — bins/shards restated over the shuffled order
+    "q95_shuffled_export" ->
+      """WITH w AS (SELECT doc_id, lang, len(string_split_regex(trim(text),'\s+')) AS wt,
+        |                  (doc_id*2654435761) % 4294967296 AS h FROM documents),
+        |c AS (SELECT doc_id, lang, wt, sum(wt) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT doc_id AS id, CAST((cum - wt) // 2000 AS BIGINT) AS bin,
+        |       CAST(((cum - wt) // 2000) % 8 AS BIGINT) AS shard, lang
+        |FROM c ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
