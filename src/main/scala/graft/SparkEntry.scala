@@ -1328,6 +1328,35 @@ object SparkEntry {
       s.read.parquet(path)
         .select(col("id"), col("bin"), col("shard").cast("long").as("shard"), col("lang"))
         .orderBy("id")
+    }),
+    // ---- EXACT two-sample KS over the q18/q19 drift split, integers only:
+    // D = ks_num/(n1*n2) — the exact sibling of the histogram/KLL drift
+    // family, prefix-summed with the two-phase distributed scan
+    "q96_ks_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.stats.Drift.ksExact(
+        li.filter(col("l_returnflag") === "A"), col("l_extendedprice"),
+        li.filter(col("l_returnflag") === "R"), col("l_extendedprice"))
+    }),
+    // ---- temperature-balanced multilingual sampling: rates DERIVED from
+    // corpus counts (rate_l = sqrt(n_min/n_l), mT5-style alpha=1/2 with the
+    // rarest language kept whole) — every step correctly-rounded IEEE, so
+    // the oracle recomputes membership bit-exactly from the counts
+    "q97_temperature_sample" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .temperatureSample(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), h)
+        .orderBy("doc_id")
+    }),
+    // ---- C4 blocklist filter: docs containing any listed term, with the
+    // distinct-match count (one codegen'd projection, no UDF)
+    "q98_blocklist" -> ((s, dir) => {
+      val flags = TextOps.blocklistFlags(col("text"), Seq("slow", "merge", "vector"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), flags.cast("long").as("n_flagged"))
+        .filter(col("n_flagged") > 0)
+        .orderBy("doc_id")
     })
   )
 
@@ -2559,7 +2588,43 @@ object SparkEntry {
         |c AS (SELECT doc_id, lang, wt, sum(wt) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum FROM w)
         |SELECT doc_id AS id, CAST((cum - wt) // 2000 AS BIGINT) AS bin,
         |       CAST(((cum - wt) // 2000) % 8 AS BIGINT) AS shard, lang
-        |FROM c ORDER BY id""".stripMargin
+        |FROM c ORDER BY id""".stripMargin,
+    // exact KS as integers: merged value grid, inclusive CDF counts,
+    // ks_num = max |k1*n2 - k2*n1|
+    "q96_ks_exact" ->
+      """WITH u AS (
+        |  SELECT l_extendedprice AS v, 1 AS c1, 0 AS c2 FROM lineitem
+        |  WHERE l_returnflag='A' AND l_extendedprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_extendedprice AS v, 0 AS c1, 1 AS c2 FROM lineitem
+        |  WHERE l_returnflag='R' AND l_extendedprice IS NOT NULL),
+        |g AS (SELECT v, sum(c1) AS c1, sum(c2) AS c2 FROM u GROUP BY v),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+        |c AS (SELECT sum(c1) OVER (ORDER BY v) AS k1, sum(c2) OVER (ORDER BY v) AS k2 FROM g)
+        |SELECT CAST(max(abs(k1*(SELECT n2 FROM t) - k2*(SELECT n1 FROM t))) AS BIGINT) AS ks_num,
+        |       CAST((SELECT n1 FROM t) AS BIGINT) AS n1,
+        |       CAST((SELECT n2 FROM t) AS BIGINT) AS n2
+        |FROM c""".stripMargin,
+    // rates recomputed from the per-lang counts: floor(sqrt(nmin/n)*2^32)
+    // is the exact threshold (long->double, /, sqrt, *2^32 all
+    // correctly-rounded IEEE; *2^32 is even exact)
+    "q97_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(FLOOR(sqrt((SELECT min(cnt) FROM n) * 1.0 / cnt) * 4294967296) AS BIGINT) AS th
+        |      FROM n)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (d.doc_id*2654435761) % 4294967296 < r.th
+        |ORDER BY d.doc_id""".stripMargin,
+    // distinct blocklist terms present among whitespace tokens
+    "q98_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(['slow','merge','vector'],
+        |       string_split_regex(trim(lower(text)),'\s+'))) AS BIGINT) AS n_flagged
+        |FROM documents
+        |WHERE len(list_intersect(['slow','merge','vector'],
+        |      string_split_regex(trim(lower(text)),'\s+'))) > 0
+        |ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -106,6 +106,38 @@ object Sampling {
       .drop("_copies")
   }
 
+  /** Temperature-BALANCED mixture sampling — computes the per-stratum
+    * rates [[mixtureSample]] wants FROM the corpus itself: the
+    * multilingual rebalancing trick of mT5/XLM-R (sample language l with
+    * probability ∝ p_l^α), in its deterministic keep-smallest-intact
+    * form at α = 1/2: rate_l = sqrt(n_min / n_l), so effective counts
+    * become sqrt(n_min · n_l) — the geometric compromise between raw
+    * frequency and uniform, with the rarest stratum kept whole. Every
+    * arithmetic step (long→double conversion, division, sqrt, the ×2^32
+    * threshold scale) is IEEE-correctly-rounded, so a SQL oracle
+    * reproduces membership bit-exactly.
+    *
+    * Scale shape: one count-per-stratum aggregation (bounded output —
+    * strata are languages/sources), rates computed on the driver, then the
+    * single codegen'd CASE filter of [[mixtureSample]] — no shuffle on the
+    * data pass, no RNG. Strata must be strings; NULL strata are dropped
+    * (the [[mixtureSample]] whitelist). */
+  def temperatureSample(
+      df: DataFrame,
+      stratum: Column,
+      hashCol: Column,
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    val counts = df.groupBy(stratum.as("_st")).count()
+      .collect()
+      .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1) }
+      .toMap
+    require(counts.nonEmpty, "at least one non-null stratum required")
+    val nMin = counts.values.min.toDouble
+    val rates = counts.map { case (k, n) => k -> math.sqrt(nMin / n) }
+    mixtureSample(df, stratum, hashCol, rates, hashMax)
+  }
+
   /** EXACT deterministic top-`quota` rows per stratum, ordered by ascending
     * (hashCol, tie) — per-language / per-source / per-domain caps with
     * reproducible membership.

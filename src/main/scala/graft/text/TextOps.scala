@@ -508,6 +508,20 @@ object TextOps {
       regexp_replace(c, pat, s"<${name.toUpperCase}>")
     }
 
+  /** C4-style blocklist flag count: the number of DISTINCT blocklist
+    * terms present among the doc's whitespace tokens (the "List of Dirty,
+    * Naughty, Obscene…" word filter of C4, Raffel et al. 2020 §2.2 —
+    * any match drops the doc; the count says how bad). One codegen'd
+    * projection (lower + split + array_intersect), no UDF, no shuffle —
+    * the term list rides the plan as a literal array, and a SQL
+    * list_intersect restates the distinct-match count exactly. */
+  def blocklistFlags(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    size(array_intersect(
+      lit(terms.distinct.toArray),
+      split(trim(lower(text)), "\\s+")))
+  }
+
   // ---------------------------------------------------------------------
   // Composite curation verdict (the C4-style keep/drop filter)
   // ---------------------------------------------------------------------

@@ -108,6 +108,31 @@ class SamplingSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("temperatureSample: rates derived from counts, smallest stratum kept whole, IEEE-reproducible") {
+    // en 400, fr 100, de 25 -> rates 0.25, 0.5, 1.0 (sqrt(nmin/n))
+    val rows = (1L to 400L).map(i => (i, "en")) ++
+      (1001L to 1100L).map(i => (i, "fr")) ++
+      (2001L to 2025L).map(i => (i, "de")) ++
+      Seq((3001L, null.asInstanceOf[String]))
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.temperatureSample(df.repartition(7), col("lang"), mhash(col("id")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // membership recomputed independently with the same correctly-rounded ops
+    val expected = rows.flatMap { case (i, lang) =>
+      Option(lang).map { l =>
+        val n = l match { case "en" => 400L; case "fr" => 100L; case "de" => 25L }
+        (i, l, (math.sqrt(25.0 / n) * 4294967296.0).toLong)
+      }.filter { case (_, _, th) => java.lang.Math.floorMod(i * 2654435761L, 4294967296L) < th }
+        .map { case (i2, l, _) => (i2, l) }
+    }.sorted.toSeq
+    assert(got == expected)
+    assert(got.count(_._2 == "de") == 25, "rarest stratum rides whole (rate exactly 1.0)")
+    assert(!got.exists(_._2 == null), "null stratum dropped")
+    // effective counts trend toward sqrt(nmin*n): en ~ 100, fr ~ 50
+    assert(math.abs(got.count(_._2 == "en") - 100) < 30)
+    assert(math.abs(got.count(_._2 == "fr") - 50) < 20)
+  }
+
   test("upsample: floor(w) copies + hash-selected fractional epoch; unlisted/null strata drop") {
     // a->1.5: h below 2^31 gets a 2nd copy; b->0.5: membership only below
     // 2^31; c unlisted and null stratum always drop

@@ -96,6 +96,33 @@ class SketchSpec extends SparkSpec {
     assert(byName("mostlyempty") == (1L, "string"))
   }
 
+  test("ksExact: integer KS numerator matches the hand-computed ECDF max, partitioning-independent") {
+    import graft.stats.Drift
+    // a=[1,2,3], b=[2,3,4,4]: max|F1-F2| = 0.5 at v=3 -> ks_num = 6 over n1*n2 = 12
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(2.0, 3.0, 4.0, 4.0).toDF("x")
+    val r = Drift.ksExact(a, col("x"), b, col("x")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 4L)))
+    // identical samples -> zero
+    val z = Drift.ksExact(a, col("x"), a, col("x")).collect()(0)
+    assert(z.getLong(0) == 0L)
+    // partitioning cannot change the statistic (two-phase scan, not a
+    // single-partition window)
+    val big1 = (1 to 20000).map(i => (i % 977).toDouble).toDF("x").repartition(13)
+    val big2 = (1 to 30000).map(i => (i % 733).toDouble).toDF("x").repartition(7)
+    val r1 = Drift.ksExact(big1, col("x"), big2, col("x")).collect()(0)
+    val r2 = Drift.ksExact(big1.repartition(3), col("x"), big2.coalesce(1), col("x")).collect()(0)
+    assert(r1.getLong(0) == r2.getLong(0) && r1.getLong(0) > 0)
+    // brute-force cross-check of the big pair
+    val xs1 = big1.collect().map(_.getDouble(0)).sorted
+    val xs2 = big2.collect().map(_.getDouble(0)).sorted
+    val grid = (xs1 ++ xs2).distinct.sorted
+    val brute = grid.map { v =>
+      math.abs(xs1.count(_ <= v).toLong * xs2.length - xs2.count(_ <= v).toLong * xs1.length)
+    }.max
+    assert(r1.getLong(0) == brute)
+  }
+
   test("sketch aggregate composes with groupBy (per-group baselines)") {
     val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
     val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()

@@ -747,6 +747,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3)._2 == "low-stopword")
   }
 
+  test("blocklistFlags: distinct blocklist terms among tokens, case-folded, repeats count once") {
+    val fx = Seq(
+      (1L, "clean words only here"),
+      (2L, "SPAM spam and more Spam"), // one distinct term despite repeats + case
+      (3L, "spam plus scam in one doc"), // two distinct terms
+      (4L, "  scam  "), // whitespace-trimmed
+      (5L, "spammy scammer") // substrings are NOT token matches
+    ).toDF("doc_id", "text")
+    val got = fx
+      .select(col("doc_id"),
+        graft.text.TextOps.blocklistFlags(col("text"), Seq("spam", "scam")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0)))
+  }
+
   test("URL domain extraction and per-domain distinct-doc counts") {
     val web = Seq(
       (1L, "intro http://a.example.com/x then https://b.example.org/y?z=1 done"),
