@@ -1357,6 +1357,22 @@ object SparkEntry {
         .select(col("doc_id"), flags.cast("long").as("n_flagged"))
         .filter(col("n_flagged") > 0)
         .orderBy("doc_id")
+    }),
+    // ---- encoding-health scan over deterministically planted mojibake
+    // (q60's injection pattern): U+FFFD decode failures, C1 double-decode
+    // signatures, non-ASCII density — flagged docs only
+    "q99_encoding_scan" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 2, lit(" café menü")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 3, lit(" bad�byte�")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 4, lit(" nel\u0085mark")).otherwise(lit(""))
+        ).as("text"))
+      planted
+        .select(col("doc_id"), TextOps.encodingStats(col("text")).as("_e"))
+        .select(col("doc_id"), col("_e.repl"), col("_e.c1"), col("_e.non_ascii"))
+        .filter(col("repl") + col("c1") + col("non_ascii") > 0)
+        .orderBy("doc_id")
     })
   )
 
@@ -2624,7 +2640,24 @@ object SparkEntry {
         |FROM documents
         |WHERE len(list_intersect(['slow','merge','vector'],
         |      string_split_regex(trim(lower(text)),'\s+'))) > 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same injection arithmetic; chr() keeps the SQL pure ASCII
+    // (233=e-acute, 252=u-umlaut, 65533=U+FFFD, 133=NEL)
+    "q99_encoding_scan" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 2 THEN ' caf' || chr(233) || ' men' || chr(252) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 3 THEN ' bad' || chr(65533) || 'byte' || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 4 THEN ' nel' || chr(133) || 'mark' ELSE '' END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS repl,
+        |    CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS BIGINT) AS c1,
+        |    CAST(length(text) - length(regexp_replace(text, '[^\x{0000}-\x{007F}]', '', 'g')) AS BIGINT) AS non_ascii
+        |  FROM planted)
+        |SELECT doc_id, repl, c1, non_ascii FROM s
+        |WHERE repl + c1 + non_ascii > 0 ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

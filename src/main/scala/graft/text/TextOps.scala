@@ -508,6 +508,22 @@ object TextOps {
       regexp_replace(c, pat, s"<${name.toUpperCase}>")
     }
 
+  /** Encoding-health scan — the mojibake/corruption triage a web corpus
+    * needs before any text kernel trusts the bytes: per doc, counts of
+    * U+FFFD replacement characters (a decoder already gave up), C1
+    * control characters U+0080–U+009F (the classic latin-1/cp1252
+    * double-decode signature), and non-ASCII code points (the
+    * denominator for a "suspicious density" rule). Pure codegen'd
+    * regexp_count/regexp_replace chain — one projection, no UDF, no
+    * shuffle, RE2-and-Java-compatible patterns (the piiCounts
+    * discipline). */
+  def encodingStats(text: Column): Column = struct(
+    regexp_count(text, lit("\\uFFFD")).cast("long").as("repl"),
+    regexp_count(text, lit("[\\u0080-\\u009F]")).cast("long").as("c1"),
+    (length(text) - length(regexp_replace(text, "[^\\u0000-\\u007F]", "")))
+      .cast("long").as("non_ascii")
+  )
+
   /** C4-style blocklist flag count: the number of DISTINCT blocklist
     * terms present among the doc's whitespace tokens (the "List of Dirty,
     * Naughty, Obscene…" word filter of C4, Raffel et al. 2020 §2.2 —

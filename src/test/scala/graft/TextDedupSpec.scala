@@ -762,6 +762,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0)))
   }
 
+  test("encodingStats: replacement chars, C1 double-decode signatures, non-ASCII density") {
+    val fx = Seq(
+      (1L, "plain ascii text"),
+      (2L, "café menü"), // 2 non-ascii, no repl/c1
+      (3L, "bad�byte�"), // 2 repl (also non-ascii)
+      (4L, "nel\u0085and\u009Fmore"), // 2 C1 (also non-ascii)
+      (5L, "tab\tand\nnewline ok") // ASCII controls are NOT flagged
+    ).toDF("doc_id", "text")
+    val got = fx
+      .select(col("doc_id"), graft.text.TextOps.encodingStats(col("text")).as("e"))
+      .select(col("doc_id"), col("e.repl"), col("e.c1"), col("e.non_ascii"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 2L), (3L, 2L, 0L, 2L),
+      (4L, 0L, 2L, 2L), (5L, 0L, 0L, 0L)))
+  }
+
   test("URL domain extraction and per-domain distinct-doc counts") {
     val web = Seq(
       (1L, "intro http://a.example.com/x then https://b.example.org/y?z=1 done"),
