@@ -1373,6 +1373,16 @@ object SparkEntry {
         .select(col("doc_id"), col("_e.repl"), col("_e.c1"), col("_e.non_ascii"))
         .filter(col("repl") + col("c1") + col("non_ascii") > 0)
         .orderBy("doc_id")
+    }),
+    // ---- integer-arithmetic Lloyd k-means over fixed-point embeddings:
+    // 2 assignment passes, 1 centroid update — bit-reproducible (no float
+    // accumulation), so the oracle unrolls the same two rounds in SQL
+    "q100_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = emb.select(col("vec_id").as("id"),
+        graft.ann.KMeans.fixedPoint(col("embedding")).as("v"))
+      graft.ann.KMeans.fitAssign(fp, col("v"), col("id"), k = 8, iters = 2)
+        .orderBy("id")
     })
   )
 
@@ -2657,7 +2667,35 @@ object SparkEntry {
         |    CAST(length(text) - length(regexp_replace(text, '[^\x{0000}-\x{007F}]', '', 'g')) AS BIGINT) AS non_ascii
         |  FROM planted)
         |SELECT doc_id, repl, c1, non_ascii FROM s
-        |WHERE repl + c1 + non_ascii > 0 ORDER BY doc_id""".stripMargin
+        |WHERE repl + c1 + non_ascii > 0 ORDER BY doc_id""".stripMargin,
+    // the same two Lloyd rounds unrolled: fixed-point quantize, assign to
+    // the 8 smallest-id init vectors (ties -> smallest cid), truncating-div
+    // centroid update (BIGINT // == Java long /), reassign
+    "q100_kmeans" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |             list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v
+        |       FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+        |d1 AS (SELECT e.id, c.cid,
+        |         list_sum(list_transform(generate_series(1, len(e.v)),
+        |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT id, cid FROM (
+        |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |x1 AS (SELECT a1.cid, unnest(e.v) AS val, unnest(generate_series(1, len(e.v))) AS pos
+        |       FROM a1 JOIN e USING (id)),
+        |u1 AS (SELECT cid, pos, CAST(sum(val) AS BIGINT) // count(*) AS cj FROM x1 GROUP BY cid, pos),
+        |c1 AS (SELECT c0.cid, COALESCE(n.v, c0.v) AS v
+        |       FROM c0 LEFT JOIN (SELECT cid, list(cj ORDER BY pos) AS v FROM u1 GROUP BY cid) n USING (cid)),
+        |d2 AS (SELECT e.id, c.cid,
+        |         list_sum(list_transform(generate_series(1, len(e.v)),
+        |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
+        |       FROM e CROSS JOIN c1 c)
+        |SELECT id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
+        |  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2)
+        |WHERE rn = 1 ORDER BY id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -1,0 +1,115 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-arithmetic Lloyd k-means over fixed-point vectors —
+  * the clustering step a curation pipeline uses to carve an embedding space
+  * into domains (cluster-then-balance mixing, and the centroid-training
+  * front end of SemDeDup/IVF whose ASSIGNMENT side already ships in
+  * [[Dedup.semDedup]] / [[Ann.knnJoinIvf]]).
+  *
+  * Everything is exact integer arithmetic so results are bit-reproducible
+  * across engines, runs, and partitionings — no float accumulation order
+  * anywhere:
+  *   - vectors are fixed-point longs ([[fixedPoint]]: floor(x·scale + 0.5),
+  *     each step correctly-rounded IEEE, so SQL restates it exactly);
+  *   - init = the vectors of the k smallest ids (deterministic, like the
+  *     planted-centroid discipline of semDedup);
+  *   - assignment = argmin of the integer squared distance, ties to the
+  *     smallest cluster index;
+  *   - update = per-dimension truncating division sum/count (Java `/` on
+  *     longs == SQL `//` on BIGINT), empty clusters keep their centroid.
+  *
+  * Scale shape (MLlib's own k-means loop, minus RNG): centroids live on the
+  * driver (k·dim longs) and broadcast each round; the update round is
+  * map-side-only — each partition emits ONE k×dim partial-sum matrix,
+  * reduced to the driver (P·k·dim longs), NEVER an n×dim explode shuffle;
+  * the final assignment is one broadcast primitive-loop kernel projection.
+  * Overflow bounds: |v_j| ≤ scale·max|x| keeps squared distances ≤
+  * dim·(2·scale·max|x|)² — 64-dim unit-norm at scale 1000 is ≤ 2.6e8,
+  * nine orders under Long.MaxValue. */
+object KMeans {
+
+  /** Fixed-point quantization to array<long>: q_j = floor(x_j·scale + 0.5).
+    * Primitive-loop kernel (Catalyst `transform` runs interpreted). */
+  def fixedPoint(vec: Column, scale: Double = 1000.0): Column = {
+    val sc = scale
+    val u = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Long](v.length)
+        var j = 0
+        while (j < out.length) { out(j) = math.floor(v(j).toDouble * sc + 0.5).toLong; j += 1 }
+        out
+      }
+    }
+    u(vec)
+  }
+
+  /** `iters` assignment passes with centroid updates between them (so
+    * iters=2 is: assign under the init centroids, update once, reassign).
+    * Input `vec` must be array<long> ([[fixedPoint]]); returns
+    * (id, cluster, dist) under the final centroids. */
+  def fitAssign(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 1, s"iters must be positive: $iters")
+    val spark = df.sparkSession
+    val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+    var centroids: Array[Array[Long]] =
+      pts.orderBy("id").limit(k).collect().map(_.getSeq[Long](1).toArray)
+    require(centroids.length == k, s"need at least k=$k rows, got ${centroids.length}")
+    val d = centroids(0).length
+    val kk = k
+
+    // a function VALUE, not a local def: closures capture just this
+    // serializable lambda, never the (non-serializable) enclosing object
+    val nearest: (Array[Array[Long]], Seq[Long]) => (Int, Long) = (cs, v) => {
+      var best = 0; var bestD = Long.MaxValue; var c = 0
+      while (c < cs.length) {
+        val cv = cs(c); var dd = 0L; var j = 0
+        while (j < cv.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+
+    for (_ <- 1 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, cnts) = pts.rdd.mapPartitions { it =>
+        val cs = bc.value
+        val s = Array.ofDim[Long](cs.length, d)
+        val n = new Array[Long](cs.length)
+        it.foreach { r =>
+          val v = r.getSeq[Long](1)
+          val best = nearest(cs, v)._1
+          val row = s(best); var j = 0
+          while (j < d) { row(j) += v(j); j += 1 }
+          n(best) += 1
+        }
+        Iterator((s, n))
+      }.reduce { (a, b) =>
+        var c = 0
+        while (c < kk) {
+          var j = 0
+          while (j < d) { a._1(c)(j) += b._1(c)(j); j += 1 }
+          a._2(c) += b._2(c); c += 1
+        }
+        a
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (cnts(c) == 0L) centroids(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / cnts(c)) // truncating div == SQL // on BIGINT
+      }
+    }
+
+    val bcF = spark.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Long]) =>
+      val (best, dd) = nearest(bcF.value, v)
+      (best.toLong, dd)
+    }
+    pts.select(col("id"), assign(col("v")).as("_a"))
+      .select(col("id"), col("_a._1").as("cluster"), col("_a._2").as("dist"))
+  }
+}
