@@ -1383,6 +1383,18 @@ object SparkEntry {
         graft.ann.KMeans.fixedPoint(col("embedding")).as("v"))
       graft.ann.KMeans.fitAssign(fp, col("v"), col("id"), k = 8, iters = 2)
         .orderBy("id")
+    }),
+    // ---- per-benchmark contamination attribution: q90's graded overlap
+    // against THREE synthetic eval sets (bench_id = doc_id % 3 over the
+    // q90 benchmark slice) in one pass — sparse (doc, bench) hit pairs
+    "q101_contamination_attribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps
+        .contaminationAttribution(
+          docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 40 === 1), col("text"), col("doc_id") % 3)
+        .withColumn("frac", round(col("frac"), 6))
+        .orderBy("doc_id", "bench_id")
     })
   )
 
@@ -2695,7 +2707,24 @@ object SparkEntry {
         |       FROM e CROSS JOIN c1 c)
         |SELECT id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
         |  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2)
-        |WHERE rn = 1 ORDER BY id""".stripMargin
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
+    // only contaminated pairs
+    "q101_contamination_attribution" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk,' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')))
+        |  END AS ng FROM toks),
+        |bench AS (SELECT DISTINCT doc_id % 3 AS bench_id, unnest(ng) AS g FROM sh WHERE doc_id % 40 = 1),
+        |corpus AS (SELECT doc_id, len(ng) AS ngrams, unnest(ng) AS g FROM sh)
+        |SELECT c.doc_id, CAST(b.bench_id AS BIGINT) AS bench_id,
+        |       CAST(c.ngrams AS BIGINT) AS ngrams,
+        |       CAST(count(*) AS BIGINT) AS overlap,
+        |       round(CAST(count(*) AS DOUBLE)/c.ngrams, 6) AS frac
+        |FROM corpus c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id, b.bench_id, c.ngrams
+        |ORDER BY c.doc_id, b.bench_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -389,6 +389,41 @@ object TextOps {
       .withColumn("frac", col("overlap") / col("ngrams"))
   }
 
+  /** Multi-benchmark decontamination ATTRIBUTION — [[contaminationScore]]
+    * against MANY benchmarks in ONE pass, with per-(doc, benchmark)
+    * overlap fractions: the report a release pipeline needs ("which eval
+    * set does this doc leak, and how much") instead of a single pooled
+    * score. Output: (doc_id, bench_id, ngrams, overlap, frac), only pairs
+    * with overlap > 0.
+    *
+    * Scale shape: docs are shingled ONCE (size + explode ride the same
+    * projection); benchmark shingles collapse to DISTINCT
+    * (bench_id, ngram) keys — benchmarks are tiny next to corpora, so the
+    * inner hit-join broadcasts; the aggregate is an 8-byte-keyed
+    * (doc, bench) groupBy whose output is sparse (contaminated pairs
+    * only). */
+  def contaminationAttribution(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      benchmarks: DataFrame,
+      btext: Column,
+      benchId: Column,
+      shingleWords: Int = 3
+  ): DataFrame = {
+    val bset = benchmarks
+      .select(benchId.as("bench_id"), explode(wordShingleHashes(btext, shingleWords)).as("_g"))
+      .distinct()
+    corpus
+      .select(id.as("doc_id"), wordShingleHashes(text, shingleWords).as("_sh"))
+      .select(col("doc_id"), size(col("_sh")).cast("long").as("ngrams"), explode(col("_sh")).as("_g"))
+      .join(bset, Seq("_g"))
+      .groupBy("doc_id", "bench_id", "ngrams")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("frac", col("overlap") / col("ngrams"))
+      .select("doc_id", "bench_id", "ngrams", "overlap", "frac")
+  }
+
   /** Gopher within-document duplicate-line statistics (Rae et al. 2021
     * appendix A1.1: "duplicate line fraction" and "duplicate line character
     * fraction" — pages whose dup-line fraction exceeds 0.30 or dup-char

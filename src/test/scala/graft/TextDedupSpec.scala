@@ -779,6 +779,26 @@ class TextDedupSpec extends SparkSpec {
       (4L, 0L, 2L, 2L), (5L, 0L, 0L, 0L)))
   }
 
+  test("contaminationAttribution: per-(doc, benchmark) overlap fractions, only hit pairs") {
+    // doc 1 shares its full 3-gram set with bench A; doc 2 shares one gram
+    // with bench B; doc 3 is clean
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // grams: (a b g), (b g d) — both in bench 10
+      (2L, "one two three four five"), // gram (three four five) in bench 20
+      (3L, "totally clean text here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // contains both doc-1 grams
+      (20L, "zero three four five six")
+    ).toDF("bench_id", "btext")
+    val got = TextOps
+      .contaminationAttribution(corpus, col("text"), col("doc_id"),
+        bench, col("btext"), col("bench_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, 2L, 2L, 1.0), (2L, 20L, 3L, 1L, 1.0 / 3)))
+  }
+
   test("URL domain extraction and per-domain distinct-doc counts") {
     val web = Seq(
       (1L, "intro http://a.example.com/x then https://b.example.org/y?z=1 done"),
