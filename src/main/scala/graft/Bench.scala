@@ -242,6 +242,28 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, out)
   }
 
+  /** Scaling workload — integer Lloyd k-means (q100 machinery): synthetic
+    * dim-16 fixed-point vectors around 64 well-separated bases, k=64, two
+    * assignment passes + one update. Measures the broadcast assign kernel
+    * and the map-side partial-sum update round (driver traffic = k·dim
+    * longs per partition; no n·dim explode shuffle anywhere). Returns
+    * (rows, seconds, distinct clusters). */
+  def kmeansThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val gen = udf { (id: Long) =>
+      val c = (id % 64L).toInt
+      val v = ((id / 64L) % 200L).toInt
+      Array.tabulate(dim)(d =>
+        math.floor((math.sin(c * 17.0 + d) * 10.0 + math.sin(v * 7.0 + d) * 0.4) * 1000.0 + 0.5).toLong)
+    }
+    val df = spark.range(0, n, 1, slices).select(col("id"), gen(col("id")).as("v"))
+    val t0 = System.nanoTime()
+    val out = graft.ann.KMeans.fitAssign(df, col("v"), col("id"), k = 64, iters = 2)
+      .groupBy("cluster").count().count()
+    (n, (System.nanoTime() - t0) / 1e9, out)
+  }
+
   /** Scaling workload #5 — the IMAGE-axis validation pass: the stored
     * synthetic image table (materialized once OUTSIDE timing; real PNG/JPEG
     * payloads), full validation = decode checks (payload decodability,

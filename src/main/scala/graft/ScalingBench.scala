@@ -84,6 +84,8 @@ object ScalingBench {
         Bench.imageCanonicalThroughput(s, 200000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("semdedup")))
         Bench.semDedupThroughput(s, 200000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("kmeans")))
+        Bench.kmeansThroughput(s, 500000)
       s.stop()
     }
 
@@ -114,6 +116,7 @@ object ScalingBench {
         else if (mode == "exactincr") Bench.exactIncrementalThroughput(s, n)
         else if (mode == "imagecanonical") Bench.imageCanonicalThroughput(s, n)
         else if (mode == "semdedup") Bench.semDedupThroughput(s, n / 4)
+        else if (mode == "kmeans") Bench.kmeansThroughput(s, n / 2)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -132,6 +135,7 @@ object ScalingBench {
         else if (mode == "spandedup") nEmb / 2
         else if (mode == "exactincr") n / 10
         else if (mode == "semdedup") n / 4
+        else if (mode == "kmeans") n / 2
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

@@ -1395,6 +1395,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 40 === 1), col("text"), col("doc_id") % 3)
         .withColumn("frac", round(col("frac"), 6))
         .orderBy("doc_id", "bench_id")
+    }),
+    // ---- cluster-BALANCED corpus sampling: the q100 k-means assignment as
+    // strata for the exact quota sampler — equal representation from every
+    // region of embedding space (domain-balanced mixing)
+    "q102_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = emb.select(col("vec_id").as("id"),
+        graft.ann.KMeans.fixedPoint(col("embedding")).as("v"))
+      val assign = graft.ann.KMeans.fitAssign(fp, col("v"), col("id"), k = 8, iters = 2)
+        .select(col("id"), col("cluster"))
+      val h = pmod(col("id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling.quotaSample(assign, col("cluster"), h, col("id"), quota = 20)
+        .orderBy("id")
     })
   )
 
@@ -1498,6 +1511,32 @@ object SparkEntry {
   /** Shared oracle prefix for q74/q81: the five curation stages
     * (planting -> verdicts -> line dedup -> canonical ids -> per-lang
     * cap) as chained CTEs ending at stage4. */
+  /** q100's two unrolled Lloyd rounds through the final distance frame
+    * `d2` — shared by q100 (assignment + dist) and q102 (cluster-balanced
+    * quota sample over the assignment). */
+  private val kmeansCtesSql: String =
+    """WITH e AS (SELECT vec_id AS id,
+      |             list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS v
+      |           FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v
+      |       FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
+      |d1 AS (SELECT e.id, c.cid,
+      |         list_sum(list_transform(generate_series(1, len(e.v)),
+      |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
+      |       FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT id, cid FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |x1 AS (SELECT a1.cid, unnest(e.v) AS val, unnest(generate_series(1, len(e.v))) AS pos
+      |       FROM a1 JOIN e USING (id)),
+      |u1 AS (SELECT cid, pos, CAST(sum(val) AS BIGINT) // count(*) AS cj FROM x1 GROUP BY cid, pos),
+      |c1 AS (SELECT c0.cid, COALESCE(n.v, c0.v) AS v
+      |       FROM c0 LEFT JOIN (SELECT cid, list(cj ORDER BY pos) AS v FROM u1 GROUP BY cid) n USING (cid)),
+      |d2 AS (SELECT e.id, c.cid,
+      |         list_sum(list_transform(generate_series(1, len(e.v)),
+      |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
+      |       FROM e CROSS JOIN c1 c)""".stripMargin
+
   private val pipelineStagesSql: String =
     s"""WITH RECURSIVE planted AS (
         |  SELECT doc_id, lang, CASE WHEN doc_id % 31 = 8 THEN 'tiny doc'
@@ -2684,30 +2723,21 @@ object SparkEntry {
     // the 8 smallest-id init vectors (ties -> smallest cid), truncating-div
     // centroid update (BIGINT // == Java long /), reassign
     "q100_kmeans" ->
-      """WITH e AS (SELECT vec_id AS id,
-        |             list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS v
-        |           FROM embeddings),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v
-        |       FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)),
-        |d1 AS (SELECT e.id, c.cid,
-        |         list_sum(list_transform(generate_series(1, len(e.v)),
-        |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
-        |       FROM e CROSS JOIN c0 c),
-        |a1 AS (SELECT id, cid FROM (
-        |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d1)
-        |       WHERE rn = 1),
-        |x1 AS (SELECT a1.cid, unnest(e.v) AS val, unnest(generate_series(1, len(e.v))) AS pos
-        |       FROM a1 JOIN e USING (id)),
-        |u1 AS (SELECT cid, pos, CAST(sum(val) AS BIGINT) // count(*) AS cj FROM x1 GROUP BY cid, pos),
-        |c1 AS (SELECT c0.cid, COALESCE(n.v, c0.v) AS v
-        |       FROM c0 LEFT JOIN (SELECT cid, list(cj ORDER BY pos) AS v FROM u1 GROUP BY cid) n USING (cid)),
-        |d2 AS (SELECT e.id, c.cid,
-        |         list_sum(list_transform(generate_series(1, len(e.v)),
-        |                  i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS dist
-        |       FROM e CROSS JOIN c1 c)
+      s"""$kmeansCtesSql
         |SELECT id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
         |  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2)
         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // the q100 assignment as strata for the q56 quota machinery: exact
+    // top-20 per cluster by ascending (hash, id)
+    "q102_cluster_balance" ->
+      s"""$kmeansCtesSql,
+        |a2 AS (SELECT id, cid FROM (
+        |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d2)
+        |       WHERE rn = 1)
+        |SELECT id, CAST(cid AS BIGINT) AS cluster FROM (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY (id*2654435761) % 4294967296, id) AS rn
+        |  FROM a2)
+        |WHERE rn <= 20 ORDER BY id""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->
