@@ -1408,6 +1408,26 @@ object SparkEntry {
       val h = pmod(col("id") * lit(2654435761L), lit(4294967296L))
       graft.stats.Sampling.quotaSample(assign, col("cluster"), h, col("id"), quota = 20)
         .orderBy("id")
+    }),
+    // ---- export MANIFEST: the per-shard accounting a training launcher
+    // reads (and the validation pass over the written files — counts and
+    // token sums recomputed FROM the parquet the sink produced, not from
+    // the assignment frame that produced it)
+    "q103_export_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val path = new java.io.File(
+        s"target/shardcache_manifest/${new java.io.File(dir).getName}").getAbsolutePath
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.sources.ShardedSink.write(
+        docs, col("doc_id"), h, TextOps.tokenCount(col("text")),
+        budget = 2000L, shards = 8, path)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          countDistinct(col("bin")).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+        .orderBy("shard")
     })
   )
 
@@ -2738,6 +2758,16 @@ object SparkEntry {
         |  SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY (id*2654435761) % 4294967296, id) AS rn
         |  FROM a2)
         |WHERE rn <= 20 ORDER BY id""".stripMargin,
+    // q95's shuffled prefix-sum assignment re-aggregated per shard
+    "q103_export_manifest" ->
+      """WITH w AS (SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS wt,
+        |                  (doc_id*2654435761) % 4294967296 AS h FROM documents),
+        |c AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+        |a AS (SELECT doc_id, wt, CAST((cum - wt) // 2000 AS BIGINT) AS bin,
+        |             CAST(((cum - wt) // 2000) % 8 AS BIGINT) AS shard FROM c)
+        |SELECT shard, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS tokens
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->
