@@ -242,6 +242,21 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, out)
   }
 
+  /** Scaling workload — exact integer two-sample KS (q96 machinery):
+    * 2n synthetic rows over ~1M distinct values, the full
+    * groupBy(value)-collapse + two-phase prefix scan. Returns
+    * (2n rows, seconds, ks_num). */
+  def ksExactThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(0, n, 1, slices)
+      .select((col("id") * lit(2654435761L) % lit(1000003L)).as("v"))
+    val b = spark.range(0, n, 1, slices)
+      .select(((col("id") * lit(2654435761L) + lit(7L)) % lit(1000003L) + lit(50L)).as("v"))
+    val t0 = System.nanoTime()
+    val r = graft.stats.Drift.ksExact(a, col("v"), b, col("v")).head()
+    (2 * n, (System.nanoTime() - t0) / 1e9, r.getLong(0))
+  }
+
   /** Scaling workload — integer Lloyd k-means (q100 machinery): synthetic
     * dim-16 fixed-point vectors around 64 well-separated bases, k=64, two
     * assignment passes + one update. Measures the broadcast assign kernel

@@ -53,6 +53,7 @@ object ScalePoint {
       case "hammingknn"    => Bench.hammingKnnThroughput(spark, rows)
       case "semdedup"      => Bench.semDedupThroughput(spark, rows)
       case "kmeans"        => Bench.kmeansThroughput(spark, rows)
+      case "ksexact"       => Bench.ksExactThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case "exactincr"     => Bench.exactIncrementalThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

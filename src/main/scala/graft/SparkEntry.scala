@@ -1428,6 +1428,17 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
         .orderBy("shard")
+    }),
+    // ---- per-language exact KS between two corpus halves (snapshot
+    // drift monitoring, stratified): q96's integer statistic per group,
+    // partitioned windows over the distinct-value grid
+    "q104_ks_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.stats.Drift.ksExactBy(
+        docs.filter(col("doc_id") % 2 === 0), col("n_chars"), col("lang"),
+        docs.filter(col("doc_id") % 2 === 1), col("n_chars"), col("lang"))
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang")
     })
   )
 
@@ -2768,6 +2779,24 @@ object SparkEntry {
         |SELECT shard, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS tokens
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // q96 per language: the same integer statistic with every window
+    // PARTITIONED BY lang
+    "q104_ks_by_lang" ->
+      """WITH u AS (
+        |  SELECT lang, n_chars AS v, 1 AS c1, 0 AS c2 FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, n_chars AS v, 0 AS c1, 1 AS c2 FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |g AS (SELECT lang, v, sum(c1) AS c1, sum(c2) AS c2 FROM u GROUP BY lang, v),
+        |c AS (SELECT lang,
+        |        sum(c1) OVER (PARTITION BY lang ORDER BY v) AS k1,
+        |        sum(c2) OVER (PARTITION BY lang ORDER BY v) AS k2,
+        |        sum(c1) OVER (PARTITION BY lang) AS n1,
+        |        sum(c2) OVER (PARTITION BY lang) AS n2 FROM g)
+        |SELECT lang, CAST(max(abs(k1*n2 - k2*n1)) AS BIGINT) AS ks_num,
+        |       CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

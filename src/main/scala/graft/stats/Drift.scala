@@ -103,6 +103,41 @@ object Drift {
     Seq((ksNum, n1, n2)).toDF("ks_num", "n1", "n2")
   }
 
+  /** Per-GROUP exact KS — [[ksExact]] stratified by a group key present on
+    * both sides (per-language / per-source drift between two corpus
+    * snapshots, the monitoring table a crawl pipeline alerts on). Output:
+    * one row per group (g, ks_num, n1, n2); groups missing from either
+    * side are dropped (no distribution to compare against).
+    *
+    * Scale shape: one groupBy(group, value) collapse, then windows
+    * PARTITIONED BY group over the distinct-value grid — partitioned
+    * windows distribute across groups, so the single-partition global
+    * window trap does not apply; ONE giant group degenerates to a
+    * single-task sort, and that case is exactly what the two-phase
+    * [[ksExact]] is for. */
+  def ksExactBy(
+      a: DataFrame, ac: Column, ag: Column,
+      b: DataFrame, bc: Column, bg: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = a.select(ag.as("g"), ac.cast("double").as("_v")).na.drop("any", Seq("_v"))
+      .select(col("g"), col("_v"), lit(1L).as("_c1"), lit(0L).as("_c2"))
+      .unionAll(b.select(bg.as("g"), bc.cast("double").as("_v")).na.drop("any", Seq("_v"))
+        .select(col("g"), col("_v"), lit(0L).as("_c1"), lit(1L).as("_c2")))
+    val grid = u.groupBy("g", "_v").agg(sum("_c1").as("c1"), sum("_c2").as("c2"))
+    val w = Window.partitionBy("g").orderBy("_v")
+    val tot = Window.partitionBy("g")
+    grid
+      .withColumn("k1", sum("c1").over(w))
+      .withColumn("k2", sum("c2").over(w))
+      .withColumn("n1", sum("c1").over(tot))
+      .withColumn("n2", sum("c2").over(tot))
+      .groupBy("g")
+      .agg(
+        max(abs(col("k1") * col("n2") - col("k2") * col("n1"))).as("ks_num"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+  }
+
   /** End-to-end drift between two frames on one column: (psi, ks). */
   def detect(
       current: DataFrame,

@@ -123,6 +123,24 @@ class SketchSpec extends SparkSpec {
     assert(r1.getLong(0) == brute)
   }
 
+  test("ksExactBy: per-group statistic equals per-group ksExact calls; one-sided groups dropped") {
+    import graft.stats.Drift
+    val a = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("de", 5.0), ("de", 6.0), ("xx", 9.0)).toDF("g", "x")
+    val b = Seq(("en", 2.0), ("en", 3.0), ("en", 4.0), ("en", 4.0), ("de", 5.0), ("yy", 1.0)).toDF("g", "x")
+    val got = Drift.ksExactBy(a, col("x"), col("g"), b, col("x"), col("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    // per-group single calls must agree
+    val expected = Seq("de", "en").map { g =>
+      val r = Drift.ksExact(
+        a.filter(col("g") === g), col("x"), b.filter(col("g") === g), col("x")).collect()(0)
+      (g, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(got == expected)
+    assert(!got.exists(r => r._1 == "xx" || r._1 == "yy"), "one-sided groups dropped")
+    // en is the hand-checked q96 example: ks_num 6 over 3*4
+    assert(got.find(_._1 == "en").get == (("en", 6L, 3L, 4L)))
+  }
+
   test("sketch aggregate composes with groupBy (per-group baselines)") {
     val df = (1 to 10000).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "x")
     val rows = df.groupBy("g").agg(SketchAgg.kll(col("x")).as("sk")).collect()
