@@ -50,7 +50,10 @@ object KMeans {
   /** `iters` assignment passes with centroid updates between them (so
     * iters=2 is: assign under the init centroids, update once, reassign).
     * Input `vec` must be array<long> ([[fixedPoint]]); returns
-    * (id, cluster, dist) under the final centroids. */
+    * (id, cluster, dist) under the final centroids. Each round RESCANS
+    * `df` (the MLlib-style alternative is caching the points); for
+    * many-round runs, persist the quantized frame upstream — the loop
+    * itself stays storage-agnostic. */
   def fitAssign(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")

@@ -256,6 +256,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), "PII regexp counts must run inside whole-stage codegen")
   }
 
+  test("blocklist / encoding-scan plans: one scan, codegen'd projection, zero shuffle") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_bl").toString + "/t"
+    (1L to 100L).map(i => (i, s"doc $i body spam maybe")).toDF("doc_id", "text")
+      .write.parquet(path)
+    val src = spark.read.parquet(path)
+    val bl = src.select(col("doc_id"),
+      graft.text.TextOps.blocklistFlags(col("text"), Seq("spam", "scam")).as("n"))
+      .filter(col("n") > 0)
+    val blPlan = executedPlan(bl)
+    assert("FileScan parquet".r.findAllIn(blPlan).size == 1)
+    assert(!blPlan.contains("Exchange"), s"blocklist must not shuffle:\n$blPlan")
+    assert(blPlan.contains("*("), "blocklist intersect must run inside whole-stage codegen")
+    val enc = src.select(col("doc_id"), graft.text.TextOps.encodingStats(col("text")).as("e"))
+    val encPlan = executedPlan(enc)
+    assert("FileScan parquet".r.findAllIn(encPlan).size == 1)
+    assert(!encPlan.contains("Exchange"), s"encoding scan must not shuffle:\n$encPlan")
+    assert(encPlan.contains("*("), "encoding regexp chain must run inside whole-stage codegen")
+  }
+
+  test("temperatureSample data pass: after the bounded count agg, ONE codegen'd filter, no shuffle") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ts").toString + "/t"
+    (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+      .write.parquet(path)
+    val src = spark.read.parquet(path)
+    val h = pmod(col("id") * lit(2654435761L), lit(4294967296L))
+    val out = graft.stats.Sampling.temperatureSample(src, col("lang"), h)
+    val plan = executedPlan(out)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Exchange"), s"the sampling pass itself must not shuffle:\n$plan")
+    assert(plan.contains("*("), "the CASE threshold filter must run inside whole-stage codegen")
+  }
+
   test("Packing.assignBins plan: the range shuffle, never a single-partition global window") {
     import spark.implicits._
     val df = (1L to 10000L).map(i => (i, i % 50 + 1)).toDF("id", "w")
