@@ -1439,6 +1439,31 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), col("n_chars"), col("lang"))
         .withColumnRenamed("g", "lang")
         .orderBy("lang")
+    }),
+    // ---- linear bag-of-words quality score (fastText-classifier shape,
+    // integer weights → exact): flagged = score < 0
+    "q105_linear_quality" -> ((s, dir) => {
+      val w = Map("data" -> 3, "query" -> 2, "spark" -> 5, "table" -> 1,
+        "slow" -> -4, "big" -> -1, "the" -> -2, "a" -> -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.linearScore(col("text"), w).as("score"))
+        .withColumn("flagged", (col("score") < 0).cast("int").cast("long"))
+        .orderBy("doc_id")
+    }),
+    // ---- corpus DATA CARD: the per-(lang, source) release accounting —
+    // docs, tokens, chars, exact-distinct docs (normalized fingerprint),
+    // max doc size — one wide aggregation pass
+    "q106_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = TextOps.tokenCount(col("text"))
+      docs.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_distinct"),
+        max(nTok).cast("long").as("max_tokens"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -2797,6 +2822,27 @@ object SparkEntry {
         |SELECT lang, CAST(max(abs(k1*n2 - k2*n1)) AS BIGINT) AS ks_num,
         |       CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // the integer weight table restated as a CASE over each token
+    "q105_linear_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text),'\s+'),
+        |    t -> CASE t WHEN 'data' THEN 3 WHEN 'query' THEN 2 WHEN 'spark' THEN 5
+        |                WHEN 'table' THEN 1 WHEN 'slow' THEN -4 WHEN 'big' THEN -1
+        |                WHEN 'the' THEN -2 WHEN 'a' THEN -1 ELSE 0 END)) AS BIGINT) AS score
+        |  FROM documents)
+        |SELECT doc_id, score, CAST(CASE WHEN score < 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // n_distinct via the fingerprint's own normalization (lower +
+    // whitespace collapse) — hash-distinct == text-distinct absent
+    // 64-bit collisions
+    "q106_corpus_card" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lower(regexp_replace(trim(text),'\s+',' ','g'))) AS BIGINT) AS n_distinct,
+        |  CAST(max(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

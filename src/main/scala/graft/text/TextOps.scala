@@ -559,6 +559,29 @@ object TextOps {
       .cast("long").as("non_ascii")
   )
 
+  /** Linear bag-of-words quality scorer — the shape of the fastText-style
+    * classifiers big pipelines use for quality filtering (CCNet's
+    * wiki-vs-crawl LM proxy, LLaMA's wiki-reference classifier): score =
+    * Σ w(token) over the doc's whitespace tokens, OOV weight 0, INTEGER
+    * weights so the score is exact and any SQL oracle restates it
+    * verbatim (a trained float model plugs in by quantizing its weights —
+    * the [[graft.ann.KMeans.fixedPoint]] discipline). Primitive-loop
+    * kernel, one pass, no shuffle; null text → null score. */
+  def linearScore(text: Column, weights: Map[String, Int]): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wm = weights
+    val u = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val toks = s.trim.split("\\s+")
+        var i = 0; var acc = 0L
+        while (i < toks.length) { acc += wm.getOrElse(toks(i), 0); i += 1 }
+        java.lang.Long.valueOf(acc)
+      }
+    }
+    u(text)
+  }
+
   /** C4-style blocklist flag count: the number of DISTINCT blocklist
     * terms present among the doc's whitespace tokens (the "List of Dirty,
     * Naughty, Obscene…" word filter of C4, Raffel et al. 2020 §2.2 —

@@ -857,4 +857,22 @@ class TextDedupSpec extends SparkSpec {
     // ordering sanity: the in-vocab doc scores strictly lower than the OOV doc
     assert(got(0)._3 < got(1)._3)
   }
+
+  test("linearScore: sum of token weights, OOV weight 0, repeats counted, null text -> null") {
+    val fx = Seq(
+      (1L, "data spark data"),   // 3+5+3 = 11
+      (2L, "slow the big a"),    // -4-2-1-1 = -8
+      (3L, "unknown tokens only"), // all OOV -> 0
+      (4L, "  data  "),          // whitespace-trimmed -> 3
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val w = Map("data" -> 3, "spark" -> 5, "slow" -> -4, "the" -> -2,
+      "big" -> -1, "a" -> -1)
+    val got = fx
+      .select(col("doc_id"), graft.text.TextOps.linearScore(col("text"), w).as("s"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(11L)), (2L, Some(-8L)), (3L, Some(0L)),
+      (4L, Some(3L)), (5L, None)))
+  }
 }
