@@ -1464,6 +1464,17 @@ object SparkEntry {
         countDistinct(TextOps.fingerprint(col("text"))).as("n_distinct"),
         max(nTok).cast("long").as("max_tokens"))
         .orderBy("lang", "source")
+    }),
+    // ---- inverted-index build: per-doc most-distinctive term by the
+    // rational tf/df score (integer counts + one IEEE division → exact)
+    "q107_distinctive_terms" -> ((s, dir) => {
+      TextOps.distinctiveTerms(t(s, dir, "documents"), col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // ---- BPE merge-candidate counting: top adjacent char pairs within
+    // words, weighted by word frequency, expanded over DISTINCT words only
+    "q108_bpe_pairs" -> ((s, dir) => {
+      TextOps.bpeMergePairs(t(s, dir, "documents"), col("text"), k = 20)
     })
   )
 
@@ -2843,6 +2854,31 @@ object SparkEntry {
         |  CAST(count(DISTINCT lower(regexp_replace(trim(text),'\s+',' ','g'))) AS BIGINT) AS n_distinct,
         |  CAST(max(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // tf/df restated directly; the tie-break (score desc, tok asc) is the
+    // same row_number in both engines, and score = BIGINT/BIGINT is
+    // DuckDB's float division — identical IEEE rounding to Spark's
+    "q107_distinctive_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+        |            FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf / df.df AS score,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |                                ORDER BY tf.tf / df.df DESC, tf.tok) AS rn
+        |      FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // word-frequency table first, char-pair lateral expansion over the
+    // DISTINCT words only — the same aggregation order as the engine
+    "q108_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(w)-1),
+        |                                   i -> substring(w, CAST(i AS INT), 2))) AS pair, c
+        |      FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

@@ -670,6 +670,77 @@ object TextOps {
       .orderBy(col("docs").desc, col("phrase"))
       .limit(k)
 
+  /** Per-document most-DISTINCTIVE term: argmax over the doc's tokens of
+    * `tf / df` — term frequency × inverse document frequency in its
+    * rational (un-logged) form. The log-idf variant (`tf·ln(N/df)`) is a
+    * caller substitution; the rational form is used here because every
+    * step is exact cross-engine (integer counts + one correctly-rounded
+    * IEEE division), so a SQL oracle restates it verbatim, while `ln` is
+    * not guaranteed identically rounded across libm implementations.
+    *
+    * Shape: this is the inverted-index build. One explode over the corpus
+    * (linear), a map-side-combinable (doc, token) count, a token-keyed
+    * document-frequency aggregate over the ALREADY-distinct (doc, token)
+    * pairs (vocabulary-sized — broadcast-joins back under AQE), and a
+    * per-doc argmax window whose partitions are single-document-sized
+    * (no skew: a doc's distinct-token count is bounded by its length).
+    * Ties break (score desc, token asc) — deterministic.
+    *
+    * Output: (doc_id, tok, tf, df, score). Null/empty docs emit no row. */
+  def distinctiveTerms(corpus: DataFrame, text: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus
+      .select(id.cast("long").as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .select("doc_id", "tok", "tf", "df", "score")
+  }
+
+  /** One BPE-style merge-candidate counting round: corpus-wide counts of
+    * adjacent CHARACTER pairs within words, weighted by word frequency —
+    * the inner loop of byte-pair-encoding tokenizer training (Sennrich et
+    * al. 2016). Returns the top-k pairs by (count desc, pair asc).
+    *
+    * The 100-TB design point is the ORDER of aggregation: the corpus is
+    * first collapsed to its distinct-word frequency table (the classic
+    * word-count shuffle — map-side combinable, vocabulary-sized output),
+    * and only then are character pairs expanded, over DISTINCT words
+    * only. Pair expansion over raw tokens would scale with corpus size;
+    * over the word table it scales with vocabulary size — orders of
+    * magnitude smaller on natural text, and the reason real BPE trainers
+    * all maintain a word-frequency dict. The per-word pair kernel is a
+    * primitive-loop UDF (per the repo's measured HOF-vs-UDF discipline);
+    * it runs on the small side. */
+  def bpeMergePairs(corpus: DataFrame, text: Column, k: Int = 20): DataFrame = {
+    val words = corpus
+      .select(explode(tokens(text)).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val pairsU = udf { (s: String) =>
+      if (s == null || s.length < 2) Seq.empty[String]
+      else {
+        val out = new Array[String](s.length - 1)
+        var i = 0
+        while (i < s.length - 1) { out(i) = s.substring(i, i + 2); i += 1 }
+        out.toSeq
+      }
+    }
+    words
+      .select(explode(pairsU(col("w"))).as("pair"), col("c"))
+      .groupBy("pair")
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------------
   // URL / domain extraction (web-corpus provenance + domain filtering)
   // ---------------------------------------------------------------------

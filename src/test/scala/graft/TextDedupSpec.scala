@@ -875,4 +875,32 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((1L, Some(11L)), (2L, Some(-8L)), (3L, Some(0L)),
       (4L, Some(3L)), (5L, None)))
   }
+
+  test("distinctiveTerms: argmax tf/df per doc, ties break token-asc, null doc absent") {
+    val fx = Seq(
+      // "rare" appears only in doc 1 (df=1); "common" in all three (df=3)
+      (1L, "common rare common"),      // rare: 1/1=1.0 beats common: 2/3
+      (2L, "common common common"),    // only token -> common 3/3=1.0
+      (3L, "common zzz aaa"),          // aaa and zzz both 1/1 -> aaa wins tie
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.distinctiveTerms(fx, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "rare", 1L, 1L),
+      (2L, "common", 3L, 3L),
+      (3L, "aaa", 1L, 1L)))
+  }
+
+  test("bpeMergePairs: char-pair counts weighted by word frequency, single-char words skipped") {
+    val fx = Seq(
+      (1L, "abab ab x"),   // abab: ab,ba,ab ; ab: ab ; x: none
+      (2L, "ab ab")        // two more ab words
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.bpeMergePairs(fx, col("text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "ab" pair: 2 (from abab) + 3 (from "ab" ×3 occurrences) = 5; "ba": 1
+    assert(got == Seq(("ab", 5L), ("ba", 1L)))
+  }
 }
