@@ -663,6 +663,54 @@ object Bench {
     * aggregation consumes the reassembled text (sum of lengths) so the
     * assemble kernel cannot be pruned away (count() would skip it).
     * Returns (docs, seconds, totalKeptChars). */
+  /** Scaling workload — BPE merge-pair counting (q108 machinery): n docs
+    * of 20 synthetic words drawn from a deterministic ~36k-word skewed
+    * vocabulary (quadratic rank map — head words orders of magnitude
+    * hotter, the natural-text shape). `naive = true` expands char pairs
+    * over EVERY token occurrence (20·n kernel invocations + a
+    * corpus-sized pair shuffle) instead of over the DISTINCT-word
+    * frequency table (vocab-sized kernel + shuffle) — the comparison the
+    * scaladoc claim rests on. Returns (tokens, seconds, distinctPairs). */
+  def bpeThroughput(spark: SparkSession, n: Long, naive: Boolean = false,
+      slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val wordsPerDoc = 20
+    val genU = udf { (id: Long) =>
+      val sb = new java.lang.StringBuilder(160)
+      var j = 0
+      while (j < wordsPerDoc) {
+        val h = java.lang.Long.rotateLeft(id * 2654435761L + j * 40503L, 17)
+        val r = java.lang.Math.floorMod(h, 6000000L)
+        // quadratic rank map: low ranks drawn far more often (Zipf-ish)
+        val rank = r * r / 1000000000L // 0 .. 35999
+        sb.append('w').append(java.lang.Long.toString(rank, 36))
+        if (j < wordsPerDoc - 1) sb.append(' ')
+        j += 1
+      }
+      sb.toString
+    }
+    val docs = spark.range(0, n, 1, slices)
+      .select(col("id").as("doc_id"), genU(col("id")).as("text"))
+    val pairsU = udf { (s: String) =>
+      if (s == null || s.length < 2) Seq.empty[String]
+      else {
+        val out = new Array[String](s.length - 1)
+        var i = 0
+        while (i < s.length - 1) { out(i) = s.substring(i, i + 2); i += 1 }
+        out.toSeq
+      }
+    }
+    val t0 = System.nanoTime()
+    val pairs =
+      if (naive)
+        docs.select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+          .select(explode(pairsU(col("w"))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      else graft.text.TextOps.bpeMergePairs(docs, col("text"), k = Int.MaxValue)
+    val distinct = pairs.count()
+    (n * wordsPerDoc, (System.nanoTime() - t0) / 1e9, distinct)
+  }
+
   def lineDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     val docs = spark

@@ -56,6 +56,8 @@ object ScalePoint {
       case "ksexact"       => Bench.ksExactThroughput(spark, rows)
       case "incremental"   => Bench.incrementalThroughput(spark, rows)
       case "exactincr"     => Bench.exactIncrementalThroughput(spark, rows)
+      case "bpe"           => Bench.bpeThroughput(spark, rows)
+      case "bpenaive"      => Bench.bpeThroughput(spark, rows, naive = true)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup
