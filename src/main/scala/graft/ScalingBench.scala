@@ -86,6 +86,8 @@ object ScalingBench {
         Bench.semDedupThroughput(s, 200000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("kmeans")))
         Bench.kmeansThroughput(s, 500000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("bpe")))
+        Bench.bpeThroughput(s, 500000)
       s.stop()
     }
 
@@ -117,6 +119,7 @@ object ScalingBench {
         else if (mode == "imagecanonical") Bench.imageCanonicalThroughput(s, n)
         else if (mode == "semdedup") Bench.semDedupThroughput(s, n / 4)
         else if (mode == "kmeans") Bench.kmeansThroughput(s, n / 2)
+        else if (mode == "bpe") Bench.bpeThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,

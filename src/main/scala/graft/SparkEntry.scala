@@ -1475,6 +1475,24 @@ object SparkEntry {
     // words, weighted by word frequency, expanded over DISTINCT words only
     "q108_bpe_pairs" -> ((s, dir) => {
       TextOps.bpeMergePairs(t(s, dir, "documents"), col("text"), k = 20)
+    }),
+    // ---- product quantization: planted codebooks = subvectors of the 4
+    // smallest-id vectors (8 subspaces × 8 dims), query = vector 7; codes
+    // pinned via the base-4 positional key, ADC distance pure integer
+    "q109_pq_adc" -> ((s, dir) => {
+      import graft.ann.{KMeans, Pq}
+      val quant = t(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.fixedPoint(col("embedding")).as("qv"))
+      val cbVecs = quant.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      val cbs = Pq.sliceCodebooks(cbVecs, m = 8)
+      val query = quant.filter(col("vec_id") === 7)
+        .select("qv").head().getSeq[Long](0).toArray
+      Pq.encode(quant, col("qv"), col("vec_id"), cbs)
+        .select(col("id").as("vec_id"),
+          Pq.codeKey(col("codes"), k = 4).as("code_key"),
+          Pq.adcDist(col("codes"), query, cbs).as("adist"))
+        .orderBy("vec_id")
     })
   )
 
@@ -2879,6 +2897,29 @@ object SparkEntry {
         |      FROM wc WHERE length(w) >= 2)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // encode + ADC restated: per-(vector, subspace, code) integer squared
+    // distances, argmin ties to smallest code, query = vector 7's own
+    // distance rows ARE the ADC table; code_key = sum(code·4^s)
+    "q109_pq_adc" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |sub AS (SELECT vec_id, s, q[s*8+1 : s*8+8] AS sv FROM e, ss),
+        |cb AS (SELECT vec_id AS code, s, q[s*8+1 : s*8+8] AS cv FROM e, ss WHERE vec_id < 4),
+        |d AS (SELECT sub.vec_id, sub.s, cb.code,
+        |        CAST(list_sum(list_transform(generate_series(1, 8),
+        |          j -> (sv[j]-cv[j])*(sv[j]-cv[j]))) AS BIGINT) AS dd
+        |      FROM sub JOIN cb USING (s)),
+        |asg AS (SELECT vec_id, s, code FROM (
+        |  SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+        |  FROM d) WHERE rn = 1),
+        |qt AS (SELECT s, code, dd FROM d WHERE vec_id = 7)
+        |SELECT a.vec_id,
+        |  CAST(sum(a.code << (2*a.s)) AS BIGINT) AS code_key,
+        |  CAST(sum(t.dd) AS BIGINT) AS adist
+        |FROM asg a JOIN qt t ON t.s = a.s AND t.code = a.code
+        |GROUP BY a.vec_id ORDER BY vec_id""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

@@ -348,6 +348,40 @@ class PlanSpec extends SparkSpec {
       s"sequence endpoint must consume only stage materializations:\n$plan")
   }
 
+  test("bpeMergePairs plan: pair expansion sits ABOVE the word-count aggregate") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"ab${i % 7} cd${i % 5} ab${i % 7}"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.bpeMergePairs(docs, col("text"), k = 5)
+    val plan = executedPlan(out)
+    // plan strings print top-down: the pair explode (first Generate) must
+    // appear above the word-count HashAggregate, which must itself sit
+    // above the token explode (last Generate) — i.e. pairs are expanded
+    // over the vocabulary-sized DISTINCT-word table, never raw tokens
+    val pairGen = plan.indexOf("Generate")
+    val wordAgg = plan.indexOf("HashAggregate(keys=[w#")
+    val tokGen = plan.lastIndexOf("Generate")
+    assert(pairGen >= 0 && wordAgg >= 0 && tokGen > pairGen,
+      s"expected two Generates around the word aggregate:\n$plan")
+    assert(pairGen < wordAgg && wordAgg < tokGen,
+      s"pair explode must consume the aggregated word table:\n$plan")
+    // both counting shuffles pre-aggregate map-side
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"word/pair counts must map-side combine:\n$plan")
+  }
+
+  test("distinctiveTerms plan: equi-joins only, map-side-combined counts") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"tok${i % 11} tok${i % 3} shared"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.distinctiveTerms(docs, col("text"), col("doc_id"))
+    val plan = executedPlan(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"tf-df join must be an equi-join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"tf/df counts must map-side combine:\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Pq
+
+/** Product quantization: encode argmin + tie-break, code checksum, and
+  * ADC distance = the brute-force table sum. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2 subspaces × 2 dims, 3 codes each — hand-checkable
+  private val cbs: Pq.Codebooks = Array(
+    Array(Array(0L, 0L), Array(10L, 0L), Array(0L, 10L)),
+    Array(Array(5L, 5L), Array(-5L, -5L), Array(5L, -5L))
+  )
+
+  test("encode: per-subspace argmin of integer squared distance, ties to smallest code") {
+    val df = Seq(
+      (1L, Seq(0L, 0L, 5L, 5L)),     // exact codebook hits -> (0, 0)
+      (2L, Seq(9L, 1L, -4L, -4L)),   // nearest (10,0) and (-5,-5) -> (1, 1)
+      (3L, Seq(10L, 10L, 5L, 5L)),   // sub0 (10,10): codes 1,2 both 100 < code 0's 200
+                                     // -> tie breaks to 1; sub1 exact hit on code 0
+      (4L, null.asInstanceOf[Seq[Long]])
+    ).toDF("id", "v")
+    val got = Pq.encode(df, col("v"), col("id"), cbs)
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Long](1)).map(_.toSeq)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(Seq(0L, 0L))),
+      (2L, Some(Seq(1L, 1L))),
+      (3L, Some(Seq(1L, 0L))),
+      (4L, None)))
+  }
+
+  test("codeKey: base-k positional checksum") {
+    val df = Seq((1L, Seq(2L, 1L))).toDF("id", "codes")
+    val got = df.select(Pq.codeKey(col("codes"), k = 3)).head().getLong(0)
+    assert(got == 2L + 1L * 3L) // 2·3^0 + 1·3^1
+  }
+
+  test("adcDist equals the driver brute-force table sum; zero for an exact codebook-word query") {
+    val df = Seq((1L, Seq(0L, 0L, 5L, 5L)), (2L, Seq(9L, 1L, -4L, -4L))).toDF("id", "v")
+    val enc = Pq.encode(df, col("v"), col("id"), cbs)
+    // query = exact concatenation of codebook words (0, 1)
+    val query = Array(0L, 0L, -5L, -5L)
+    val got = enc.select(col("id"), Pq.adcDist(col("codes"), query, cbs).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // id 1 codes (0,0): d(sub0 q=[0,0] vs cb [0,0]) = 0; d(sub1 q=[-5,-5] vs cb [5,5]) = 200
+    // id 2 codes (1,1): d([0,0] vs [10,0]) = 100; d([-5,-5] vs [-5,-5]) = 0
+    assert(got == Seq((1L, 200L), (2L, 100L)))
+  }
+
+  test("sliceCodebooks: dim must divide m; slices preserve order") {
+    val cb = Pq.sliceCodebooks(Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)), m = 2)
+    assert(cb(0)(0).toSeq == Seq(1L, 2L) && cb(1)(1).toSeq == Seq(7L, 8L))
+    intercept[IllegalArgumentException] {
+      Pq.sliceCodebooks(Array(Array(1L, 2L, 3L)), m = 2)
+    }
+  }
+}
