@@ -711,6 +711,52 @@ object Bench {
     (n * wordsPerDoc, (System.nanoTime() - t0) / 1e9, distinct)
   }
 
+  /** Scaling workload — PQ compressed-domain scan (q109 machinery):
+    * dim-64 fixed-point vectors around 16 bases, PQ m=8 × k=16 planted
+    * codebooks. The encoded codes table (or, `brute = true`, the full
+    * vectors) is materialized to parquet ONCE untimed — the stored-store
+    * discipline of the image/LSH modes, since PQ's premise is that codes
+    * are encoded once and scanned per query. The timed region is the
+    * query-side scan: read + per-row distance + global min/count. ADC
+    * reads 8 longs and does 8 table lookups per row; brute reads 64 longs
+    * and does 64 mul-adds — the 8× IO + compute gap IS the operator's
+    * 100-TB claim. Returns (rows, seconds, minDist). */
+  def pqThroughput(spark: SparkSession, n: Long, brute: Boolean = false,
+      slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val dim = 64; val m = 8; val k = 16
+    val cbVecs = Array.tabulate(k)(c =>
+      Array.tabulate(dim)(d => math.floor(math.sin(c * 13.0 + d) * 1000.0 + 0.5).toLong))
+    val cbs = graft.ann.Pq.sliceCodebooks(cbVecs, m)
+    val gen = udf { (id: Long) =>
+      val c = (id % 16L).toInt
+      val w = ((id / 16L) % 50L).toInt
+      Array.tabulate(dim)(d =>
+        math.floor(math.sin(c * 13.0 + d) * 1000.0 + 0.5).toLong + (w * (d % 3)).toLong)
+    }
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = if (brute) s"$tmp/graft_bench_pqvecs_$n" else s"$tmp/graft_bench_pqcodes_$n"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val vecs = spark.range(0, n, 1, slices).select(col("id"), gen(col("id")).as("v"))
+      val stored =
+        if (brute) vecs
+        else graft.ann.Pq.encode(vecs, col("v"), col("id"), cbs)
+      stored.write.mode("overwrite").parquet(path)
+    }
+    val query = cbVecs(3)
+    val exactDist = udf { (v: Seq[Long]) =>
+      var dd = 0L; var j = 0
+      while (j < query.length) { val t = v(j) - query(j); dd += t * t; j += 1 }
+      dd
+    }
+    val stored = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val minD =
+      if (brute) stored.agg(min(exactDist(col("v")))).head().getLong(0)
+      else stored.agg(min(graft.ann.Pq.adcDist(col("codes"), query, cbs))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, minD)
+  }
+
   def lineDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     val docs = spark

@@ -58,6 +58,8 @@ object ScalePoint {
       case "exactincr"     => Bench.exactIncrementalThroughput(spark, rows)
       case "bpe"           => Bench.bpeThroughput(spark, rows)
       case "bpenaive"      => Bench.bpeThroughput(spark, rows, naive = true)
+      case "pq"            => Bench.pqThroughput(spark, rows)
+      case "pqbrute"       => Bench.pqThroughput(spark, rows, brute = true)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

@@ -47,6 +47,14 @@ object KMeans {
     u(vec)
   }
 
+  /** Train only: the centroids [[fitAssign]] would assign under — k
+    * arrays of dim longs after `iters − 1` update rounds from the
+    * k-smallest-ids init. The driver-side return is what PQ codebook
+    * training ([[Pq.trainCodebooks]]) and any planted-centroid oracle
+    * needs. */
+  def fit(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int): Array[Array[Long]] =
+    trainLoop(df, vec, id, k, iters)._2
+
   /** `iters` assignment passes with centroid updates between them (so
     * iters=2 is: assign under the init centroids, update once, reassign).
     * Input `vec` must be array<long> ([[fixedPoint]]); returns
@@ -55,6 +63,32 @@ object KMeans {
     * many-round runs, persist the quantized frame upstream — the loop
     * itself stays storage-agnostic. */
   def fitAssign(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int): DataFrame = {
+    val (pts, centroids) = trainLoop(df, vec, id, k, iters)
+    val spark = df.sparkSession
+    val bcF = spark.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Long]) =>
+      val (best, dd) = nearest(bcF.value, v)
+      (best.toLong, dd)
+    }
+    pts.select(col("id"), assign(col("v")).as("_a"))
+      .select(col("id"), col("_a._1").as("cluster"), col("_a._2").as("dist"))
+  }
+
+  // a function VALUE, not a local def: closures capture just this
+  // serializable lambda, never the (non-serializable) enclosing object
+  private val nearest: (Array[Array[Long]], Seq[Long]) => (Int, Long) = (cs, v) => {
+    var best = 0; var bestD = Long.MaxValue; var c = 0
+    while (c < cs.length) {
+      val cv = cs(c); var dd = 0L; var j = 0
+      while (j < cv.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  private def trainLoop(df: DataFrame, vec: Column, id: Column, k: Int,
+      iters: Int): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     val spark = df.sparkSession
@@ -64,19 +98,6 @@ object KMeans {
     require(centroids.length == k, s"need at least k=$k rows, got ${centroids.length}")
     val d = centroids(0).length
     val kk = k
-
-    // a function VALUE, not a local def: closures capture just this
-    // serializable lambda, never the (non-serializable) enclosing object
-    val nearest: (Array[Array[Long]], Seq[Long]) => (Int, Long) = (cs, v) => {
-      var best = 0; var bestD = Long.MaxValue; var c = 0
-      while (c < cs.length) {
-        val cv = cs(c); var dd = 0L; var j = 0
-        while (j < cv.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        if (dd < bestD) { bestD = dd; best = c }
-        c += 1
-      }
-      (best, bestD)
-    }
 
     for (_ <- 1 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -106,13 +127,6 @@ object KMeans {
         else sums(c).map(_ / cnts(c)) // truncating div == SQL // on BIGINT
       }
     }
-
-    val bcF = spark.sparkContext.broadcast(centroids)
-    val assign = udf { (v: Seq[Long]) =>
-      val (best, dd) = nearest(bcF.value, v)
-      (best.toLong, dd)
-    }
-    pts.select(col("id"), assign(col("v")).as("_a"))
-      .select(col("id"), col("_a._1").as("cluster"), col("_a._2").as("dist"))
+    (pts, centroids)
   }
 }

@@ -44,6 +44,24 @@ object Pq {
     Array.tabulate(m)(s => vectors.map(_.slice(s * sd, (s + 1) * sd)))
   }
 
+  /** Train codebooks: m independent integer k-means runs ([[KMeans.fit]])
+    * over the sliced subvectors — the textbook PQ trainer. Each subspace
+    * run scans `df` iters times over a subDim-wide projection (train on a
+    * SAMPLE at 100 TB — PQ codebooks converge on a tiny fraction of the
+    * corpus; encode is the full-scan pass, not training). */
+  def trainCodebooks(df: DataFrame, vec: Column, id: Column, m: Int, k: Int,
+      iters: Int): Codebooks = {
+    val first = df.select(vec.as("v")).limit(1).collect()
+    require(first.nonEmpty, "cannot train codebooks on an empty frame")
+    val d = first(0).getSeq[Long](0).length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sd = d / m
+    Array.tabulate(m) { s =>
+      val off = s * sd
+      KMeans.fit(df, slice(vec, off + 1, sd), id, k, iters)
+    }
+  }
+
   private def nearestCode(cb: Array[Array[Long]], v: Seq[Long], off: Int): (Int, Long) = {
     var best = 0; var bestD = Long.MaxValue; var c = 0
     while (c < cb.length) {

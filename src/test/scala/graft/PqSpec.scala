@@ -50,6 +50,29 @@ class PqSpec extends SparkSpec {
     assert(got == Seq((1L, 200L), (2L, 100L)))
   }
 
+  test("trainCodebooks: m independent k-means over sliced subvectors, deterministic init + update") {
+    // 4-dim vectors, m=2 subspaces; two obvious clusters per subspace
+    // ids 0,1 are the k=2 init; one update round (iters=2) recenters
+    val df = Seq(
+      (0L, Seq(0L, 0L, 100L, 100L)),
+      (1L, Seq(40L, 40L, 0L, 0L)),
+      (2L, Seq(2L, 2L, 104L, 104L)),   // joins cluster of (0,0) / (104,104)
+      (3L, Seq(42L, 42L, 2L, 2L))      // joins cluster of (40,40) / (0,0)
+    ).toDF("id", "v")
+    val cbs = Pq.trainCodebooks(df, col("v"), col("id"), m = 2, k = 2, iters = 2)
+    // sub0: init [(0,0),(40,40)]; members {0:(0,0),(2,2)}, {1:(40,40),(42,42)}
+    //       -> updated [(1,1),(41,41)]
+    assert(cbs(0)(0).toSeq == Seq(1L, 1L) && cbs(0)(1).toSeq == Seq(41L, 41L))
+    // sub1: init [(100,100),(0,0)]; members {0:(100,100),(104,104)}, {1:(0,0),(2,2)}
+    //       -> updated [(102,102),(1,1)]
+    assert(cbs(1)(0).toSeq == Seq(102L, 102L) && cbs(1)(1).toSeq == Seq(1L, 1L))
+    // and encode under the trained books assigns every vector to its cluster
+    val got = Pq.encode(df, col("v"), col("id"), cbs)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(1L, 1L)), (2L, Seq(0L, 0L)), (3L, Seq(1L, 1L))))
+  }
+
   test("sliceCodebooks: dim must divide m; slices preserve order") {
     val cb = Pq.sliceCodebooks(Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)), m = 2)
     assert(cb(0)(0).toSeq == Seq(1L, 2L) && cb(1)(1).toSeq == Seq(7L, 8L))
