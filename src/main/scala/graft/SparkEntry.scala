@@ -144,6 +144,37 @@ object SparkEntry {
     path
   }
 
+  /** the q110 IVF-PQ fixture: fixed-point embeddings, planted coarse
+    * centroids (vectors 0–3) and planted PQ codebooks (residuals of
+    * vectors 4–7 against vector 0, sliced m=8) — every ingredient a
+    * deterministic function of the embeddings table, so the DuckDB
+    * oracle rebuilds the identical store arithmetic. */
+  private[graft] def pqFixture(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Long]], graft.ann.Pq.Codebooks) = {
+    import graft.ann.{KMeans, Pq}
+    val quant = t(s, dir, "embeddings")
+      .select(col("vec_id"), KMeans.fixedPoint(col("embedding")).as("qv"))
+    val base = quant.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val coarse = base.take(4)
+    val cbs = Pq.sliceCodebooks(
+      (4 to 7).map(i => Array.tabulate(base(i).length)(j => base(i)(j) - base(0)(j))).toArray,
+      m = 8)
+    (quant, coarse, cbs)
+  }
+
+  /** the fixture materialized ONCE as an IVF-PQ store (cell-partitioned
+    * parquet of m-byte codes). */
+  private[graft] def ivfPqStore(s: SparkSession, dir: String): String = {
+    val name = new java.io.File(dir).getName
+    val path = new java.io.File(s"target/ivfpqcache/planted_$name").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val (quant, coarse, cbs) = pqFixture(s, dir)
+      graft.ann.Pq.writeIvfPq(quant, col("qv"), col("vec_id"), path, coarse, cbs)
+    }
+    path
+  }
+
   /** run a validation plan and project the oracle-comparable columns */
   private def validate(
       df: DataFrame,
@@ -1493,6 +1524,17 @@ object SparkEntry {
           Pq.codeKey(col("codes"), k = 4).as("code_key"),
           Pq.adcDist(col("codes"), query, cbs).as("adist"))
         .orderBy("vec_id")
+    }),
+    // ---- IVF-PQ probe: partition-pruned read of the 2 nearest cells +
+    // per-cell residual ADC scan over stored m-byte codes; query = vec 11
+    "q110_ivfpq_probe" -> ((s, dir) => {
+      import graft.ann.Pq
+      val (quant, coarse, cbs) = pqFixture(s, dir)
+      val path = ivfPqStore(s, dir)
+      val query = quant.filter(col("vec_id") === 11)
+        .select("qv").head().getSeq[Long](0).toArray
+      Pq.ivfPqProbe(s, path, query, coarse, cbs, nprobe = 2)
+        .withColumnRenamed("id", "vec_id")
     })
   )
 
@@ -2920,6 +2962,49 @@ object SparkEntry {
         |  CAST(sum(t.dd) AS BIGINT) AS adist
         |FROM asg a JOIN qt t ON t.s = a.s AND t.code = a.code
         |GROUP BY a.vec_id ORDER BY vec_id""".stripMargin,
+    // the full store rebuilt arithmetically: coarse assign → residual →
+    // per-subspace encode; probe = 2 nearest cells, per-cell residual
+    // ADC table joined on (cell, s, code)
+    "q110_ivfpq_probe" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 4),
+        |ad AS (SELECT e.vec_id, co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (q[j]-cq[j])*(q[j]-cq[j]))) AS BIGINT) AS dd
+        |       FROM e, co),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - co.cq[j]) AS r
+        |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN co ON co.cell = a.cell),
+        |cbv AS (SELECT e.vec_id - 4 AS code,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - z.q[j]) AS w
+        |        FROM e, (SELECT q FROM e WHERE vec_id = 0) z WHERE e.vec_id BETWEEN 4 AND 7),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |qq AS (SELECT q FROM e WHERE vec_id = 11),
+        |enc0 AS (SELECT res.vec_id, res.cell, ss.s, cbv.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 8),
+        |             j -> (r[s*8+j] - w[s*8+j])*(r[s*8+j] - w[s*8+j]))) AS BIGINT) AS dd
+        |         FROM res, ss, cbv),
+        |enc AS (SELECT vec_id, cell, s, code FROM (
+        |  SELECT vec_id, cell, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qc AS (SELECT co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (qq.q[j]-co.cq[j])*(qq.q[j]-co.cq[j]))) AS BIGINT) AS dd
+        |       FROM co, qq),
+        |cells AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY dd, cell) AS rn FROM qc) WHERE rn <= 2),
+        |tab AS (SELECT cl.cell, ss.s, cbv.code,
+        |          CAST(list_sum(list_transform(generate_series(1, 8),
+        |            j -> ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]) * ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]))) AS BIGINT) AS dd
+        |        FROM cells cl, co, ss, cbv, qq WHERE co.cell = cl.cell)
+        |SELECT en.vec_id, CAST(en.cell AS BIGINT) AS cluster, CAST(sum(t.dd) AS BIGINT) AS adist
+        |FROM enc en JOIN cells cl ON cl.cell = en.cell
+        |JOIN tab t ON t.cell = en.cell AND t.s = en.s AND t.code = en.code
+        |GROUP BY en.vec_id, en.cell ORDER BY adist, vec_id""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

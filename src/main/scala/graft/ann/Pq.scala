@@ -112,6 +112,92 @@ object Pq {
     u(codes)
   }
 
+  /** Materialize an IVF-PQ store (the FAISS-standard composition): every
+    * row is assigned its nearest coarse centroid (integer argmin, ties to
+    * the smallest cell), its RESIDUAL (v − centroid, exact longs) is
+    * PQ-encoded, and the (id, codes) rows are written parquet PARTITIONED
+    * by `cluster` — so a probe is a directory-pruned read of nprobe cells
+    * scanning m-byte codes instead of full vectors: the two ANN scale
+    * levers (touch less data, touch it compressed) in one store.
+    * Residual encoding is what makes shared codebooks tight across cells
+    * (Jégou et al. §IV.B). Null vectors are not indexable and are
+    * dropped. Coarse centroids + codebooks stay with the CALLER (train
+    * with [[KMeans.fit]] / [[trainCodebooks]], or plant them for
+    * oracle-exact tests) — pass the same pair at probe time. */
+  def writeIvfPq(df: DataFrame, vec: Column, id: Column, path: String,
+      coarse: Array[Array[Long]], codebooks: Codebooks): Unit = {
+    val cs = coarse
+    val cb = codebooks
+    val m = cb.length
+    val sd = cb(0)(0).length
+    require(cs(0).length == m * sd, s"coarse dim ${cs(0).length} != ${m * sd}")
+    val u = udf { (v: Seq[Long]) =>
+      if (v == null) null
+      else {
+        val cell = nearestCode(cs, v, 0)._1
+        val cv = cs(cell)
+        val resid = new Array[Long](v.length)
+        var j = 0
+        while (j < resid.length) { resid(j) = v(j) - cv(j); j += 1 }
+        val codes = new Array[Long](m)
+        var s = 0
+        while (s < m) { codes(s) = nearestCode(cb(s), resid, s * sd)._1.toLong; s += 1 }
+        (cell.toLong, codes)
+      }
+    }
+    df.select(id.cast("long").as("id"), u(vec).as("_a"))
+      .filter(col("_a").isNotNull)
+      .select(col("id"), col("_a._1").as("cluster"), col("_a._2").as("codes"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Probe an [[writeIvfPq]] store: rank cells by integer distance to the
+    * query on the driver (|coarse| distances, ties to the smallest cell),
+    * push the nprobe nearest cell ids as an explicit partition filter
+    * (directory pruning — the [[Ann.knnJoinIvf]] discipline), and ADC-scan
+    * the survivors with a PER-CELL distance table built from the query's
+    * residual against that cell. Output (id, cluster, adist) for every
+    * candidate, ordered (adist, id) — `limit(k)` on top is the top-k
+    * probe; returning candidates keeps the oracle exact and lets callers
+    * re-rank exactly if they kept full vectors elsewhere. */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Long], coarse: Array[Array[Long]], codebooks: Codebooks,
+      nprobe: Int): DataFrame = {
+    val m = codebooks.length
+    val sd = codebooks(0)(0).length
+    require(query.length == m * sd, s"query dim ${query.length} != ${m * sd}")
+    val ranked = coarse.zipWithIndex.map { case (cv, c) =>
+      var dd = 0L; var j = 0
+      while (j < cv.length) { val t = query(j) - cv(j); dd += t * t; j += 1 }
+      (c, dd)
+    }.sortBy { case (c, dd) => (dd, c) }.take(math.min(nprobe, coarse.length))
+    val cells = ranked.map(_._1.toLong)
+    // per probed cell: the ADC table of the query's residual vs that cell
+    val tables: Map[Long, Array[Array[Long]]] = cells.map { cell =>
+      val cv = coarse(cell.toInt)
+      val resid = Array.tabulate(query.length)(j => query(j) - cv(j))
+      cell -> Array.tabulate(m) { s =>
+        codebooks(s).map { w =>
+          var dd = 0L; var j = 0
+          while (j < sd) { val t = resid(s * sd + j) - w(j); dd += t * t; j += 1 }
+          dd
+        }
+      }
+    }.toMap
+    val tb = tables
+    val u = udf { (cell: Long, cs: Seq[Long]) =>
+      val t = tb(cell)
+      var acc = 0L; var s = 0
+      while (s < cs.length) { acc += t(s)(cs(s).toInt); s += 1 }
+      acc
+    }
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(cells: _*)) // partition pruning
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        u(col("cluster").cast("long"), col("codes")).as("adist"))
+      .orderBy(col("adist"), col("id"))
+  }
+
   /** Asymmetric distance: approximate squared distance from one query
     * (fixed-point, full width) to an encoded vector =
     * Σ_s table(s)(codes(s)) where table(s)(c) = ‖query_s − codebook(s)(c)‖².

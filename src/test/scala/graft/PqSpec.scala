@@ -73,6 +73,35 @@ class PqSpec extends SparkSpec {
       (0L, Seq(0L, 0L)), (1L, Seq(1L, 1L)), (2L, Seq(0L, 0L)), (3L, Seq(1L, 1L))))
   }
 
+  test("ivfPqProbe: partition-pruned cell read, residual ADC, self-distance 0 for planted words") {
+    import java.nio.file.Files
+    // 4-dim vectors, 2 coarse cells far apart, m=2 × k=2 residual codebooks
+    val coarse = Array(Array(0L, 0L, 0L, 0L), Array(1000L, 1000L, 1000L, 1000L))
+    val cbs: Pq.Codebooks = Array(
+      Array(Array(0L, 0L), Array(7L, 7L)),
+      Array(Array(0L, 0L), Array(-7L, -7L)))
+    val df = Seq(
+      (1L, Seq(0L, 0L, 0L, 0L)),          // cell 0, residual (0,0,0,0) -> codes (0,0)
+      (2L, Seq(7L, 7L, -7L, -7L)),        // cell 0, exact codebook words -> codes (1,1)
+      (3L, Seq(1000L, 1000L, 1000L, 1000L)), // cell 1, residual zero
+      (4L, Seq(1007L, 1007L, 993L, 993L)) // cell 1, words (1,1)
+    ).toDF("id", "v")
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/store"
+    Pq.writeIvfPq(df, col("v"), col("id"), path, coarse, cbs)
+    // probe near cell 1 with nprobe=1: only cell 1's directory is read
+    val q = Array(1007L, 1007L, 993L, 993L) // == vector 4
+    val out = Pq.ivfPqProbe(spark, path, q, coarse, cbs, nprobe = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"probe must carry a cluster partition filter:\n$plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cell-0 rows never surface; vec 4's ADC self-distance is exactly 0
+    // (its residual IS the (1,1) codebook word the query residual hits)
+    assert(got.map(_._1).toSet == Set(3L, 4L))
+    assert(got.forall(_._2 == 1L))
+    assert(got.find(_._1 == 4L).get._3 == 0L)
+  }
+
   test("sliceCodebooks: dim must divide m; slices preserve order") {
     val cb = Pq.sliceCodebooks(Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)), m = 2)
     assert(cb(0)(0).toSeq == Seq(1L, 2L) && cb(1)(1).toSeq == Seq(7L, 8L))
