@@ -88,6 +88,8 @@ object ScalingBench {
         Bench.kmeansThroughput(s, 500000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("bpe")))
         Bench.bpeThroughput(s, 500000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("pq")))
+        Bench.pqThroughput(s, n) // full-size: materializes the codes table untimed
       s.stop()
     }
 
@@ -120,6 +122,7 @@ object ScalingBench {
         else if (mode == "semdedup") Bench.semDedupThroughput(s, n / 4)
         else if (mode == "kmeans") Bench.kmeansThroughput(s, n / 2)
         else if (mode == "bpe") Bench.bpeThroughput(s, n)
+        else if (mode == "pq") Bench.pqThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,

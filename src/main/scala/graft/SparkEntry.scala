@@ -1535,6 +1535,23 @@ object SparkEntry {
         .select("qv").head().getSeq[Long](0).toArray
       Pq.ivfPqProbe(s, path, query, coarse, cbs, nprobe = 2)
         .withColumnRenamed("id", "vec_id")
+    }),
+    // ---- recall@25 of the q110 probe vs the exact integer top-25: the
+    // nprobe/code-size quality measurement, one k-row join. The value is
+    // LOW by construction (0.08): random-direction corpus vectors + 4
+    // planted codebook words per subspace are PQ's worst case (no cluster
+    // structure to exploit) — exactly the regime the metric exists to
+    // expose; PqSpec's trained-codebook cases show the clustered regime
+    "q111_ivfpq_recall" -> ((s, dir) => {
+      import graft.ann.{Pq, Recall}
+      val (quant, coarse, cbs) = pqFixture(s, dir)
+      val path = ivfPqStore(s, dir)
+      val query = quant.filter(col("vec_id") === 11)
+        .select("qv").head().getSeq[Long](0).toArray
+      val approx = Pq.ivfPqProbe(s, path, query, coarse, cbs, nprobe = 2).limit(25)
+      val exact = quant.select(col("vec_id"), Pq.l2Dist(col("qv"), query).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(25)
+      Recall.atK(approx, col("id"), exact, col("vec_id"), k = 25)
     })
   )
 
@@ -3005,6 +3022,53 @@ object SparkEntry {
         |FROM enc en JOIN cells cl ON cl.cell = en.cell
         |JOIN tab t ON t.cell = en.cell AND t.s = en.s AND t.code = en.code
         |GROUP BY en.vec_id, en.cell ORDER BY adist, vec_id""".stripMargin,
+    // q110's pipeline LIMIT 25 intersected with the exact integer top-25
+    "q111_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 4),
+        |ad AS (SELECT e.vec_id, co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (q[j]-cq[j])*(q[j]-cq[j]))) AS BIGINT) AS dd
+        |       FROM e, co),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - co.cq[j]) AS r
+        |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN co ON co.cell = a.cell),
+        |cbv AS (SELECT e.vec_id - 4 AS code,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - z.q[j]) AS w
+        |        FROM e, (SELECT q FROM e WHERE vec_id = 0) z WHERE e.vec_id BETWEEN 4 AND 7),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |qq AS (SELECT q FROM e WHERE vec_id = 11),
+        |enc0 AS (SELECT res.vec_id, res.cell, ss.s, cbv.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 8),
+        |             j -> (r[s*8+j] - w[s*8+j])*(r[s*8+j] - w[s*8+j]))) AS BIGINT) AS dd
+        |         FROM res, ss, cbv),
+        |enc AS (SELECT vec_id, cell, s, code FROM (
+        |  SELECT vec_id, cell, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qc AS (SELECT co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (qq.q[j]-co.cq[j])*(qq.q[j]-co.cq[j]))) AS BIGINT) AS dd
+        |       FROM co, qq),
+        |cells AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY dd, cell) AS rn FROM qc) WHERE rn <= 2),
+        |tab AS (SELECT cl.cell, ss.s, cbv.code,
+        |          CAST(list_sum(list_transform(generate_series(1, 8),
+        |            j -> ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]) * ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]))) AS BIGINT) AS dd
+        |        FROM cells cl, co, ss, cbv, qq WHERE co.cell = cl.cell),
+        |ap AS (SELECT en.vec_id FROM enc en JOIN cells cl ON cl.cell = en.cell
+        |       JOIN tab t ON t.cell = en.cell AND t.s = en.s AND t.code = en.code
+        |       GROUP BY en.vec_id, en.cell
+        |       ORDER BY CAST(sum(t.dd) AS BIGINT), en.vec_id LIMIT 25),
+        |ex AS (SELECT e.vec_id FROM e, qq
+        |       ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+        |         j -> (e.q[j]-qq.q[j])*(e.q[j]-qq.q[j]))) AS BIGINT), vec_id LIMIT 25)
+        |SELECT CAST(25 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
+        |       CAST(count(*) AS BIGINT) / CAST(25 AS DOUBLE) AS recall
+        |FROM ap JOIN ex USING (vec_id)""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

@@ -198,6 +198,22 @@ object Pq {
       .orderBy(col("adist"), col("id"))
   }
 
+  /** Exact integer squared L2 distance to one query — the uncompressed
+    * ground truth the ADC scan approximates; pairs with [[adcDist]] for
+    * re-ranking and with [[Recall.atK]] for probe quality measurement. */
+  def l2Dist(vec: Column, query: Array[Long]): Column = {
+    val q = query
+    val u = udf { (v: Seq[Long]) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var dd = 0L; var j = 0
+        while (j < q.length) { val t = v(j) - q(j); dd += t * t; j += 1 }
+        java.lang.Long.valueOf(dd)
+      }
+    }
+    u(vec)
+  }
+
   /** Asymmetric distance: approximate squared distance from one query
     * (fixed-point, full width) to an encoded vector =
     * Σ_s table(s)(codes(s)) where table(s)(c) = ‖query_s − codebook(s)(c)‖².

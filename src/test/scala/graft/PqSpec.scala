@@ -102,6 +102,17 @@ class PqSpec extends SparkSpec {
     assert(got.find(_._1 == 4L).get._3 == 0L)
   }
 
+  test("Recall.atK counts the id intersection over k; l2Dist is the exact integer distance") {
+    import graft.ann.Recall
+    val approx = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val exact = Seq(1L, 2L, 4L, 8L).toDF("id")
+    val r = Recall.atK(approx, col("id"), exact, col("id"), k = 4).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 2L, 0.5)))
+    val d = Seq((1L, Seq(3L, 4L))).toDF("id", "v")
+      .select(Pq.l2Dist(col("v"), Array(0L, 0L))).head().getLong(0)
+    assert(d == 25L)
+  }
+
   test("sliceCodebooks: dim must divide m; slices preserve order") {
     val cb = Pq.sliceCodebooks(Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)), m = 2)
     assert(cb(0)(0).toSeq == Seq(1L, 2L) && cb(1)(1).toSeq == Seq(7L, 8L))
