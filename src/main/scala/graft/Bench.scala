@@ -757,6 +757,55 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, minD)
   }
 
+  /** PQ recall measurement on a CLUSTERED corpus with TRAINED codebooks —
+    * the counterpoint to q111's deliberately adversarial planted fixture
+    * (random directions + 4 planted words → recall 0.08): clusters of
+    * exactly 100 members whose bases have PRODUCT structure — each
+    * 8-dim subspace takes one of 16 dictionary words, cluster id =
+    * the digit tuple — which is precisely the generative model PQ
+    * assumes (Jégou et al. §II: the vector as a concatenation of
+    * independently quantizable subvectors). Trained per-subspace
+    * k-means (m=8, k=16) must recover the dictionaries, making ADC
+    * resolve the exact top-100 (= one cluster) from 32-bit codes.
+    * Together with q111's 0.08 this BRACKETS the operator: near-1 on
+    * product-structured data, near-0 on unstructured random
+    * directions at the same code budget. Full ADC scan vs the exact
+    * integer top-100, both tie-broken by id. Returns
+    * (rows, seconds, hits@100). */
+  def pqRecallThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.ann.{Pq, Recall}
+    val dim = 64
+    val nc = math.max(16L, n / 100L) // needs nc <= 16^8 distinct digit tuples
+    val gen = udf { (id: Long) =>
+      // multiplicative scramble (gcd(K, nc) = 1 → exactly n/nc members per
+      // cluster) so ANY id prefix — the trainer's init pool included —
+      // sees digit-diverse clusters
+      val c = (id * 2654435761L) % nc
+      val w = ((id / nc) % 40L).toInt
+      Array.tabulate(dim) { j =>
+        val s = j / 8
+        val digit = ((c >> (4 * s)) & 15L).toInt
+        math.floor(math.sin(digit * 31.0 + s * 97.0 + j) * 1000.0 + 0.5).toLong +
+          ((w + j) % 7).toLong
+      }
+    }
+    val df = spark.range(0, n, 1, slices).select(col("id"), gen(col("id")).as("v"))
+    val t0 = System.nanoTime()
+    val sample = df.filter(col("id") < 100000L)
+    val cbs = Pq.trainCodebooks(sample, col("v"), col("id"), m = 8, k = 16, iters = 2)
+    val q = df.filter(col("id") === 777L) // a mid-corpus vector (cluster 9, w=3)
+      .select("v").head().getSeq[Long](0).toArray
+    val approx = Pq.encode(df, col("v"), col("id"), cbs)
+      .select(col("id"), Pq.adcDist(col("codes"), q, cbs).as("a"))
+      .orderBy(col("a"), col("id")).limit(100)
+    val exact = df.select(col("id"), Pq.l2Dist(col("v"), q).as("d"))
+      .orderBy(col("d"), col("id")).limit(100)
+    val hits = Recall.atK(approx, col("id"), exact, col("id"), k = 100)
+      .head().getLong(1)
+    (n, (System.nanoTime() - t0) / 1e9, hits)
+  }
+
   def lineDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     val docs = spark

@@ -60,6 +60,7 @@ object ScalePoint {
       case "bpenaive"      => Bench.bpeThroughput(spark, rows, naive = true)
       case "pq"            => Bench.pqThroughput(spark, rows)
       case "pqbrute"       => Bench.pqThroughput(spark, rows, brute = true)
+      case "pqrecall"      => Bench.pqRecallThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

@@ -48,12 +48,22 @@ object KMeans {
   }
 
   /** Train only: the centroids [[fitAssign]] would assign under — k
-    * arrays of dim longs after `iters − 1` update rounds from the
-    * k-smallest-ids init. The driver-side return is what PQ codebook
-    * training ([[Pq.trainCodebooks]]) and any planted-centroid oracle
-    * needs. */
-  def fit(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int): Array[Array[Long]] =
-    trainLoop(df, vec, id, k, iters)._2
+    * arrays of dim longs after `iters − 1` update rounds. The
+    * driver-side return is what PQ codebook training
+    * ([[Pq.trainCodebooks]]) and any planted-centroid oracle needs.
+    *
+    * `init` selects the deterministic seeding: `"first"` (default, the
+    * q100 oracle contract — the k smallest ids' vectors verbatim) or
+    * `"spread"` — greedy farthest-point over the 8k smallest ids
+    * (pick vector 0, then repeatedly the candidate maximizing min
+    * distance to the chosen set, ties to the smallest id). Lloyd
+    * cannot separate DUPLICATE init centroids (the losers stay empty
+    * and parked forever), so "first" degrades badly when the k
+    * smallest ids repeat values — "spread" is the deterministic
+    * k-means++-shaped cure, still a pure function of the data. */
+  def fit(df: DataFrame, vec: Column, id: Column, k: Int, iters: Int,
+      init: String = "first"): Array[Array[Long]] =
+    trainLoop(df, vec, id, k, iters, init)._2
 
   /** `iters` assignment passes with centroid updates between them (so
     * iters=2 is: assign under the init centroids, update once, reassign).
@@ -88,13 +98,41 @@ object KMeans {
   }
 
   private def trainLoop(df: DataFrame, vec: Column, id: Column, k: Int,
-      iters: Int): (DataFrame, Array[Array[Long]]) = {
+      iters: Int, init: String = "first"): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
+    require(init == "first" || init == "spread", s"unknown init: $init")
     val spark = df.sparkSession
     val pts = df.select(id.cast("long").as("id"), vec.as("v"))
     var centroids: Array[Array[Long]] =
-      pts.orderBy("id").limit(k).collect().map(_.getSeq[Long](1).toArray)
+      if (init == "first")
+        pts.orderBy("id").limit(k).collect().map(_.getSeq[Long](1).toArray)
+      else {
+        // greedy farthest-point over a bounded deterministic candidate
+        // pool (the 8k smallest ids; ties to the smallest id)
+        val pool = pts.orderBy("id").limit(8 * k).collect()
+          .map(_.getSeq[Long](1).toArray)
+        require(pool.nonEmpty, "need at least one row")
+        val chosen = scala.collection.mutable.ArrayBuffer(pool(0))
+        val minD = Array.fill(pool.length)(Long.MaxValue)
+        while (chosen.length < math.min(k, pool.length)) {
+          val last = chosen.last
+          var bestI = -1; var bestD = -1L; var i = 0
+          while (i < pool.length) {
+            var dd = 0L; var j = 0
+            val p = pool(i)
+            while (j < p.length) { val t = p(j) - last(j); dd += t * t; j += 1 }
+            if (dd < minD(i)) minD(i) = dd
+            if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+            i += 1
+          }
+          chosen += pool(bestI)
+        }
+        // fewer distinct points than k: pad with the last (documented Lloyd
+        // behavior — duplicates stay empty and parked)
+        while (chosen.length < k) chosen += chosen.last
+        chosen.toArray
+      }
     require(centroids.length == k, s"need at least k=$k rows, got ${centroids.length}")
     val d = centroids(0).length
     val kk = k

@@ -50,7 +50,7 @@ object Pq {
     * SAMPLE at 100 TB — PQ codebooks converge on a tiny fraction of the
     * corpus; encode is the full-scan pass, not training). */
   def trainCodebooks(df: DataFrame, vec: Column, id: Column, m: Int, k: Int,
-      iters: Int): Codebooks = {
+      iters: Int, init: String = "spread"): Codebooks = {
     val first = df.select(vec.as("v")).limit(1).collect()
     require(first.nonEmpty, "cannot train codebooks on an empty frame")
     val d = first(0).getSeq[Long](0).length
@@ -58,7 +58,10 @@ object Pq {
     val sd = d / m
     Array.tabulate(m) { s =>
       val off = s * sd
-      KMeans.fit(df, slice(vec, off + 1, sd), id, k, iters)
+      // "spread" by default: subvector values repeat heavily across rows
+      // (that's the point of PQ), so the k-smallest-ids init routinely
+      // seeds DUPLICATE centroids that Lloyd can never separate
+      KMeans.fit(df, slice(vec, off + 1, sd), id, k, iters, init)
     }
   }
 

@@ -113,6 +113,23 @@ class PqSpec extends SparkSpec {
     assert(d == 25L)
   }
 
+  test("spread init seeds distinct centroids where first-k init seeds duplicates") {
+    import graft.ann.KMeans
+    // the k=2 smallest ids are IDENTICAL — first-k init duplicates them;
+    // spread init picks the farthest pool point ((102,102): 20808 > 20000)
+    val df = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(0L, 0L)),
+      (2L, Seq(100L, 100L)), (3L, Seq(102L, 102L)), (4L, Seq(2L, 2L))
+    ).toDF("id", "v")
+    val first = KMeans.fit(df, col("v"), col("id"), k = 2, iters = 1)
+    assert(first.map(_.toSeq).toSeq == Seq(Seq(0L, 0L), Seq(0L, 0L)))
+    val spread = KMeans.fit(df, col("v"), col("id"), k = 2, iters = 1, init = "spread")
+    assert(spread.map(_.toSeq).toSeq == Seq(Seq(0L, 0L), Seq(102L, 102L)))
+    // and one update from the spread seed lands the true cluster means
+    val trained = KMeans.fit(df, col("v"), col("id"), k = 2, iters = 2, init = "spread")
+    assert(trained.map(_.toSeq).sortBy(_.head).toSeq == Seq(Seq(0L, 0L), Seq(101L, 101L)))
+  }
+
   test("sliceCodebooks: dim must divide m; slices preserve order") {
     val cb = Pq.sliceCodebooks(Array(Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)), m = 2)
     assert(cb(0)(0).toSeq == Seq(1L, 2L) && cb(1)(1).toSeq == Seq(7L, 8L))
