@@ -1552,6 +1552,16 @@ object SparkEntry {
       val exact = quant.select(col("vec_id"), Pq.l2Dist(col("qv"), query).as("d"))
         .orderBy(col("d"), col("vec_id")).limit(25)
       Recall.atK(approx, col("id"), exact, col("vec_id"), k = 25)
+    }),
+    // ---- bigram LM quality score (q79's order-sensitive sibling):
+    // add-one smoothed P(t|p) from the even-doc reference corpus
+    "q112_bigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps
+        .bigramLogProb(docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 2 === 0), col("text"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id")
     })
   )
 
@@ -3069,6 +3079,24 @@ object SparkEntry {
         |SELECT CAST(25 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
         |       CAST(count(*) AS BIGINT) / CAST(25 AS DOUBLE) AS recall
         |FROM ap JOIN ex USING (vec_id)""".stripMargin,
+    // parallel unnest zips the shifted token slices into (p, t) pairs;
+    // V = ref vocab + 1 (OOV slot), round(…, 6) on both engines (ln)
+    "q112_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |rp AS (SELECT unnest(tk[1:len(tk)-1]) AS p, unnest(tk[2:len(tk)]) AS t
+        |       FROM tk WHERE doc_id % 2 = 0 AND len(tk) >= 2),
+        |c2 AS (SELECT p, t, count(*) AS c2 FROM rp GROUP BY p, t),
+        |c1 AS (SELECT unnest(tk) AS p FROM tk WHERE doc_id % 2 = 0),
+        |c1g AS (SELECT p, count(*) AS c1 FROM c1 GROUP BY p),
+        |v AS (SELECT count(*) + 1 AS v FROM c1g),
+        |dp AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS p, unnest(tk[2:len(tk)]) AS t
+        |       FROM tk WHERE len(tk) >= 2),
+        |sc AS (SELECT dp.doc_id,
+        |         -ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1g.c1, 0) + (SELECT v FROM v))) AS nll
+        |       FROM dp LEFT JOIN c2 ON c2.p = dp.p AND c2.t = dp.t
+        |               LEFT JOIN c1g ON c1g.p = dp.p)
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS npairs, round(avg(nll), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

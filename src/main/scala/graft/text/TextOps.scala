@@ -501,6 +501,46 @@ object TextOps {
         avg(-log((coalesce(col("c"), lit(0L)) + lit(1.0)) / lit(denom))).as("score"))
   }
 
+  /** Add-one-smoothed BIGRAM LM score — the KenLM-shaped step up from
+    * [[unigramLogProb]] (CCNet's actual filter is an n-gram LM; the
+    * bigram is the smallest model where word ORDER moves the score):
+    * score = avg over the doc's adjacent token pairs of
+    * −ln((c₂(p,t)+1)/(c₁(p)+V)), with c₂/c₁ counted on `ref` and V =
+    * ref vocabulary + 1 (the OOV slot). Everything is codegen'd
+    * (slice + arrays_zip pair expansion, no UDF); the pair/unigram
+    * count tables are vocabulary²-bounded and join back on token keys
+    * (broadcast under AQE for real vocabularies); one bounded driver
+    * action reads V. Docs with <2 tokens emit no row.
+    * Output: (id, npairs, score) — round before cross-engine compares
+    * (ln, like q79). */
+  def bigramLogProb(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      ref: DataFrame,
+      refText: Column
+  ): DataFrame = {
+    def pairs(t: Column): Column = {
+      val tk = tokens(t)
+      arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1))
+    }
+    val refPairs = ref.select(explode(pairs(refText)).as("pr"))
+      .select(col("pr.0").as("p"), col("pr.1").as("t"))
+    val c2 = refPairs.groupBy("p", "t").agg(count(lit(1)).as("c2"))
+    val c1 = ref.select(explode(tokens(refText)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c1"))
+    val v = c1.count() + 1L // vocab + OOV slot — bounded driver action
+    docs.select(id.cast("long").as("id"), explode(pairs(text)).as("pr"))
+      .select(col("id"), col("pr.0").as("p"), col("pr.1").as("t"))
+      .join(c2, Seq("p", "t"), "left")
+      .join(c1, Seq("p"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("npairs"),
+        avg(-log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))).as("score"))
+  }
+
   // ---------------------------------------------------------------------
   // PII screening (corpus-curation: detect / redact before training)
   // ---------------------------------------------------------------------

@@ -858,6 +858,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got(0)._3 < got(1)._3)
   }
 
+  test("bigramLogProb: add-one-smoothed pair NLL equals the driver brute force; word order moves the score") {
+    val ref = Seq((10L, "a b c"), (11L, "a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),      // seen pair
+      (2L, "b a"),      // REVERSED — unseen pair, same tokens
+      (3L, "single"),   // <2 tokens -> no row
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(score, col("text"), col("doc_id"), ref, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .sortBy(_._1).toSeq
+    // ref: c2(a,b)=2, c2(b,c)=1, c2(b,d)=1; c1(a)=2, c1(b)=2, c1(c)=1, c1(d)=1; V=4+1=5
+    def nll(c2: Long, c1: Long) = -math.log((c2 + 1.0) / (c1 + 5.0))
+    assert(got == Seq(
+      (1L, 1L, math.round(nll(2, 2) / 1 * 1e6)),
+      (2L, 1L, math.round(nll(0, 2) / 1 * 1e6))))
+    // order sensitivity: the seen order scores strictly lower NLL
+    assert(got(0)._3 < got(1)._3)
+  }
+
   test("linearScore: sum of token weights, OOV weight 0, repeats counted, null text -> null") {
     val fx = Seq(
       (1L, "data spark data"),   // 3+5+3 = 11
