@@ -1562,6 +1562,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), col("text"))
         .withColumn("score", round(col("score"), 6))
         .orderBy("id")
+    }),
+    // ---- tokenizer apply: docs encoded to vocab-rank token ids (UNK=0);
+    // the ids array is pinned via order-sensitive integer checksums
+    "q113_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.tokenIds(docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 2 === 0), col("text"), vocabSize = 100)
+        .select(col("id"), col("ntok"), col("oov"),
+          posexplode(col("ids")).as(Seq("p", "tid")))
+        .groupBy("id")
+        .agg(max("ntok").as("ntok"), max("oov").as("oov"),
+          sum("tid").as("ids_sum"),
+          sum(col("tid") * (col("p") + 1)).as("ids_possum"))
+        .orderBy("id")
     })
   )
 
@@ -3097,6 +3111,23 @@ object SparkEntry {
         |               LEFT JOIN c1g ON c1g.p = dp.p)
         |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS npairs, round(avg(nll), 6) AS score
         |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin,
+    // vocab = top-100 ref tokens by (count desc, tok); parallel unnest
+    // zips tokens with 1-based positions; UNK id 0
+    "q113_token_ids" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |rtok AS (SELECT unnest(tk) AS tok FROM tk WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT tok, count(*) AS c FROM rtok GROUP BY tok),
+        |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS tid
+        |          FROM cnt QUALIFY tid <= 100),
+        |dt AS (SELECT doc_id, unnest(tk) AS tok,
+        |              unnest(generate_series(1, len(tk))) AS p FROM tk),
+        |j AS (SELECT dt.doc_id, dt.p, COALESCE(v.tid, 0) AS tid
+        |      FROM dt LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS ntok,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  CAST(sum(tid) AS BIGINT) AS ids_sum,
+        |  CAST(sum(tid * p) AS BIGINT) AS ids_possum
+        |FROM j GROUP BY doc_id ORDER BY id""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

@@ -541,6 +541,45 @@ object TextOps {
           (coalesce(col("c1"), lit(0L)) + lit(v.toDouble)))).as("score"))
   }
 
+  /** Encode documents to TOKEN IDS against a frequency-ranked word
+    * vocabulary — the tokenizer-apply step between curation and sequence
+    * packing (ids are what [[graft.stats.Packing]]'s bins ultimately
+    * carry): vocab = the `vocabSize` most frequent `ref` tokens ranked
+    * (count desc, token asc), id = rank (1-based), everything else = 0
+    * (the UNK id). One corpus explode joined to the vocabulary-bounded
+    * rank table (broadcast under AQE), reassembled in token order with a
+    * deterministic sort-within-group — no UDF anywhere.
+    * Output: (id, ids array<long> in document order, ntok, oov). Docs
+    * with no tokens emit no row. */
+  def tokenIds(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      ref: DataFrame,
+      refText: Column,
+      vocabSize: Int
+  ): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = ref.select(explode(tokens(refText)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .filter(col("tid") <= vocabSize)
+      .select("tok", "tid")
+    docs.select(id.cast("long").as("id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .join(vocab, Seq("tok"), "left")
+      .select(col("id"), col("pos"), coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy("id")
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("tid")))).as("_pt"),
+        count(lit(1)).cast("long").as("ntok"),
+        sum((col("tid") === 0L).cast("long")).as("oov"))
+      // array-of-struct field extraction is a NATIVE GetArrayStructFields
+      // (codegen'd) — no HOF in the reassembly
+      .select(col("id"), col("_pt.tid").as("ids"), col("ntok"), col("oov"))
+  }
+
   // ---------------------------------------------------------------------
   // PII screening (corpus-curation: detect / redact before training)
   // ---------------------------------------------------------------------

@@ -878,6 +878,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got(0)._3 < got(1)._3)
   }
 
+  test("tokenIds: frequency-rank vocabulary, document order preserved, UNK=0, vocab cutoff") {
+    val ref = Seq((10L, "b b b a a c")).toDF("doc_id", "text")
+    // ranks: b=1 (3×), a=2 (2×), c=3 (1×) — but vocabSize=2 cuts c to UNK
+    val docs = Seq(
+      (1L, "a b a"),      // ids (2,1,2) in order
+      (2L, "c zzz b"),    // c cut + OOV -> (0,0,1), oov=2
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenIds(docs, col("text"), col("doc_id"), ref, col("text"), vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq(2L, 1L, 2L), 3L, 0L),
+      (2L, Seq(0L, 0L, 1L), 3L, 2L)))
+  }
+
   test("linearScore: sum of token weights, OOV weight 0, repeats counted, null text -> null") {
     val fx = Seq(
       (1L, "data spark data"),   // 3+5+3 = 11
