@@ -1576,6 +1576,19 @@ object SparkEntry {
           sum("tid").as("ids_sum"),
           sum(col("tid") * (col("p") + 1)).as("ids_possum"))
         .orderBy("id")
+    }),
+    // ---- batch kNN join against the IVF-PQ store: queries 11 and 42,
+    // nprobe=2, top-10 per query by (adist, id)
+    "q114_ivfpq_knn_join" -> ((s, dir) => {
+      import graft.ann.Pq
+      val (quant, coarse, cbs) = pqFixture(s, dir)
+      val path = ivfPqStore(s, dir)
+      val qs = quant.filter(col("vec_id").isin(11L, 42L))
+      Pq.ivfPqKnnJoin(s, qs, col("qv"), col("vec_id"), path, coarse, cbs,
+          k = 10, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("qid", "rank")
     })
   )
 
@@ -3128,6 +3141,55 @@ object SparkEntry {
         |  CAST(sum(tid) AS BIGINT) AS ids_sum,
         |  CAST(sum(tid * p) AS BIGINT) AS ids_possum
         |FROM j GROUP BY doc_id ORDER BY id""".stripMargin,
+    // the q110 machinery with a 2-row query side: cells and ADC tables
+    // keyed by qid; top-10 per qid by (adist, vec_id)
+    "q114_ivfpq_knn_join" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS cell, q AS cq FROM e WHERE vec_id < 4),
+        |ad AS (SELECT e.vec_id, co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (q[j]-cq[j])*(q[j]-cq[j]))) AS BIGINT) AS dd
+        |       FROM e, co),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - co.cq[j]) AS r
+        |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN co ON co.cell = a.cell),
+        |cbv AS (SELECT e.vec_id - 4 AS code,
+        |          list_transform(generate_series(1, 64), j -> e.q[j] - z.q[j]) AS w
+        |        FROM e, (SELECT q FROM e WHERE vec_id = 0) z WHERE e.vec_id BETWEEN 4 AND 7),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |qq AS (SELECT vec_id AS qid, q FROM e WHERE vec_id IN (11, 42)),
+        |enc0 AS (SELECT res.vec_id, res.cell, ss.s, cbv.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 8),
+        |             j -> (r[s*8+j] - w[s*8+j])*(r[s*8+j] - w[s*8+j]))) AS BIGINT) AS dd
+        |         FROM res, ss, cbv),
+        |enc AS (SELECT vec_id, cell, s, code FROM (
+        |  SELECT vec_id, cell, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qc AS (SELECT qq.qid, co.cell,
+        |         CAST(list_sum(list_transform(generate_series(1, 64),
+        |           j -> (qq.q[j]-co.cq[j])*(qq.q[j]-co.cq[j]))) AS BIGINT) AS dd
+        |       FROM co, qq),
+        |cells AS (SELECT qid, cell FROM (
+        |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY dd, cell) AS rn FROM qc)
+        |  WHERE rn <= 2),
+        |tab AS (SELECT cl.qid, cl.cell, ss.s, cbv.code,
+        |          CAST(list_sum(list_transform(generate_series(1, 8),
+        |            j -> ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]) * ((qq.q[s*8+j]-co.cq[s*8+j]) - w[s*8+j]))) AS BIGINT) AS dd
+        |        FROM cells cl, co, ss, cbv, qq
+        |        WHERE co.cell = cl.cell AND qq.qid = cl.qid),
+        |cand AS (SELECT cl.qid, en.vec_id, CAST(sum(t.dd) AS BIGINT) AS adist
+        |         FROM enc en JOIN cells cl ON cl.cell = en.cell
+        |         JOIN tab t ON t.qid = cl.qid AND t.cell = en.cell AND t.s = en.s AND t.code = en.code
+        |         GROUP BY cl.qid, en.vec_id)
+        |SELECT qid, vec_id, adist, rank FROM (
+        |  SELECT qid, vec_id, adist,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rank
+        |  FROM cand) WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // q90's shingle machinery, keyed by (bench_id, gram); inner join keeps
     // only contaminated pairs
     "q101_contamination_attribution" ->

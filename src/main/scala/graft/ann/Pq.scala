@@ -201,6 +201,64 @@ object Pq {
       .orderBy(col("adist"), col("id"))
   }
 
+  /** Batch kNN JOIN against a [[writeIvfPq]] store — the PQ sibling of
+    * [[Ann.knnJoinIvf]]: each query row is assigned its nprobe nearest
+    * cells (row-local kernel over the broadcast coarse centroids),
+    * exploded, and equi-joined on the store's `cluster` partition column;
+    * the probed cell union (bounded by the centroid count) is collected
+    * and pushed as an explicit `cluster IN (...)` partition filter. The
+    * per-candidate distance is the SAME value the single-query ADC table
+    * produces — Σ_s ‖(q − centroid)_s − word(codes_s)‖², computed by one
+    * primitive kernel over (query vector, cell, codes), so the batch path
+    * needs no per-query driver tables. Top-k per query by (adist, id).
+    * Output: (qid, id, adist, rank), rank 1..k. */
+  def ivfPqKnnJoin(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      qvec: Column, qid: Column, path: String, coarse: Array[Array[Long]],
+      codebooks: Codebooks, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive: $k")
+    val cs = coarse
+    val cb = codebooks
+    val m = cb.length
+    val sd = cb(0)(0).length
+    val np = math.min(nprobe, coarse.length)
+    val cellsU = udf { (v: Seq[Long]) =>
+      cs.indices.map { c =>
+        val cv = cs(c); var dd = 0L; var j = 0
+        while (j < cv.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        (dd, c)
+      }.sorted.take(np).map(_._2.toLong)
+    }
+    val probes = queries
+      .select(qid.cast("long").as("qid"), qvec.as("_qv"))
+      .withColumn("cluster", explode(cellsU(col("_qv"))))
+    val probedCells = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)) // bounded by the coarse centroid count
+    val store = spark.read.parquet(path)
+      .filter(col("cluster").isin(probedCells: _*)) // partition pruning
+      .select(col("id"), col("cluster").cast("long").as("cluster"), col("codes"))
+    val adcU = udf { (qv: Seq[Long], cell: Long, codes: Seq[Long]) =>
+      val cv = cs(cell.toInt)
+      var acc = 0L; var s = 0
+      while (s < m) {
+        val w = cb(s)(codes(s).toInt)
+        var j = 0
+        while (j < sd) {
+          val t = qv(s * sd + j) - cv(s * sd + j) - w(j)
+          acc += t * t; j += 1
+        }
+        s += 1
+      }
+      acc
+    }
+    probes.join(store, Seq("cluster"))
+      .select(col("qid"), col("id"),
+        adcU(col("_qv"), col("cluster"), col("codes")).as("adist"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("adist"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact integer squared L2 distance to one query — the uncompressed
     * ground truth the ADC scan approximates; pairs with [[adcDist]] for
     * re-ranking and with [[Recall.atK]] for probe quality measurement. */

@@ -382,6 +382,22 @@ class PlanSpec extends SparkSpec {
       s"tf/df counts must map-side combine:\n$plan")
   }
 
+  test("bigramLogProb / tokenIds plans: equi-joins only, map-side-combined counts") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 5} end"))
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    for (out <- Seq(
+      graft.text.TextOps.bigramLogProb(docs, col("text"), col("doc_id"), ref, col("text")),
+      graft.text.TextOps.tokenIds(docs, col("text"), col("doc_id"), ref, col("text"), 5))) {
+      val plan = executedPlan(out)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"LM/vocab joins must be equi-joins:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial count"),
+        s"count tables must map-side combine:\n$plan")
+    }
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))

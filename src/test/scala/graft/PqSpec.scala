@@ -113,6 +113,40 @@ class PqSpec extends SparkSpec {
     assert(d == 25L)
   }
 
+  test("ivfPqKnnJoin: per-query adist equals the single-probe ADC values; partition filter fires") {
+    import java.nio.file.Files
+    val coarse = Array(Array(0L, 0L, 0L, 0L), Array(1000L, 1000L, 1000L, 1000L))
+    val cbs: Pq.Codebooks = Array(
+      Array(Array(0L, 0L), Array(7L, 7L)),
+      Array(Array(0L, 0L), Array(-7L, -7L)))
+    val df = Seq(
+      (1L, Seq(0L, 0L, 0L, 0L)), (2L, Seq(7L, 7L, -7L, -7L)),
+      (3L, Seq(1000L, 1000L, 1000L, 1000L)), (4L, Seq(1007L, 1007L, 993L, 993L))
+    ).toDF("id", "v")
+    val path = Files.createTempDirectory("graft_ivfpqknn").toString + "/store"
+    Pq.writeIvfPq(df, col("v"), col("id"), path, coarse, cbs)
+    val queries = df.filter(col("id").isin(2L, 4L))
+    val out = Pq.ivfPqKnnJoin(spark, queries, col("v"), col("id"), path, coarse, cbs,
+      k = 2, nprobe = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"store scan must carry a cluster partition filter:\n$plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // each query's top-1 is itself at adist 0 (its residual IS a codebook
+    // word pair); the single-probe path must agree on every pair
+    assert(got.map(t => (t._1, t._2, t._4)).filter(_._3 == 1) ==
+      Seq((2L, 2L, 1), (4L, 4L, 1)))
+    for (qid <- Seq(2L, 4L)) {
+      val q = df.filter(col("id") === qid).select("v").head().getSeq[Long](0).toArray
+      val single = Pq.ivfPqProbe(spark, path, q, coarse, cbs, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      got.filter(_._1 == qid).foreach { case (_, id, adist, _) =>
+        assert(single(id) == adist, s"batch vs single mismatch for q=$qid id=$id")
+      }
+    }
+  }
+
   test("spread init seeds distinct centroids where first-k init seeds duplicates") {
     import graft.ann.KMeans
     // the k=2 smallest ids are IDENTICAL — first-k init duplicates them;
