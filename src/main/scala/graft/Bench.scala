@@ -806,6 +806,42 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, hits)
   }
 
+  /** Scaling workload — tokenizer apply (q113 machinery): the bpe
+    * synthetic corpus (n docs × 20 words, ~36k skewed vocab) encoded to
+    * token ids against a 10k-rank vocabulary derived from the corpus
+    * itself. Exercises the full shape: explode → vocab-bounded rank
+    * window → token-keyed join → per-doc ordered reassembly
+    * (array_sort(collect_list) + native field extraction). The timed
+    * consumer sums the position-weighted checksum so the reassembly
+    * cannot be pruned. Returns (docs, seconds, totalOov). */
+  def tokenIdsThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val wordsPerDoc = 20
+    val genU = udf { (id: Long) =>
+      val sb = new java.lang.StringBuilder(160)
+      var j = 0
+      while (j < wordsPerDoc) {
+        val h = java.lang.Long.rotateLeft(id * 2654435761L + j * 40503L, 17)
+        val r = java.lang.Math.floorMod(h, 6000000L)
+        val rank = r * r / 1000000000L
+        sb.append('w').append(java.lang.Long.toString(rank, 36))
+        if (j < wordsPerDoc - 1) sb.append(' ')
+        j += 1
+      }
+      sb.toString
+    }
+    val docs = spark.range(0, n, 1, slices)
+      .select(col("id").as("doc_id"), genU(col("id")).as("text"))
+    val t0 = System.nanoTime()
+    val enc = graft.text.TextOps.tokenIds(docs, col("text"), col("doc_id"),
+      docs, col("text"), vocabSize = 10000)
+    val r = enc
+      .select(col("oov"), posexplode(col("ids")).as(Seq("p", "tid")))
+      .agg(sum(col("tid") * (col("p") + 1)),
+        sum(when(col("p") === 0, col("oov")).otherwise(0L))).head()
+    (n, (System.nanoTime() - t0) / 1e9, r.getLong(1))
+  }
+
   def lineDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
     val docs = spark

@@ -61,6 +61,7 @@ object ScalePoint {
       case "pq"            => Bench.pqThroughput(spark, rows)
       case "pqbrute"       => Bench.pqThroughput(spark, rows, brute = true)
       case "pqrecall"      => Bench.pqRecallThroughput(spark, rows)
+      case "tokenids"      => Bench.tokenIdsThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup
