@@ -223,7 +223,8 @@ object Pq {
     val sd = cb(0)(0).length
     val np = math.min(nprobe, coarse.length)
     val cellsU = udf { (v: Seq[Long]) =>
-      cs.indices.map { c =>
+      if (v == null) Seq.empty[Long] // null queries are not probeable: emit no cells
+      else cs.indices.map { c =>
         val cv = cs(c); var dd = 0L; var j = 0
         while (j < cv.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
         (dd, c)

@@ -145,6 +145,10 @@ class PqSpec extends SparkSpec {
         assert(single(id) == adist, s"batch vs single mismatch for q=$qid id=$id")
       }
     }
+    // a null query vector probes nothing instead of crashing the job
+    val withNull = Seq((9L, null.asInstanceOf[Seq[Long]])).toDF("id", "v")
+    assert(Pq.ivfPqKnnJoin(spark, withNull, col("v"), col("id"), path, coarse, cbs,
+      k = 2, nprobe = 1).count() == 0L)
   }
 
   test("spread init seeds distinct centroids where first-k init seeds duplicates") {
