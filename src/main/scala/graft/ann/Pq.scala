@@ -152,6 +152,25 @@ object Pq {
       .filter(col("_a").isNotNull)
       .select(col("id"), col("_a._1").as("cluster"), col("_a._2").as("codes"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // persist the quantizers next to the data (underscore file — invisible
+    // to the parquet reader), the Ann.writeIvfBucketed discipline: a probe
+    // must use the EXACT arrays the store was encoded under
+    val txt = (cs.map(_.mkString(",")).mkString(";") +: cb.map(sub =>
+      sub.map(_.mkString(",")).mkString(";"))).mkString("\n")
+    java.nio.file.Files.writeString(quantizerFile(path).toPath, txt)
+  }
+
+  private def quantizerFile(path: String) =
+    new java.io.File(path, "_pq_quantizers.txt")
+
+  /** Read back the (coarse centroids, codebooks) persisted by
+    * [[writeIvfPq]] — line 1 = coarse (`;`-separated vectors of
+    * `,`-separated longs), lines 2..m+1 = one codebook per subspace. */
+  def readQuantizers(path: String): (Array[Array[Long]], Codebooks) = {
+    val lines = java.nio.file.Files.readString(quantizerFile(path).toPath).split('\n')
+    def parse(l: String): Array[Array[Long]] =
+      l.split(';').map(_.split(',').map(_.toLong))
+    (parse(lines(0)), lines.drop(1).map(parse))
   }
 
   /** Probe an [[writeIvfPq]] store: rank cells by integer distance to the

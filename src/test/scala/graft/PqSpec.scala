@@ -149,6 +149,10 @@ class PqSpec extends SparkSpec {
     val withNull = Seq((9L, null.asInstanceOf[Seq[Long]])).toDF("id", "v")
     assert(Pq.ivfPqKnnJoin(spark, withNull, col("v"), col("id"), path, coarse, cbs,
       k = 2, nprobe = 1).count() == 0L)
+    // the store persists its quantizers — a probe can rehydrate them
+    val (rc, rcb) = Pq.readQuantizers(path)
+    assert(rc.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    assert(rcb.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   test("spread init seeds distinct centroids where first-k init seeds duplicates") {
