@@ -1589,6 +1589,56 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .withColumnRenamed("id", "vec_id")
         .orderBy("qid", "rank")
+    }),
+    // ---- DSIR importance scoring (Xie et al. 2023): per-doc log-importance
+    // of a deterministic "target" slice (doc_id%7==0) against the rest of
+    // the corpus as "raw", exact string n-gram features (buckets=0, the
+    // oracle path — hashed buckets are the scale path, spec-tested)
+    "q115_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirScore(docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 7 === 0), col("text"),
+          docs.filter(col("doc_id") % 7 =!= 0), col("text"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id")
+    }),
+    // ---- URL canonicalization + URL-keyed dedup (C4's first dedup axis):
+    // five deterministic surface variants per doc (host case, www + trailing
+    // slash, default port + tracking query, fragment, plain) that all
+    // canonicalize to scheme+host+path; groups = (doc_id%37, doc_id%11) cells
+    "q116_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = (col("doc_id") % 37).cast("string")
+      val p = (col("doc_id") % 11).cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("http://EXAMPLE"), k, lit(".COM/page/"), p))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://www.example"), k, lit(".com/page/"), p, lit("/")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://example"), k, lit(".com:80/page/"), p,
+            lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://example"), k, lit(".com/page/"), p,
+            lit("#frag"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("http://example"), k, lit(".com/page/"), p))
+      TextOps.urlDedup(docs.select(col("doc_id"), url.as("url")), col("url"), col("doc_id"))
+        .orderBy("curl")
+    }),
+    // ---- HTML boilerplate strip: deterministic HTML wrapping (script body
+    // with a bare '<' inside, style, comment, entities incl. the &amp;lt;
+    // double-decode trap) around the base text; output = visible text
+    "q117_html_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var a = 1 < 2 && \"x\";</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden "), col("doc_id").cast("string"),
+        lit(" --><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &amp;lt; &nbsp;end</p></body></html>"))
+      docs.select(col("doc_id"), TextOps.htmlText(html).as("txt"))
+        .withColumn("ntok", TextOps.tokenCount(col("txt")).cast("long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3206,7 +3256,69 @@ object SparkEntry {
         |       round(CAST(count(*) AS DOUBLE)/c.ngrams, 6) AS frac
         |FROM corpus c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id, b.bench_id, c.ngrams
-        |ORDER BY c.doc_id, b.bench_id""".stripMargin
+        |ORDER BY c.doc_id, b.bench_id""".stripMargin,
+    // unigram+bigram features on both model sides and the scored corpus;
+    // ONE shared smoothed-log-ratio expression covers in-vocab and OOV rows
+    // (t/r coalesce to 0), exactly as the engine computes it; ln -> round 6
+    // (the q79 discipline)
+    "q115_dsir_score" ->
+      """WITH tks AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS tk FROM documents),
+        |feat AS (
+        |  SELECT doc_id, unnest(tk) AS f FROM tks
+        |  UNION ALL
+        |  SELECT doc_id, p || ' ' || t AS f FROM (
+        |    SELECT doc_id, unnest(tk[1:len(tk)-1]) AS p, unnest(tk[2:len(tk)]) AS t
+        |    FROM tks WHERE len(tk) >= 2)),
+        |tcnt AS (SELECT f, count(*) AS t FROM feat WHERE doc_id % 7 = 0 GROUP BY f),
+        |rcnt AS (SELECT f, count(*) AS r FROM feat WHERE doc_id % 7 <> 0 GROUP BY f),
+        |model AS (SELECT coalesce(tc.f, rc.f) AS f, coalesce(tc.t, 0) AS t, coalesce(rc.r, 0) AS r
+        |          FROM tcnt tc FULL OUTER JOIN rcnt rc ON tc.f = rc.f),
+        |tot AS (SELECT sum(t) + count(*) + 1 AS tden, sum(r) + count(*) + 1 AS rden FROM model),
+        |sc AS (SELECT fe.doc_id,
+        |         ln((coalesce(m.t, 0) + 1.0) / (SELECT tden FROM tot))
+        |       - ln((coalesce(m.r, 0) + 1.0) / (SELECT rden FROM tot)) AS w
+        |       FROM feat fe LEFT JOIN model m ON m.f = fe.f)
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS nfeat, round(sum(w), 6) AS score
+        |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin,
+    // the engine's canonicalization chain restated step for step (DuckDB
+    // regexp_replace is first-match by default — every pattern here matches
+    // at most once, so Spark's always-global semantics coincide; backrefs
+    // are \1 in RE2 vs $1 in Java, same meaning)
+    "q116_url_dedup" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'http://EXAMPLE' || (doc_id % 37) || '.COM/page/' || (doc_id % 11)
+        |    WHEN 1 THEN 'http://www.example' || (doc_id % 37) || '.com/page/' || (doc_id % 11) || '/'
+        |    WHEN 2 THEN 'http://example' || (doc_id % 37) || '.com:80/page/' || (doc_id % 11) || '?utm_source=feed&ref=' || doc_id
+        |    WHEN 3 THEN 'http://example' || (doc_id % 37) || '.com/page/' || (doc_id % 11) || '#frag' || doc_id
+        |    ELSE 'http://example' || (doc_id % 37) || '.com/page/' || (doc_id % 11) END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '[?#].*', '') AS u FROM u),
+        |c2 AS (SELECT doc_id, lower(regexp_extract(u, '(?i)^(https?://[^/]*)', 1))
+        |                      || regexp_replace(u, '(?i)^https?://[^/]*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |         '^(http://[^/:]+):80(/|$)', '\1\2'), '^(https://[^/:]+):443(/|$)', '\1\2') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(u, '/$', '') AS curl FROM c4)
+        |SELECT curl, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dups
+        |FROM c5 GROUP BY curl ORDER BY curl""".stripMargin,
+    // the extraction chain restated step for step; 'g' flags make DuckDB's
+    // replaces global like Spark's; entity decode order identical (&amp;
+    // LAST so &amp;lt; stays &lt;)
+    "q117_html_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style><script type="text/javascript">var a = 1 < 2 && "x";</script></head><body><h1>Doc '
+        |  || doc_id || '</h1><p>' || text || '</p><!-- hidden ' || doc_id
+        |  || ' --><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &amp;lt; &nbsp;end</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s4),
+        |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt FROM s5)
+        |SELECT doc_id, txt, CAST(len(string_split_regex(trim(txt), '\s+')) AS BIGINT) AS ntok
+        |FROM s6 ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

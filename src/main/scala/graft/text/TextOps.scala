@@ -843,6 +843,71 @@ object TextOps {
       .groupBy("domain")
       .agg(countDistinct(col("doc_id")).as("docs"))
 
+  /** Canonical URL — the normalization every URL-keyed web dedup runs first
+    * (C4 keeps one page per URL; crawl frontiers canonicalize before
+    * enqueueing): scheme+host lowercased, a leading `www.` dropped, the
+    * default port (`:80` http / `:443` https) dropped, query string and
+    * fragment dropped entirely (the scheme+host+path canonical form —
+    * tracking params make per-param surgery a losing game), and a trailing
+    * slash dropped. Pure codegen'd regexp chain, one projection, no UDF;
+    * every pattern is RE2-and-Java compatible (no lookaround) so a SQL
+    * oracle restates the chain verbatim. Strings without an http(s) scheme
+    * pass through with only query/fragment/trailing-slash trimmed. URLs are
+    * assumed single-line (`.*` stops at a newline in both engines). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noQf = regexp_replace(url, "[?#].*", "")
+    // lower() covers scheme AND host in one move; path case is significant
+    val schemeHost = "(?i)^(https?://[^/]*)"
+    val joined = concat(
+      lower(regexp_extract(noQf, schemeHost, 1)),
+      regexp_replace(noQf, schemeHost, ""))
+    val noWww = regexp_replace(joined, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:]+):80(/|$)", "$1$2"),
+      "^(https://[^/:]+):443(/|$)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** URL-keyed exact dedup: one row per canonical URL with the winning
+    * (minimum) id and the duplicate count — provenance-level dedup, the
+    * cheapest and first dedup axis of a web pipeline (C4, Raffel et al.
+    * 2020 §2.2 keep one page per URL). One shuffle on the canonical-url
+    * key with map-side partial aggregation; at 100 TB swap the string key
+    * for `xxhash64(curl)` (the q28 fingerprint discipline) to bound the
+    * exchange at 8 bytes/row — semantics identical modulo 64-bit hash
+    * collisions. */
+  def urlDedup(corpus: DataFrame, url: Column, id: Column): DataFrame =
+    corpus.select(canonicalizeUrl(url).as("curl"), id.cast("long").as("id"))
+      .groupBy("curl")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("dups"))
+
+  // ---------------------------------------------------------------------
+  // HTML text extraction (the boilerplate-strip step ahead of every
+  // text-quality kernel when the corpus is raw crawl HTML)
+  // ---------------------------------------------------------------------
+
+  /** Visible text of an HTML payload: script/style blocks and comments
+    * removed, all tags stripped, the six ubiquitous character entities
+    * decoded (`&amp;` LAST, so `&amp;lt;` yields the literal `&lt;` and
+    * never double-decodes), whitespace collapsed and trimmed. A
+    * regex-level extractor — the deterministic, distributable core of what
+    * trafilatura/jusText do with a DOM; good enough for quality scoring
+    * and dedup keys, not a browser. One codegen'd projection (regexp chain
+    * + literal `replace`s), no UDF, no shuffle; patterns are RE2-and-Java
+    * compatible (inline `(?is)` flags, non-greedy block bodies, no
+    * lookaround) so a SQL oracle restates the chain verbatim. */
+  def htmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---------------------------------------------------------------------
   // Intra-document repetition (Gopher-style quality filters)
   // ---------------------------------------------------------------------
@@ -877,5 +942,87 @@ object TextOps {
       }
     }
     u(text).cast("struct<total:long,distinct:long,top:long>")
+  }
+
+  // ---------------------------------------------------------------------
+  // DSIR-style importance scoring (target-vs-raw n-gram importance weights)
+  // ---------------------------------------------------------------------
+
+  /** One row per unigram AND adjacent-bigram feature of `text`, keyed by the
+    * `keep` columns; bigram features are the two tokens joined by one space.
+    * Everything codegen'd (slice + arrays_zip + concat_ws, no HOF/UDF); docs
+    * whose token array is empty emit nothing, single-token docs emit only
+    * their unigram. */
+  private def ngramFeatureRows(df: DataFrame, text: Column, keep: Seq[String]): DataFrame = {
+    val base = df.select(keep.map(col) :+ text.as("_txt"): _*)
+    val tk = tokens(col("_txt"))
+    val uni = base.select(keep.map(col) :+ explode(tk).as("f"): _*)
+    val bi = base
+      .select(keep.map(col) :+ explode(
+        arrays_zip(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1))).as("_pr"): _*)
+      .select(keep.map(col) :+ concat_ws(" ", col("_pr.0"), col("_pr.1")).as("f"): _*)
+    uni.unionAll(bi)
+  }
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance weight of a TARGET distribution (e.g. wiki/books)
+    * against the RAW crawl distribution, under add-one-smoothed bag-of-
+    * n-gram (unigram + bigram) multinomials:
+    *
+    *   score(doc) = Σ_f c_f · [ ln((t_f+1)/(T+V)) − ln((r_f+1)/(R+V)) ]
+    *
+    * with t_f/r_f the feature counts in target/raw, T/R their totals, and
+    * V = |union vocabulary| + 1 (the OOV slot). High scores = target-like
+    * docs; resampling keeps the top of the distribution. OOV features get
+    * the same expression at t=r=0 — the arithmetic is one shared formula,
+    * so a SQL oracle restates it verbatim (round before cross-engine
+    * compares — ln, like q79).
+    *
+    * `buckets = 0` keeps exact string features — the oracle path, and fine
+    * whenever the n-gram vocabulary fits a shuffle (it is corpus-bounded,
+    * not doc-bounded). `buckets > 0` is THE DSIR scale move: features hash
+    * into a fixed-size table (`xxhash64 % buckets`), so the model is
+    * exactly `buckets` rows — broadcastable at any corpus size — and the
+    * scoring pass is one explode + broadcast join + map-side-combinable
+    * sum, no matter how large the raw side grows. Hashing only coarsens
+    * the estimate (collisions pool counts), it never changes the shape.
+    *
+    * Scale shape: two feature-keyed count aggregations (map-side combined)
+    * build the model; ONE bounded driver action reads (T, R, V); scoring
+    * explodes the corpus once and joins the model (broadcast under AQE —
+    * always, when bucketed). Output: (id, nfeat, score), docs with no
+    * tokens emit no row. */
+  def dsirScore(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      target: DataFrame,
+      targetText: Column,
+      raw: DataFrame,
+      rawText: Column,
+      buckets: Int = 0
+  ): DataFrame = {
+    def bucketed(f: DataFrame): DataFrame =
+      if (buckets <= 0) f
+      else f.withColumn("f", pmod(xxhash64(col("f")), lit(buckets.toLong)).cast("string"))
+    val tf = bucketed(ngramFeatureRows(target, targetText, Nil))
+      .groupBy("f").agg(count(lit(1)).as("t"))
+    val rf = bucketed(ngramFeatureRows(raw, rawText, Nil))
+      .groupBy("f").agg(count(lit(1)).as("r"))
+    val model = tf.join(rf, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("t"), lit(0L)).as("t"), coalesce(col("r"), lit(0L)).as("r"))
+    val head = model.agg(
+      coalesce(sum("t"), lit(0L)), coalesce(sum("r"), lit(0L)), count(lit(1))).head()
+    val tDen = (head.getLong(0) + head.getLong(2) + 1L).toDouble
+    val rDen = (head.getLong(1) + head.getLong(2) + 1L).toDouble
+    // the SAME expression covers in-vocab and OOV rows (t/r coalesce to 0
+    // after the left join) — one formula, oracle-restatable verbatim
+    val w = log((coalesce(col("t"), lit(0L)) + lit(1.0)) / lit(tDen)) -
+      log((coalesce(col("r"), lit(0L)) + lit(1.0)) / lit(rDen))
+    bucketed(ngramFeatureRows(docs.select(id.cast("long").as("id"), text.as("_t")), col("_t"), Seq("id")))
+      .join(model, Seq("f"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("nfeat"), sum(w).as("score"))
   }
 }

@@ -939,4 +939,103 @@ class TextDedupSpec extends SparkSpec {
     // "ab" pair: 2 (from abab) + 3 (from "ab" ×3 occurrences) = 5; "ba": 1
     assert(got == Seq(("ab", 5L), ("ba", 1L)))
   }
+
+  test("dsirScore: smoothed log-ratio equals the driver brute force; target-like > 0 > raw-like; OOV = 0") {
+    val target = Seq((10L, "a b"), (11L, "a c")).toDF("doc_id", "text")
+    val raw = Seq((20L, "x y"), (21L, "x a")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),                     // target-like (positive score)
+      (2L, "x y"),                     // raw-like (negative score)
+      (3L, "zzz"),                     // fully OOV -> w = ln(1/16)-ln(1/16) = 0
+      (4L, null.asInstanceOf[String])  // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.dsirScore(docs, col("text"), col("doc_id"), target, col("text"), raw, col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .sortBy(_._1).toSeq
+    // brute force: target counts a:2 b:1 c:1 "a b":1 "a c":1 (T=6);
+    // raw counts x:2 y:1 a:1 "x y":1 "x a":1 (R=6); union vocab 9 -> V=10
+    val tc = Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "a b" -> 1L, "a c" -> 1L)
+    val rc = Map("x" -> 2L, "y" -> 1L, "a" -> 1L, "x y" -> 1L, "x a" -> 1L)
+    def w(f: String) =
+      math.log((tc.getOrElse(f, 0L) + 1.0) / 16.0) - math.log((rc.getOrElse(f, 0L) + 1.0) / 16.0)
+    def sc(fs: String*) = math.round(fs.map(w).sum * 1e6)
+    assert(got == Seq(
+      (1L, 3L, sc("a", "b", "a b")),
+      (2L, 3L, sc("x", "y", "x y")),
+      (3L, 1L, 0L)))
+    assert(got(0)._3 > 0L && got(1)._3 < 0L)
+  }
+
+  test("dsirScore hashed buckets: buckets=1 pools everything (all scores 0); wide table keeps the ranking") {
+    val target = Seq((10L, "a b"), (11L, "a c")).toDF("doc_id", "text")
+    val raw = Seq((20L, "x y"), (21L, "x a")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "x y")).toDF("doc_id", "text")
+    // ONE bucket: t = T, r = R for every feature -> identical smoothed
+    // probabilities -> exactly 0.0 everywhere (nfeat preserved)
+    val pooled = TextOps.dsirScore(docs, col("text"), col("doc_id"),
+        target, col("text"), raw, col("text"), buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(pooled == Seq((1L, 3L, 0.0), (2L, 3L, 0.0)))
+    // wide hashed table: collisions only coarsen — the target-like doc still
+    // outranks the raw-like one, and the run is deterministic
+    val h1 = TextOps.dsirScore(docs, col("text"), col("doc_id"),
+        target, col("text"), raw, col("text"), buckets = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val h2 = TextOps.dsirScore(docs, col("text"), col("doc_id"),
+        target, col("text"), raw, col("text"), buckets = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(h1 == h2)
+    assert(h1.head._2 > h1(1)._2)
+  }
+
+  test("canonicalizeUrl: case/www/port/query/fragment/slash variants collapse; non-default port and https kept distinct") {
+    val fx = Seq(
+      (1L, "http://EXAMPLE.COM/Page/One"),
+      (2L, "http://www.example.com/Page/One/"),
+      (3L, "http://example.com:80/Page/One?utm_source=x&b=2#frag"),
+      (4L, "https://example.com:443/Page/One"),     // https canonical — different scheme, kept apart
+      (5L, "http://example.com:8080/Page/One"),     // non-default port survives
+      (6L, "not a url/"),                           // schemeless: only slash/query trims apply
+      (7L, "http://example.com/Page/One#only-frag")
+    ).toDF("id", "url")
+    val got = fx.select(col("id"), TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "http://example.com/Page/One"),
+      (2L, "http://example.com/Page/One"),
+      (3L, "http://example.com/Page/One"),
+      (4L, "https://example.com/Page/One"),
+      (5L, "http://example.com:8080/Page/One"),
+      (6L, "not a url"),
+      (7L, "http://example.com/Page/One")))
+  }
+
+  test("urlDedup: min-id winner and duplicate count per canonical URL") {
+    val fx = Seq(
+      (5L, "http://A.com/x"),
+      (2L, "http://www.a.com/x/"),
+      (9L, "http://a.com/x?utm_q=1"),
+      (3L, "http://b.com/y")
+    ).toDF("id", "url")
+    val got = TextOps.urlDedup(fx, col("url"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://a.com/x", 2L, 3L),
+      ("http://b.com/y", 3L, 1L)))
+  }
+
+  test("htmlText: script/style/comment blocks gone, tags stripped, entities decoded once, whitespace collapsed") {
+    val fx = Seq(
+      (1L, "<html><head><style>p{c:1}</style><script>if (1 < 2) { x(\"<b>\"); }</script></head>" +
+        "<body><h1>Title</h1><p>Hello   world</p><!-- secret --><p>A &amp; B &lt;3 &amp;lt; &nbsp;.</p></body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "<p>multi</p>\n<p>line</p>")
+    ).toDF("id", "html")
+    val got = fx.select(col("id"), TextOps.htmlText(col("html")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "Title Hello world A & B <3 &lt; ."),
+      (2L, "plain text, no markup"),
+      (3L, "multi line")))
+  }
 }
