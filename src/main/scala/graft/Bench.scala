@@ -975,4 +975,79 @@ object Bench {
     require(chunks == n * 7, s"chunk count $chunks != ${n * 7}")
     (n, sec, chunks)
   }
+
+  /** Scaling workload — DSIR importance scoring on the hashed-bucket scale
+    * path: the model (target = n/20 shifted-seed docs, raw = the n-doc
+    * corpus itself) is built and every corpus doc scored in the timed
+    * region, features hashed into a 2^18-row table so the score join is a
+    * broadcast no matter how large the corpus grows. Timed = both count
+    * aggregations + the bounded driver head + the scoring explode/join/sum
+    * — the full per-ingestion cost. Returns (docs, seconds, scoredDocs). */
+  def dsirThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val corpus = syntheticDocs(spark, n, slices)
+    // target = a small shifted-seed slice: token distribution overlaps the
+    // corpus (same generator) but is offset, so weights are non-trivial
+    val target = spark.range(0, math.max(n / 20, 1000L), 1, slices)
+      .select(col("id").as("doc_id"), docTextUdf(col("id") * 7 + 3).as("text"))
+    val t0 = System.nanoTime()
+    val scored = graft.text.TextOps.dsirScore(
+      corpus, col("text"), col("doc_id"),
+      target, col("text"), corpus, col("text"), buckets = 1 << 18)
+    val r = scored.agg(count(lit(1)), sum("score")).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(r.getLong(0) == n, s"scored ${r.getLong(0)} != $n")
+    (n, sec, r.getLong(0))
+  }
+
+  /** Scaling workload — URL-keyed dedup: five deterministic surface
+    * variants per row (case/www/port+query/fragment/plain, the q116
+    * geometry) over n/5 canonical groups; timed = canonicalization
+    * projection + the single map-side-combined groupBy. Returns
+    * (rows, seconds, canonicalUrls). */
+  def urlDedupThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val groups = math.max(n / 5, 1L)
+    val df = spark.range(0, n, 1, slices)
+      .select(col("id"), (col("id") % groups).cast("string").as("k"))
+      .select(col("id"), when(col("id") % 5 === 0,
+          concat(lit("http://EXAMPLE"), col("k"), lit(".COM/page/"), col("k")))
+        .when(col("id") % 5 === 1,
+          concat(lit("http://www.example"), col("k"), lit(".com/page/"), col("k"), lit("/")))
+        .when(col("id") % 5 === 2,
+          concat(lit("http://example"), col("k"), lit(".com:80/page/"), col("k"),
+            lit("?utm_source=feed&ref="), col("id").cast("string")))
+        .when(col("id") % 5 === 3,
+          concat(lit("http://example"), col("k"), lit(".com/page/"), col("k"),
+            lit("#frag"), col("id").cast("string")))
+        .otherwise(concat(lit("http://example"), col("k"), lit(".com/page/"), col("k"))).as("url"))
+    val t0 = System.nanoTime()
+    val out = graft.text.TextOps.urlDedup(df, col("url"), col("id"))
+      .agg(count(lit(1)), sum("dups")).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(out.getLong(1) == n, s"dups total ${out.getLong(1)} != $n")
+    (n, sec, out.getLong(0))
+  }
+
+  /** Scaling workload — HTML text extraction: each synthetic doc wrapped in
+    * the q117 boilerplate (script with a bare '<', style, comment, entity
+    * traps); timed = the codegen'd strip/decode/collapse projection, forced
+    * by a character-count aggregate. Pure scan+project: the no-shuffle
+    * baseline every text kernel sits behind on raw crawl. Returns
+    * (docs, seconds, visibleChars). */
+  def htmlTextThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val html = spark.range(0, n, 1, slices).select(col("id"), concat(
+      lit("<html><head><style>p{color:red}</style>" +
+        "<script type=\"text/javascript\">var a = 1 < 2 && \"x\";</script></head><body><h1>Doc "),
+      col("id").cast("string"),
+      lit("</h1><p>"), docTextUdf(col("id")),
+      lit("</p><!-- hidden "), col("id").cast("string"),
+      lit(" --><p>Tom &amp; Jerry &lt;3 &quot;q&quot; &amp;lt; &nbsp;end</p></body></html>")).as("html"))
+    val t0 = System.nanoTime()
+    val chars = html.select(graft.text.TextOps.htmlText(col("html")).as("t"))
+      .agg(sum(length(col("t")))).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n, sec, chars)
+  }
 }

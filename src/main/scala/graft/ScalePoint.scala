@@ -62,6 +62,9 @@ object ScalePoint {
       case "pqbrute"       => Bench.pqThroughput(spark, rows, brute = true)
       case "pqrecall"      => Bench.pqRecallThroughput(spark, rows)
       case "tokenids"      => Bench.tokenIdsThroughput(spark, rows)
+      case "dsir"          => Bench.dsirThroughput(spark, rows)
+      case "urldedup"      => Bench.urlDedupThroughput(spark, rows)
+      case "htmltext"      => Bench.htmlTextThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

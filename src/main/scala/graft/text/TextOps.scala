@@ -964,6 +964,47 @@ object TextOps {
     uni.unionAll(bi)
   }
 
+  /** Hashed-bucket sibling of [[ngramFeatureRows]] for the `buckets > 0`
+    * scale path: ONE primitive-loop kernel tokenizes, FNV-1a-hashes each
+    * token, and emits every unigram + order-mixed bigram bucket id as a
+    * long array — one explode (vs two), 8-byte shuffle keys (vs feature
+    * strings), zero bigram string building. Bucket ids are opaque (any
+    * deterministic hash is a valid DSIR bucketing), so only the exact
+    * string path needs the oracle-restatable codegen chain. Token geometry
+    * matches [[tokens]] exactly (trim + `\s+`, empty string → one ""
+    * token, null → no rows) so `nfeat` is identical across both paths. */
+  private def hashedFeatureRows(df: DataFrame, text: Column, keep: Seq[String], buckets: Int): DataFrame = {
+    val b = buckets.toLong
+    val u = udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val tk = s.trim.split("\\s+", -1)
+        val n = tk.length
+        val out = new Array[Long](2 * n - 1)
+        var prev = 0L
+        var i = 0
+        while (i < n) {
+          var h = 0xcbf29ce484222325L
+          val t = tk(i)
+          var j = 0
+          while (j < t.length) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }
+          out(i) = java.lang.Math.floorMod(h, b)
+          if (i > 0)
+            out(n + i - 1) = java.lang.Math.floorMod(
+              prev * 0x9e3779b97f4a7c15L ^ java.lang.Long.rotateLeft(h, 31), b)
+          prev = h
+          i += 1
+        }
+        out
+      }
+    }
+    df.select(keep.map(col) :+ explode(u(text)).as("f"): _*)
+  }
+
+  private def featureRows(df: DataFrame, text: Column, keep: Seq[String], buckets: Int): DataFrame =
+    if (buckets <= 0) ngramFeatureRows(df, text, keep)
+    else hashedFeatureRows(df, text, keep, buckets)
+
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-importance weight of a TARGET distribution (e.g. wiki/books)
@@ -982,7 +1023,8 @@ object TextOps {
     * `buckets = 0` keeps exact string features — the oracle path, and fine
     * whenever the n-gram vocabulary fits a shuffle (it is corpus-bounded,
     * not doc-bounded). `buckets > 0` is THE DSIR scale move: features hash
-    * into a fixed-size table (`xxhash64 % buckets`), so the model is
+    * into a fixed-size table ([[hashedFeatureRows]]: one primitive-loop
+    * kernel, one explode, 8-byte bucket-id shuffle keys), so the model is
     * exactly `buckets` rows — broadcastable at any corpus size — and the
     * scoring pass is one explode + broadcast join + map-side-combinable
     * sum, no matter how large the raw side grows. Hashing only coarsens
@@ -1003,12 +1045,9 @@ object TextOps {
       rawText: Column,
       buckets: Int = 0
   ): DataFrame = {
-    def bucketed(f: DataFrame): DataFrame =
-      if (buckets <= 0) f
-      else f.withColumn("f", pmod(xxhash64(col("f")), lit(buckets.toLong)).cast("string"))
-    val tf = bucketed(ngramFeatureRows(target, targetText, Nil))
+    val tf = featureRows(target, targetText, Nil, buckets)
       .groupBy("f").agg(count(lit(1)).as("t"))
-    val rf = bucketed(ngramFeatureRows(raw, rawText, Nil))
+    val rf = featureRows(raw, rawText, Nil, buckets)
       .groupBy("f").agg(count(lit(1)).as("r"))
     val model = tf.join(rf, Seq("f"), "full_outer")
       .select(col("f"), coalesce(col("t"), lit(0L)).as("t"), coalesce(col("r"), lit(0L)).as("r"))
@@ -1020,7 +1059,7 @@ object TextOps {
     // after the left join) — one formula, oracle-restatable verbatim
     val w = log((coalesce(col("t"), lit(0L)) + lit(1.0)) / lit(tDen)) -
       log((coalesce(col("r"), lit(0L)) + lit(1.0)) / lit(rDen))
-    bucketed(ngramFeatureRows(docs.select(id.cast("long").as("id"), text.as("_t")), col("_t"), Seq("id")))
+    featureRows(docs.select(id.cast("long").as("id"), text.as("_t")), col("_t"), Seq("id"), buckets)
       .join(model, Seq("f"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("nfeat"), sum(w).as("score"))
