@@ -1639,6 +1639,48 @@ object SparkEntry {
       docs.select(col("doc_id"), TextOps.htmlText(html).as("txt"))
         .withColumn("ntok", TextOps.tokenCount(col("txt")).cast("long"))
         .orderBy("doc_id")
+    }),
+    // ---- edit-distance near-dup pairs (FastSS symmetric deletions):
+    // planted title variants per doc_id%503 family — substitution /
+    // space-deletion / insertion at dist 1, plus a far "other" decoy;
+    // cross-family digit pairs (title w1 vs w12) fall out of the brute
+    // force and the engine alike. Exact dups pre-collapse to min-id reps.
+    "q118_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = (col("doc_id") % 503).cast("string")
+      val title = when(col("doc_id") % 5 === 1, concat(lit("title v"), k))
+        .when(col("doc_id") % 5 === 2, concat(lit("titlew"), k))
+        .when(col("doc_id") % 5 === 3, concat(lit("title ww"), k))
+        .when(col("doc_id") % 5 === 4, concat(lit("other "), k))
+        .otherwise(concat(lit("title w"), k))
+      Dedup.editDistancePairs(
+          docs.select(col("doc_id"), title.as("s")), col("s"), col("doc_id"), maxDist = 1)
+        .orderBy("a", "b")
+    }),
+    // ---- per-doc character entropy (compression-proxy quality signal);
+    // exact formula both sides, ln -> round 6 (q79 discipline)
+    "q119_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("chars"),
+          round(TextOps.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")),
+    // ---- Zipf rank-frequency fit over the corpus vocabulary: rank via the
+    // two-phase prefix scan (no single-partition window), slope/intercept
+    // from the explicit sum formula the oracle restates
+    "q120_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(t(s, dir, "documents"), col("text"))
+        .select(col("vocab"), col("tokens"),
+          round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))),
+    // ---- sequential Poisson weighted sample: k=500 smallest hash/weight
+    // keys (weight = doc_id%7+1, Knuth hash) — IEEE-exact division both
+    // engines, ties break on doc_id
+    "q121_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      graft.stats.Sampling
+        .weightedSample(docs.select(col("doc_id"), col("lang")),
+          col("doc_id") % 7 + 1, h, col("doc_id"), k = 500)
+        .orderBy("key", "doc_id")
     })
   )
 
@@ -3318,7 +3360,51 @@ object SparkEntry {
         |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s4),
         |s6 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt FROM s5)
         |SELECT doc_id, txt, CAST(len(string_split_regex(trim(txt), '\s+')) AS BIGINT) AS ntok
-        |FROM s6 ORDER BY doc_id""".stripMargin
+        |FROM s6 ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs levenshtein over the DISTINCT planted titles
+    // (FastSS recall is provable, so brute force IS the contract); both
+    // engines implement classic unit-cost Levenshtein
+    "q118_edit_distance" ->
+      """WITH ti AS (SELECT doc_id, CASE doc_id % 5
+        |    WHEN 1 THEN 'title v' || (doc_id % 503)
+        |    WHEN 2 THEN 'titlew' || (doc_id % 503)
+        |    WHEN 3 THEN 'title ww' || (doc_id % 503)
+        |    WHEN 4 THEN 'other ' || (doc_id % 503)
+        |    ELSE 'title w' || (doc_id % 503) END AS s FROM documents),
+        |d AS (SELECT s, min(doc_id) AS mid FROM ti GROUP BY s)
+        |SELECT a.s AS a, b.s AS b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+        |       a.mid AS id_a, b.mid AS id_b
+        |FROM d a JOIN d b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+        |ORDER BY a, b""".stripMargin,
+    // per-codepoint unnest + group-count restates H = ln(L) - sum(n ln n)/L
+    // verbatim; ln -> round 6
+    "q119_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |            FROM documents WHERE len(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |ag AS (SELECT doc_id, sum(n) AS L, sum(n * ln(n)) AS s FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(L AS BIGINT) AS chars, round(ln(L) - s / L, 6) AS entropy
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    // rank via a window (oracle scale is fine); slope/intercept from the
+    // same explicit sums the engine computes; ln -> round 6
+    "q120_zipf_fit" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |            FROM documents WHERE trim(text) <> ''),
+        |fr AS (SELECT t, count(*) AS f FROM tk GROUP BY t),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS r FROM fr),
+        |s AS (SELECT count(*) AS n, sum(f) AS tok, sum(ln(r)) AS sx, sum(ln(f)) AS sy,
+        |             sum(ln(r) * ln(f)) AS sxy, sum(ln(r) * ln(r)) AS sxx FROM rk)
+        |SELECT CAST(n AS BIGINT) AS vocab, CAST(tok AS BIGINT) AS tokens,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
+    // the priority key is ONE IEEE division of integer-exact operands —
+    // bit-identical across engines, no rounding needed; ties break on doc_id
+    "q121_weighted_sample" ->
+      """SELECT doc_id, lang,
+        |       CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / (doc_id % 7 + 1) AS key
+        |FROM documents
+        |ORDER BY key, doc_id LIMIT 500""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

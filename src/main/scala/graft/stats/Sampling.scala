@@ -226,4 +226,36 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Weighted sample WITHOUT replacement, probability (approximately)
+    * proportional to weight — sequential Poisson sampling (Ohlsson 1998),
+    * the deterministic order-sampling scheme survey statisticians use and
+    * the right tool for "keep k docs, favoring high quality scores" corpus
+    * mixing. Each row's priority key is `hash / weight` (smaller wins):
+    * a uniform hash divided by a larger weight is stochastically smaller,
+    * so heavy rows win proportionally more often; the scheme is exactly
+    * πps as k grows. The key is ONE IEEE division of driver-free
+    * per-row values — correctly rounded in every engine (the q97
+    * discipline) — so a SQL oracle reproduces the selection bit-for-bit;
+    * ties (possible: h1/w1 == h2/w2 exactly, e.g. doubled hash and
+    * weight) break on `tie`.
+    *
+    * Scale shape: no shuffle at all — `orderBy(...).limit(k)` compiles to
+    * TakeOrderedAndProject, a per-partition top-k heap reduced on the
+    * driver: O(k) memory per partition, O(k·numPartitions) driver work,
+    * the corpus is read once. Determinism is total: same input, same k →
+    * same rows on any partitioning. */
+  def weightedSample(
+      df: DataFrame,
+      weight: Column,
+      hashCol: Column,
+      tie: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("_key", hashCol.cast("double") / weight.cast("double"))
+      .orderBy(col("_key"), tie)
+      .limit(k)
+      .withColumnRenamed("_key", "key")
+  }
 }

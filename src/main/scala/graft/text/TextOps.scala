@@ -1064,4 +1064,105 @@ object TextOps {
       .groupBy("id")
       .agg(count(lit(1)).as("nfeat"), sum(w).as("score"))
   }
+
+  // ---------------------------------------------------------------------
+  // Character-level entropy (compression-proxy quality signal)
+  // ---------------------------------------------------------------------
+
+  /** Shannon entropy (nats) of the character distribution of `text`:
+    * H = ln(L) - (sum_c n_c ln n_c) / L over Unicode code points. A cheap
+    * compressibility proxy quality filters use alongside the token-level
+    * signals: binary junk and base64 blobs score HIGH (near-uniform bytes),
+    * repeated-character spam scores near 0, natural language sits ~2.9-3.1
+    * for English. Primitive-loop kernel (one HashMap of code-point counts
+    * per row, no shuffle); null or empty text yields null. The exact
+    * formula is restated verbatim by a SQL oracle (per-codepoint unnest +
+    * group-count), with ln rounded before cross-engine compares (the q79
+    * discipline). */
+  def charEntropy(text: Column): Column = {
+    val u = udf { (s: String) =>
+      if (s == null || s.isEmpty) null
+      else {
+        val counts = new java.util.HashMap[Integer, Long]()
+        var i = 0
+        var n = 0L
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          counts.merge(cp, 1L, _ + _)
+          i += Character.charCount(cp)
+          n += 1
+        }
+        var acc = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next().toDouble; acc += c * math.log(c) }
+        java.lang.Double.valueOf(math.log(n.toDouble) - acc / n)
+      }
+    }
+    u(text)
+  }
+
+  // ---------------------------------------------------------------------
+  // Zipf rank-frequency fit (corpus-health data-card statistic)
+  // ---------------------------------------------------------------------
+
+  /** Least-squares slope + intercept of ln(freq) against ln(rank) over the
+    * corpus vocabulary — the Zipf fit every corpus data card quotes (clean
+    * natural-language corpora sit near slope -1; template/boilerplate-heavy
+    * crawl drifts shallower, token-salad junk steeper). Rank = position in
+    * (freq DESC, token ASC) order, 1-based and deterministic.
+    *
+    * Scale shape: one map-side-combined token count builds the vocabulary
+    * table, then the global rank comes from the SAME two-phase prefix scan
+    * as [[graft.stats.Drift.ksExact]] — range-repartition on the rank key,
+    * per-partition counts collected (ONE bounded driver action of
+    * numPartitions longs), offsets broadcast back, each partition numbers
+    * its rows locally. No single-partition global window anywhere (the
+    * freq-partitioned-window alternative dies on the freq=1 long tail,
+    * which holds most of any real vocabulary). Output is ONE row:
+    * (vocab, tokens, slope, intercept), slope/intercept from the explicit
+    * sum formula so a SQL oracle restates it verbatim. */
+  def zipfFit(docs: DataFrame, text: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val freq = docs
+      .filter(trim(text) =!= "")
+      .select(explode(tokens(text)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    // ROW CONTRACT below the .rdd drop: ordinals (t=0, f=1)
+    val g = freq
+      .repartitionByRange(p, col("f").desc, col("t").asc)
+      .sortWithinPartitions(col("f").desc, col("t").asc)
+    val rdd = g.rdd
+    val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator((i, c))
+    }.collect().sortBy(_._1)
+    val off = partCounts.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(off)
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value(i)
+      var n = 0L; var tok = 0L
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+      while (it.hasNext) {
+        val row = it.next()
+        r += 1
+        val x = math.log(r.toDouble)
+        val y = math.log(row.getLong(1).toDouble)
+        n += 1; tok += row.getLong(1)
+        sx += x; sy += y; sxy += x * y; sxx += x * x
+      }
+      Iterator((n, tok, sx, sy, sxy, sxx))
+    }.collect()
+    val n = sums.map(_._1).sum
+    require(n >= 2, s"zipfFit needs at least 2 vocabulary entries: $n")
+    val tok = sums.map(_._2).sum
+    val sx = sums.map(_._3).sum; val sy = sums.map(_._4).sum
+    val sxy = sums.map(_._5).sum; val sxx = sums.map(_._6).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    import spark.implicits._
+    Seq((n, tok, slope, intercept)).toDF("vocab", "tokens", "slope", "intercept")
+  }
 }
+

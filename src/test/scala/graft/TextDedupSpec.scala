@@ -1038,4 +1038,97 @@ class TextDedupSpec extends SparkSpec {
       (2L, "plain text, no markup"),
       (3L, "multi line")))
   }
+
+  test("editDistancePairs: complete recall vs brute force at k=1 and k=2; exact dups pre-collapse to min-id reps") {
+    val fx = Seq(
+      (10L, "spark"), (3L, "spark"),          // exact dup -> one distinct string, rep id 3
+      (5L, "spark"),                           // another exact dup
+      (7L, "spork"),  // sub, dist 1
+      (8L, "sparks"), // ins, dist 1
+      (9L, "spak"),   // del, dist 1
+      (11L, "spoork"),// dist 2 from spark
+      (12L, "zzzz")   // far from everything
+    ).toDF("id", "s")
+    def brute(k: Int): Set[(String, String, Long)] = {
+      val d = Seq("spark", "spork", "sparks", "spak", "spoork", "zzzz")
+      (for {
+        a <- d; b <- d if a < b
+        dist = {
+          // classic DP levenshtein
+          val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0
+          }
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          m(a.length)(b.length)
+        } if dist <= k && dist >= 1
+      } yield (a, b, dist.toLong)).toSet
+    }
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(fx, col("s"), col("id"), maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == brute(k), s"maxDist=$k")
+    }
+    // rep ids are the min id per exact string
+    val reps = Dedup.editDistancePairs(fx, col("s"), col("id"))
+      .filter(col("a") === "spak" && col("b") === "spark")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(reps == Seq((9L, 3L)))
+  }
+
+  test("charEntropy: exact formula, code-point counting, null/empty -> null") {
+    val fx = Seq(
+      (1L, "aaaa"),        // one symbol -> 0
+      (2L, "ab"),          // ln 2
+      (3L, "aabb"),        // ln 2
+      (4L, "abcd"),        // ln 4
+      (5L, ""),            // empty -> null
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = fx.select(col("id"), TextOps.charEntropy(col("t")).as("h"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .sortBy(_._1).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(2)) < 1e-12)
+    assert(math.abs(got(3L) - math.log(2)) < 1e-12)
+    assert(math.abs(got(4L) - math.log(4)) < 1e-12)
+    assert(got(5L) == null && got(6L) == null)
+    // mixed counts: "aab" -> ln(3) - (2 ln 2)/3
+    val h = Seq((1L, "aab")).toDF("id", "t")
+      .select(TextOps.charEntropy(col("t"))).head().getDouble(0)
+    assert(math.abs(h - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+  }
+
+  test("zipfFit: slope/intercept equal the driver least-squares over (freq DESC, token ASC) ranks") {
+    // freq: a=5, b=2, c=2, d=1  -> ranks a=1, b=2, c=3, d=4
+    val fx = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a a")).toDF("id", "t")
+    val got = TextOps.zipfFit(fx, col("t")).head()
+    assert(got.getLong(0) == 4L && got.getLong(1) == 10L)
+    val xs = Seq(1, 2, 3, 4).map(r => math.log(r.toDouble))
+    val ys = Seq(5, 2, 2, 1).map(f => math.log(f.toDouble))
+    val n = 4.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(got.getDouble(2) - slope) < 1e-9)
+    assert(math.abs(got.getDouble(3) - (sy - slope * sx) / n) < 1e-9)
+    // empty docs contribute nothing; ranks are deterministic under ties (token ASC)
+  }
+
+  test("weightedSample: smallest hash/weight keys win; IEEE-exact ties break on the tie column") {
+    val fx = Seq(
+      (1L, 100L, 1L),  // key 100.0
+      (2L, 100L, 4L),  // key 25.0
+      (3L, 30L, 2L),   // key 15.0
+      (4L, 200L, 8L),  // key 25.0 -> exact tie with id 2, id breaks it
+      (5L, 90L, 1L)    // key 90.0
+    ).toDF("id", "h", "w")
+    val got = graft.stats.Sampling
+      .weightedSample(fx, col("w"), col("h"), col("id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got.map(_._1).toSet == Set(3L, 2L, 4L))
+    assert(got.sortBy(x => (x._2, x._1)).map(_._1) == Seq(3L, 2L, 4L))
+  }
 }
