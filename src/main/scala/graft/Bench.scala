@@ -1050,4 +1050,52 @@ object Bench {
     val sec = (System.nanoTime() - t0) / 1e9
     (n, sec, chars)
   }
+
+  /** Scaling workload — FastSS edit-distance pairs: n title rows drawn from
+    * n/20 distinct strings (n/100 families × the five q118 surface
+    * variants), exact dups pre-collapsing to the distinct set before any
+    * neighborhood is built — the realistic shape (title fields on a crawl
+    * are massively duplicated). Timed = collapse + neighborhood explode +
+    * hash self-join + levenshtein verify. Returns (rows, seconds, pairs). */
+  def editDistThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val fam = math.max(n / 100, 1L)
+    val k = (col("id") % fam).cast("string")
+    val df = spark.range(0, n, 1, slices).select(col("id"),
+      when(col("id") % 5 === 1, concat(lit("title v"), k))
+        .when(col("id") % 5 === 2, concat(lit("titlew"), k))
+        .when(col("id") % 5 === 3, concat(lit("title ww"), k))
+        .when(col("id") % 5 === 4, concat(lit("other "), k))
+        .otherwise(concat(lit("title w"), k)).as("s"))
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup.editDistancePairs(df, col("s"), col("id"), maxDist = 1).count()
+    (n, (System.nanoTime() - t0) / 1e9, pairs)
+  }
+
+  /** Scaling workload — corpus Zipf fit over the synthetic 50-token docs:
+    * token count aggregation + the two-phase prefix-scan rank + the sum
+    * pass. Vocabulary is corpus-bounded (~6M ranks at any n here), so the
+    * marginal cost is the token explode. Returns (docs, seconds, vocab). */
+  def zipfThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    val t0 = System.nanoTime()
+    val r = graft.text.TextOps.zipfFit(syntheticDocs(spark, n, slices),
+      org.apache.spark.sql.functions.col("text")).head()
+    (n, (System.nanoTime() - t0) / 1e9, r.getLong(0))
+  }
+
+  /** Scaling workload — char-entropy quality scan + sequential-Poisson
+    * weighted top-k in ONE pass over the synthetic docs: the entropy kernel
+    * feeds the weight (favor high-entropy docs), the sample is the k
+    * smallest hash/entropy keys via TakeOrderedAndProject — the zero-
+    * shuffle "score and keep the best k" shape. Returns (docs, seconds, k). */
+  def entropySampleThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val docs = syntheticDocs(spark, n, slices)
+      .select(col("doc_id"), graft.text.TextOps.charEntropy(col("text")).as("ent"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+    val t0 = System.nanoTime()
+    val kept = graft.stats.Sampling
+      .weightedSample(docs, col("ent"), col("h"), col("doc_id"), k = 10000).count()
+    (n, (System.nanoTime() - t0) / 1e9, kept)
+  }
 }

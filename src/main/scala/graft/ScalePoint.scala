@@ -65,6 +65,9 @@ object ScalePoint {
       case "dsir"          => Bench.dsirThroughput(spark, rows)
       case "urldedup"      => Bench.urlDedupThroughput(spark, rows)
       case "htmltext"      => Bench.htmlTextThroughput(spark, rows)
+      case "editdist"      => Bench.editDistThroughput(spark, rows)
+      case "zipf"          => Bench.zipfThroughput(spark, rows)
+      case "entropysample" => Bench.entropySampleThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup
