@@ -90,6 +90,10 @@ object ScalingBench {
         Bench.bpeThroughput(s, 500000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("pq")))
         Bench.pqThroughput(s, n) // full-size: materializes the codes table untimed
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("dsir")))
+        Bench.dsirThroughput(s, 200000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("editdist")))
+        Bench.editDistThroughput(s, 500000)
       s.stop()
     }
 
@@ -123,6 +127,8 @@ object ScalingBench {
         else if (mode == "kmeans") Bench.kmeansThroughput(s, n / 2)
         else if (mode == "bpe") Bench.bpeThroughput(s, n)
         else if (mode == "pq") Bench.pqThroughput(s, n)
+        else if (mode == "dsir") Bench.dsirThroughput(s, n / 10)
+        else if (mode == "editdist") Bench.editDistThroughput(s, n * 2)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -142,6 +148,8 @@ object ScalingBench {
         else if (mode == "exactincr") n / 10
         else if (mode == "semdedup") n / 4
         else if (mode == "kmeans") n / 2
+        else if (mode == "dsir") n / 10
+        else if (mode == "editdist") n * 2
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

@@ -1681,7 +1681,14 @@ object SparkEntry {
         .weightedSample(docs.select(col("doc_id"), col("lang")),
           col("doc_id") % 7 + 1, h, col("doc_id"), k = 500)
         .orderBy("key", "doc_id")
-    })
+    }),
+    // ---- distributed BPE training: 8 merge steps over the vocabulary-
+    // bounded word table (corpus tokenized ONCE); literal-replace apply is
+    // bit-identical in the JVM and DuckDB, so the unrolled-CTE oracle
+    // reproduces the whole training trace
+    "q122_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(t(s, dir, "documents"), col("text"), merges = 8)
+        .orderBy("step"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -1863,6 +1870,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
         |  FROM stage3) WHERE rk <= 50)""".stripMargin
+
+  /** Unrolled-CTE restatement of [[graft.text.TextOps.bpeTrain]]: stage i
+    * counts adjacent symbol pairs over word table w_i (overlaps included,
+    * via the positional double-unnest zip), takes the (cnt DESC, pair ASC)
+    * argmax, and builds w_{i+1} with the SAME literal replace the engine
+    * runs (`" p1  p2 " -> " p1p2 "` — non-overlapping left-to-right in
+    * both engines). Generated programmatically because the loop is data-
+    * independent: `merges` stages, each a pure function of the previous.
+    * Every CTE is MATERIALIZED: w_i and m_i are each referenced more than
+    * once, and DuckDB's default inlining re-evaluates the whole chain per
+    * reference — exponential in `merges` (measured: >11 min at 8 merges
+    * inlined, 0.1 s materialized). */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' ' AS sym, c " +
+        "FROM (SELECT w, count(*) AS c FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w " +
+        "FROM documents WHERE trim(text) <> '') GROUP BY w) WHERE w <> '')")
+    for (i <- 0 until merges) {
+      sb.append(s",\np$i AS MATERIALIZED (SELECT a || ' ' || b AS pair, sum(c) AS cnt FROM (" +
+        s"SELECT unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b, c FROM (" +
+        s"SELECT string_split(trim(sym), '  ') AS tk, c FROM w$i) WHERE len(tk) >= 2) GROUP BY pair)")
+      sb.append(s",\nm$i AS MATERIALIZED (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1)")
+      sb.append(s",\nw${i + 1} AS MATERIALIZED (SELECT replace(sym, " +
+        s"' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ', " +
+        s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS sym, c FROM w$i)")
+    }
+    sb.append("\nSELECT * FROM (")
+    sb.append((0 until merges)
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+      .mkString(" UNION ALL "))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_required_navalue" ->
@@ -3404,7 +3445,11 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |       CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / (doc_id % 7 + 1) AS key
         |FROM documents
-        |ORDER BY key, doc_id LIMIT 500""".stripMargin
+        |ORDER BY key, doc_id LIMIT 500""".stripMargin,
+    // the full 8-step training loop unrolled: each stage recounts pairs
+    // over the word table, takes the (cnt DESC, pair ASC) argmax, and
+    // applies the merge with the same literal replace the engine uses
+    "q122_bpe_train" -> bpeTrainOracleSql(8)
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

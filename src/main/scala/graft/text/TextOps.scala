@@ -1164,5 +1164,92 @@ object TextOps {
     import spark.implicits._
     Seq((n, tok, slope, intercept)).toDF("vocab", "tokens", "slope", "intercept")
   }
-}
 
+  // ---------------------------------------------------------------------
+  // BPE vocabulary training (iterative merge loop over the word table)
+  // ---------------------------------------------------------------------
+
+  /** Trains a BPE merge list (Sennrich et al. 2016) distributively: the
+    * corpus is tokenized ONCE into a DISTINCT-word frequency table
+    * (vocabulary-bounded — the q108 insight), words become space-separated
+    * symbol sequences, and each merge step is (a) one map-side-combined
+    * pair-count aggregation over that bounded table, (b) ONE single-row
+    * driver action (the argmax pair, ties broken lexicographically), and
+    * (c) one codegen'd literal `replace` projection applying the merge.
+    * The corpus is never touched again after step 0 — at 100 TB the loop
+    * runs on a table the size of the vocabulary, exactly how production
+    * BPE trainers batch it.
+    *
+    * Symbol encoding: single pad space at each end, TWO spaces between
+    * symbols (`" l  o  w "`). A merge (p1, p2) is then the literal
+    * replacement `" p1  p2 " -> " p1p2 "` — each symbol owns one space on
+    * each side, so the merged token inherits its neighbours' shared
+    * boundary, adjacent merge sites stay independent (greedy left-to-right
+    * non-overlapping, the standard BPE apply), and a symbol can never
+    * false-match inside a longer symbol. Literal `replace` scans
+    * left-to-right non-overlapping in BOTH the JVM and every SQL engine,
+    * so an unrolled CTE oracle reproduces the training bit-for-bit.
+    *
+    * Pair counts weight every adjacent occurrence (overlaps included), the
+    * standard counting rule. Output: (step, pair, cnt) for up to `merges`
+    * steps, `pair` in "p1 p2" display form; stops early if no pair is
+    * left. `localCheckpoint` truncates the lineage each step so the plan
+    * stays flat across iterations. */
+  def bpeTrain(corpus: DataFrame, text: Column, merges: Int = 8): DataFrame = {
+    require(merges >= 1 && merges <= 1000, s"merges out of range: $merges")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toSym = udf { (w: String) =>
+      val sb = new java.lang.StringBuilder(w.length * 3 + 2)
+      sb.append(' ')
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp)
+        sb.append(' ').append(' ')
+        i += Character.charCount(cp)
+      }
+      sb.setLength(sb.length - 1)
+      sb.toString
+    }
+    val pairsU = udf { (sym: String) =>
+      val tk = sym.trim.split("  ")
+      if (tk.length < 2) Seq.empty[String]
+      else {
+        val out = new Array[String](tk.length - 1)
+        var i = 0
+        while (i < tk.length - 1) { out(i) = tk(i) + " " + tk(i + 1); i += 1 }
+        out.toSeq
+      }
+    }
+    var words = corpus
+      .filter(trim(text) =!= "")
+      .select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(toSym(col("w")).as("sym"), col("c"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      val top = words
+        .select(explode(pairsU(col("sym"))).as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        out += (((step + 1).toLong, pair, top(0).getLong(1)))
+        val Array(p1, p2) = pair.split(" ", 2)
+        words = words
+          .select(replace(col("sym"),
+            lit(" " + p1 + "  " + p2 + " "), lit(" " + p1 + p2 + " ")).as("sym"), col("c"))
+          .localCheckpoint()
+      }
+      step += 1
+    }
+    out.toSeq.toDF("step", "pair", "cnt")
+  }
+}

@@ -1131,4 +1131,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(3L, 2L, 4L))
     assert(got.sortBy(x => (x._2, x._1)).map(_._1) == Seq(3L, 2L, 4L))
   }
+
+  test("bpeTrain: Sennrich walkthrough — merge order, overlap counting, greedy non-overlap apply, early stop") {
+    // the classic fixture: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim)
+    ).toDF("id", "text")
+    val got = TextOps.bpeTrain(corpus, col("text"), merges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    // hand trace: es/st tie at 9 -> "e s" wins lexicographically; then
+    // "es t" 9; then l-o / o-w tie at 7 -> "l o"; then "lo w" 7
+    assert(got == Seq((1L, "e s", 9L), (2L, "es t", 9L), (3L, "l o", 7L), (4L, "lo w", 7L)))
+    // overlap counting + greedy apply: "aaaa" has THREE overlapping (a,a)
+    // occurrences but greedy merges only two sites -> next merge (aa,aa);
+    // then the word is one symbol and training stops early
+    val aa = Seq((1L, "aaaa")).toDF("id", "text")
+    val got2 = TextOps.bpeTrain(aa, col("text"), merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, "a a", 3L), (2L, "aa aa", 1L)))
+  }
 }
