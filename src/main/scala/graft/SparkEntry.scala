@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.images.{ImageChecks, SyntheticImages}
+import graft.images.{ImageChecks, ImageOps, SyntheticImages}
 import graft.runner.{ValidationConfig, ValidationRunner}
 import graft.schema._
 import graft.stats.{ColumnStats, Drift}
@@ -1688,7 +1688,27 @@ object SparkEntry {
     // reproduces the whole training trace
     "q122_bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(t(s, dir, "documents"), col("text"), merges = 8)
-        .orderBy("step"))
+        .orderBy("step")),
+    // ---- tokenizer apply with the q122-trained merges: the merge chain is
+    // a fold of codegen'd literal replaces over the encoded doc — a pure
+    // whole-stage-codegen scan, no UDF past the encode, no shuffle
+    "q123_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeTrain(docs, col("text"), merges = 8)
+        .orderBy("step").collect().map(_.getString(1)).toIndexedSeq
+      docs.filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextOps.bpeEncode(col("text")).as("enc"))
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(col("enc")).as("n_base"),
+          TextOps.bpeTokenCount(TextOps.bpeApply(col("enc"), merges)).as("n_tok"))
+        .orderBy("doc_id")
+    }),
+    // ---- SDXL-style aspect-ratio bucket census over the image metadata
+    // (exact integer argmin — no float rounding); codegen'd when-chain +
+    // a ladder-sized aggregation
+    "q124_aspect_buckets" -> ((s, dir) =>
+      ImageOps.aspectBucketCounts(images(s, dir), col("w"), col("h"))
+        .orderBy("bucket_w", "bucket_h"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -1882,7 +1902,7 @@ object SparkEntry {
     * once, and DuckDB's default inlining re-evaluates the whole chain per
     * reference — exponential in `merges` (measured: >11 min at 8 merges
     * inlined, 0.1 s materialized). */
-  private def bpeTrainOracleSql(merges: Int): String = {
+  private def bpeTrainCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb.append(
       "WITH w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split_regex(w, ''), '  ') || ' ' AS sym, c " +
@@ -1897,11 +1917,40 @@ object SparkEntry {
         s"' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ', " +
         s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS sym, c FROM w$i)")
     }
+    sb.toString
+  }
+
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val sb = new StringBuilder(bpeTrainCtes(merges))
     sb.append("\nSELECT * FROM (")
     sb.append((0 until merges)
       .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m$i")
       .mkString(" UNION ALL "))
     sb.append(") ORDER BY step")
+    sb.toString
+  }
+
+  /** The q122 CTE chain extended with the APPLY stage: e0 symbol-encodes
+    * every document (code points joined by two spaces, words by three, pad
+    * space each end — pairs can never match across a word boundary), then
+    * e_{i+1} applies merge i with the SAME scalar-subquery literal replace
+    * the training chain uses on the word table. n_base (= code points) is
+    * computed once in e0 and carried; n_tok counts maximal non-space runs
+    * after the last merge. Each e_i is referenced once, so the chain stays
+    * linear without MATERIALIZED. */
+  private def bpeTokenizeOracleSql(merges: Int): String = {
+    val sb = new StringBuilder(bpeTrainCtes(merges))
+    sb.append(
+      ",\ne0 AS (SELECT doc_id, enc, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_base FROM (" +
+        "SELECT doc_id, ' ' || array_to_string(list_transform(string_split_regex(trim(text), '\\s+'), " +
+        "w -> array_to_string(string_split_regex(w, ''), '  ')), '   ') || ' ' AS enc " +
+        "FROM documents WHERE trim(text) <> ''))")
+    for (i <- 0 until merges)
+      sb.append(s",\ne${i + 1} AS (SELECT doc_id, n_base, replace(enc, " +
+        s"' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ', " +
+        s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS enc FROM e$i)")
+    sb.append(s"\nSELECT doc_id, n_base, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_tok " +
+      s"FROM e$merges ORDER BY doc_id")
     sb.toString
   }
 
@@ -3449,7 +3498,21 @@ object SparkEntry {
     // the full 8-step training loop unrolled: each stage recounts pairs
     // over the word table, takes the (cnt DESC, pair ASC) argmax, and
     // applies the merge with the same literal replace the engine uses
-    "q122_bpe_train" -> bpeTrainOracleSql(8)
+    "q122_bpe_train" -> bpeTrainOracleSql(8),
+    // the training chain re-run plus an unrolled apply chain over documents
+    "q123_bpe_tokenize" -> bpeTokenizeOracleSql(8),
+    // bucket metric compared exactly in integers: |w·bh − h·bw| · (144/bh)
+    // (144 = lcm of the ladder heights); ties to the earlier ladder entry
+    "q124_aspect_buckets" ->
+      """WITH b(idx, bw, bh, m) AS (VALUES (0,1,1,144),(1,4,3,48),(2,3,4,36),
+        |  (3,16,9,16),(4,9,16,9),(5,3,2,72),(6,2,3,48)),
+        |a AS (SELECT row_id, w, h FROM read_parquet('__IMGDIR__/*.parquet')
+        |      WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0),
+        |r AS (SELECT row_id, bw, bh, row_number() OVER (PARTITION BY row_id
+        |        ORDER BY abs(CAST(w AS BIGINT)*bh - CAST(h AS BIGINT)*bw)*m, idx) AS rk
+        |      FROM a CROSS JOIN b)
+        |SELECT bw AS bucket_w, bh AS bucket_h, count(*) AS cnt
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

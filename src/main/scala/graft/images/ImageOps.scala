@@ -319,4 +319,51 @@ object ImageOps {
     }
     bos.toByteArray
   }
+
+  // ---------------------------------------------------------------------
+  // Aspect-ratio bucketing (SDXL-style multi-aspect training batches)
+  // ---------------------------------------------------------------------
+
+  /** The default aspect-ratio bucket ladder: square, photo, portrait,
+    * widescreen and their transposes — the shape of the SDXL/NovelAI
+    * multi-aspect bucket lists. */
+  val defaultAspectBuckets: Seq[(Int, Int)] =
+    Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3))
+
+  /** Assigns each image to the bucket whose aspect ratio is closest to
+    * w/h — the batching step of multi-aspect diffusion training (images in
+    * one batch must share a bucket). Distance is compared EXACTLY in
+    * integers: |w/h − bw/bh| ∝ |w·bh − h·bw| / bh for fixed (w, h), so
+    * multiplying each bucket's |w·bh − h·bw| by L/bh (L = lcm of the
+    * bucket heights) makes the comparison a pure-long argmin — no float
+    * rounding, bit-identical in any engine. Ties go to the earlier bucket
+    * in the ladder. Returns a `struct(bucket_w, bucket_h)` column built
+    * from a codegen'd when-chain fold: per-row integer arithmetic only, no
+    * UDF, no shuffle — at 10^12 images this is a free rider on any
+    * metadata scan. */
+  def aspectBucket(w: Column, h: Column, buckets: Seq[(Int, Int)] = defaultAspectBuckets): Column = {
+    require(buckets.nonEmpty, "empty bucket ladder")
+    def lcm(a: Long, b: Long): Long = a / java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b)).longValue() * b
+    val l = buckets.map(_._2.toLong).reduce(lcm)
+    def metric(b: (Int, Int)): Column =
+      abs(w.cast("long") * b._2 - h.cast("long") * b._1) * lit(l / b._2)
+    val init = (metric(buckets.head), struct(lit(buckets.head._1).as("bucket_w"), lit(buckets.head._2).as("bucket_h")))
+    val (_, best) = buckets.tail.foldLeft(init) { case ((bestM, bestB), b) =>
+      val m = metric(b)
+      (when(m < bestM, m).otherwise(bestM),
+        when(m < bestM, struct(lit(b._1).as("bucket_w"), lit(b._2).as("bucket_h"))).otherwise(bestB))
+    }
+    best
+  }
+
+  /** Per-bucket population counts over an image metadata table — the
+    * capacity-planning view a multi-aspect batch sampler needs (buckets
+    * with fewer images than a batch get dropped or upsampled). One
+    * codegen'd projection + one tiny aggregation (≤ ladder-size groups). */
+  def aspectBucketCounts(df: DataFrame, w: Column, h: Column,
+                         buckets: Seq[(Int, Int)] = defaultAspectBuckets): DataFrame =
+    df.filter(w.isNotNull && h.isNotNull && w > 0 && h > 0)
+      .select(aspectBucket(w, h, buckets).as("b"))
+      .groupBy(col("b.bucket_w").as("bucket_w"), col("b.bucket_h").as("bucket_h"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -1252,4 +1252,61 @@ object TextOps {
     }
     out.toSeq.toDF("step", "pair", "cnt")
   }
+
+  /** Symbol-encodes a whole document for [[bpeApply]]: each word's code
+    * points joined by TWO spaces (the [[bpeTrain]] symbol separator), words
+    * joined by THREE spaces, one pad space at each end. A merge's literal
+    * pattern `" p1  p2 "` demands exactly-two-space separation, so a pair
+    * can never match across the three-space word boundary — applying the
+    * merges to the whole encoded document is exactly per-word application,
+    * with no explode/reassemble round trip. Per-row primitive-loop kernel
+    * (repo invariant: UDF over interpreted Catalyst HOFs). */
+  def bpeEncode(text: Column): Column = {
+    val enc = udf { (t: String) =>
+      val words = t.trim.split("\\s+")
+      val sb = new java.lang.StringBuilder(t.length * 3 + 2)
+      sb.append(' ')
+      var wi = 0
+      var first = true
+      while (wi < words.length) {
+        val w = words(wi)
+        if (w.nonEmpty) {
+          if (!first) sb.append(' ').append(' ').append(' ')
+          first = false
+          var i = 0
+          var firstCp = true
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            if (!firstCp) sb.append(' ').append(' ')
+            firstCp = false
+            sb.appendCodePoint(cp)
+            i += Character.charCount(cp)
+          }
+        }
+        wi += 1
+      }
+      sb.append(' ')
+      sb.toString
+    }
+    enc(trim(text))
+  }
+
+  /** Applies a trained merge list (pairs in "p1 p2" display form, TRAINING
+    * ORDER) to an encoded document — a fold of codegen'd literal `replace`
+    * projections, one per merge, over the [[bpeEncode]] symbol string. No
+    * UDF in the merge chain and no shuffle: at 100 TB this is a pure
+    * whole-stage-codegen scan, the shape a production tokenizer-apply job
+    * wants. Greedy left-to-right non-overlapping per merge, identical in
+    * the JVM and SQL, so the q122 unrolled-CTE oracle extends to the apply
+    * stage verbatim. */
+  def bpeApply(enc: Column, merges: Seq[String]): Column =
+    merges.foldLeft(enc) { (acc, pair) =>
+      val Array(p1, p2) = pair.split(" ", 2)
+      replace(acc, lit(" " + p1 + "  " + p2 + " "), lit(" " + p1 + p2 + " "))
+    }
+
+  /** Token count of an encoded (and merge-applied) document: symbols never
+    * contain spaces, so each token is a maximal non-space run. */
+  def bpeTokenCount(enc: Column): Column =
+    size(split(trim(enc), "\\s+")).cast("long")
 }

@@ -111,4 +111,34 @@ class ImageOpsSpec extends SparkSpec {
     val short = Seq((9L, ImageOps.syntheticMjpeg(9L, 2))).toDF("id", "bytes")
     assert(ImageOps.sampleFrames(short, 5).count() == 2)
   }
+
+  test("aspectBucket: exact integer argmin, ladder ties to earlier entry, null/zero dims excluded") {
+    import spark.implicits._
+    val dims = Seq(
+      (1L, 512, 512),   // exactly 1:1
+      (2L, 1024, 768),  // exactly 4:3
+      (3L, 768, 1024),  // exactly 3:4
+      (4L, 1920, 1080), // exactly 16:9
+      (5L, 1080, 1920), // exactly 9:16
+      (6L, 1500, 1000), // exactly 3:2
+      (7L, 35, 24),     // between 4:3 (1.333) and 3:2 (1.5): 1.458 -> 3:2
+      (8L, 34, 24),     // 1.4167: |1.4167-1.3333|=.0833 vs |1.5-1.4167|=.0833 — TIE,
+                        // exact integers: 34*3-24*4=6, m=48 -> 288; 34*2-24*3=-4, m=72 -> 288
+                        // earlier ladder entry (4:3) wins
+      (9L, 0, 100), (10L, 100, 0)
+    ).toDF("id", "w", "h")
+    val withNull = dims.union(
+      Seq((11L, null.asInstanceOf[Integer], Integer.valueOf(5))).toDF("id", "w", "h"))
+    val got = withNull
+      .filter(col("w").isNotNull && col("h").isNotNull && col("w") > 0 && col("h") > 0)
+      .select(col("id"), ImageOps.aspectBucket(col("w"), col("h")).as("b"))
+      .select(col("id"), col("b.bucket_w"), col("b.bucket_h"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> (1, 1), 2L -> (4, 3), 3L -> (3, 4), 4L -> (16, 9),
+      5L -> (9, 16), 6L -> (3, 2), 7L -> (3, 2), 8L -> (4, 3)))
+    // counts wrapper filters nulls/zeros itself and aggregates
+    val counts = ImageOps.aspectBucketCounts(withNull, col("w"), col("h"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(counts.values.sum == 8 && counts((3, 2)) == 2 && counts((4, 3)) == 2)
+  }
 }

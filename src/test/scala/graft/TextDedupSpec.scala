@@ -1153,4 +1153,36 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got2 == Seq((1L, "a a", 3L), (2L, "aa aa", 1L)))
   }
+
+  test("bpeEncode/bpeApply/bpeTokenCount: word-boundary safety, greedy apply, merge-order sensitivity") {
+    val docs = Seq((1L, "low lower"), (2L, "aaaa"), (3L, "  low  \t lower ")).toDF("id", "text")
+    val enc = docs.select(col("id"), TextOps.bpeEncode(col("text")).as("enc"))
+    val e = enc.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // words joined by THREE spaces, symbols by two, pad space each end;
+    // whitespace runs normalize like tokens()
+    assert(e(1L) == " l  o  w   l  o  w  e  r ")
+    assert(e(3L) == e(1L))
+    // applying (l,o) then (lo,w): the "w   l" word boundary never matches
+    val applied = enc.select(col("id"),
+      TextOps.bpeApply(col("enc"), Seq("l o", "lo w")).as("enc"))
+    val a = applied.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a(1L) == " low   low  e  r ")
+    // token counts: base = code points, after = merged symbols
+    val n = docs.select(col("id"),
+      TextOps.bpeTokenCount(TextOps.bpeEncode(col("text"))).as("nb"),
+      TextOps.bpeTokenCount(TextOps.bpeApply(TextOps.bpeEncode(col("text")), Seq("l o", "lo w"))).as("nt"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(n(1L) == ((8L, 4L)) && n(3L) == ((8L, 4L)))
+    // greedy non-overlap: "a a" merges aaaa -> aa aa (two sites), and the
+    // SECOND merge only fires because the first created its operands
+    val aa = docs.filter(col("id") === 2L)
+      .select(TextOps.bpeApply(TextOps.bpeEncode(col("text")), Seq("a a", "aa aa")).as("enc"))
+      .head().getString(0)
+    assert(aa == " aaaa ")
+    // merge order matters: applying (aa,aa) FIRST is a no-op on raw chars
+    val aa2 = docs.filter(col("id") === 2L)
+      .select(TextOps.bpeApply(TextOps.bpeEncode(col("text")), Seq("aa aa", "a a")).as("enc"))
+      .head().getString(0)
+    assert(aa2 == " aa  aa ")
+  }
 }
