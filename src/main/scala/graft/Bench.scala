@@ -1072,6 +1072,29 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** Scaling workload — BPE tokenizer APPLY: merges trained ONCE on a small
+    * fixed slice (untimed — training is a one-time vocabulary job, apply is
+    * the per-corpus scan), then the timed region encodes every synthetic
+    * doc and folds the 8 literal-replace merge projections + token count
+    * into one whole-stage-codegen pass, aggregating total tokens. The
+    * 100-TB shape under test: tokenizer apply must be a pure scan.
+    * Returns (docs, seconds, totalTokens). */
+  def bpeApplyThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextOps
+    val merges = TextOps.bpeTrain(syntheticDocs(spark, math.min(n, 50000L), slices),
+      col("text"), merges = 8).orderBy("step").collect().map(_.getString(1)).toIndexedSeq
+    val docs = syntheticDocs(spark, n, slices)
+    val t0 = System.nanoTime()
+    val r = docs
+      .select(TextOps.bpeTokenCount(
+        TextOps.bpeApply(TextOps.bpeEncode(col("text")), merges)).as("nt"))
+      .agg(count(lit(1)), sum("nt")).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(r.getLong(0) == n, s"tokenized ${r.getLong(0)} != $n")
+    (n, sec, r.getLong(1))
+  }
+
   /** Scaling workload — corpus Zipf fit over the synthetic 50-token docs:
     * token count aggregation + the two-phase prefix-scan rank + the sum
     * pass. Vocabulary is corpus-bounded (~6M ranks at any n here), so the

@@ -94,6 +94,8 @@ object ScalingBench {
         Bench.dsirThroughput(s, 200000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("editdist")))
         Bench.editDistThroughput(s, 500000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("bpeapply")))
+        Bench.bpeApplyThroughput(s, 200000)
       s.stop()
     }
 
@@ -129,6 +131,7 @@ object ScalingBench {
         else if (mode == "pq") Bench.pqThroughput(s, n)
         else if (mode == "dsir") Bench.dsirThroughput(s, n / 10)
         else if (mode == "editdist") Bench.editDistThroughput(s, n * 2)
+        else if (mode == "bpeapply") Bench.bpeApplyThroughput(s, n / 2)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -150,6 +153,7 @@ object ScalingBench {
         else if (mode == "kmeans") n / 2
         else if (mode == "dsir") n / 10
         else if (mode == "editdist") n * 2
+        else if (mode == "bpeapply") n / 2
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

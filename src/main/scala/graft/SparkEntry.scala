@@ -1708,7 +1708,24 @@ object SparkEntry {
     // a ladder-sized aggregation
     "q124_aspect_buckets" -> ((s, dir) =>
       ImageOps.aspectBucketCounts(images(s, dir), col("w"), col("h"))
-        .orderBy("bucket_w", "bucket_h"))
+        .orderBy("bucket_w", "bucket_h")),
+    // ---- per-language tokenizer fertility (chars per token — the standard
+    // tokenizer-evaluation data card): the q123 apply scan grouped by lang;
+    // the ratio is one IEEE double division of two exact longs, so the
+    // oracle restates it bit-for-bit
+    "q125_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeTrain(docs, col("text"), merges = 8)
+        .orderBy("step").collect().map(_.getString(1)).toIndexedSeq
+      docs.filter(trim(col("text")) =!= "")
+        .select(col("lang"), TextOps.bpeEncode(col("text")).as("enc"))
+        .select(col("lang"), TextOps.bpeTokenCount(col("enc")).as("nb"),
+          TextOps.bpeTokenCount(TextOps.bpeApply(col("enc"), merges)).as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("nb").as("chars"), sum("nt").as("tokens"),
+          (sum("nb").cast("double") / sum("nt").cast("double")).as("chars_per_token"))
+        .orderBy("lang")
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -1938,21 +1955,38 @@ object SparkEntry {
     * computed once in e0 and carried; n_tok counts maximal non-space runs
     * after the last merge. Each e_i is referenced once, so the chain stays
     * linear without MATERIALIZED. */
-  private def bpeTokenizeOracleSql(merges: Int): String = {
+  private def bpeApplyCtes(merges: Int): String = {
     val sb = new StringBuilder(bpeTrainCtes(merges))
     sb.append(
-      ",\ne0 AS (SELECT doc_id, enc, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_base FROM (" +
-        "SELECT doc_id, ' ' || array_to_string(list_transform(string_split_regex(trim(text), '\\s+'), " +
+      ",\ne0 AS (SELECT doc_id, lang, enc, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_base FROM (" +
+        "SELECT doc_id, lang, ' ' || array_to_string(list_transform(string_split_regex(trim(text), '\\s+'), " +
         "w -> array_to_string(string_split_regex(w, ''), '  ')), '   ') || ' ' AS enc " +
         "FROM documents WHERE trim(text) <> ''))")
     for (i <- 0 until merges)
-      sb.append(s",\ne${i + 1} AS (SELECT doc_id, n_base, replace(enc, " +
+      sb.append(s",\ne${i + 1} AS (SELECT doc_id, lang, n_base, replace(enc, " +
         s"' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ', " +
         s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS enc FROM e$i)")
-    sb.append(s"\nSELECT doc_id, n_base, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_tok " +
-      s"FROM e$merges ORDER BY doc_id")
     sb.toString
   }
+
+  private def bpeTokenizeOracleSql(merges: Int): String =
+    bpeApplyCtes(merges) +
+      s"\nSELECT doc_id, n_base, CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_tok " +
+      s"FROM e$merges ORDER BY doc_id"
+
+  /** q125: the apply chain aggregated per language. Sums are re-cast to
+    * BIGINT (DuckDB sums to HUGEINT, which pandas renders as float64 — the
+    * dtype trap); the fertility ratio is ONE double division of two exact
+    * (< 2^53) longs, correctly rounded IEEE in both engines. */
+  private def bpeFertilityOracleSql(merges: Int): String =
+    bpeApplyCtes(merges) +
+      s"""\nSELECT lang, count(*) AS docs, CAST(sum(n_base) AS BIGINT) AS chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+         |  CAST(sum(n_base) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS chars_per_token
+         |FROM (SELECT lang, n_base,
+         |        CAST(len(string_split_regex(trim(enc), '\\s+')) AS BIGINT) AS n_tok
+         |      FROM e$merges)
+         |GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_required_navalue" ->
@@ -3512,7 +3546,8 @@ object SparkEntry {
         |        ORDER BY abs(CAST(w AS BIGINT)*bh - CAST(h AS BIGINT)*bw)*m, idx) AS rk
         |      FROM a CROSS JOIN b)
         |SELECT bw AS bucket_w, bh AS bucket_h, count(*) AS cnt
-        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q125_tokenizer_fertility" -> bpeFertilityOracleSql(8)
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -398,6 +398,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("aspectBucketCounts plan: reads ONLY w,h (bytes pruned), one scan, one tiny agg exchange") {
+    val path = graft.images.SyntheticImages.materialized(spark, 200, "target/imgcache_test")
+    val plan = executedPlan(graft.images.ImageOps.aspectBucketCounts(
+      spark.read.parquet(path), col("w"), col("h")))
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+      !s.contains("bytes") && !s.contains("caption") && !s.contains("phash")),
+      s"only w,h may be read: $readSchemas")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    // the only shuffle is the ladder-sized final aggregation
+    assert("Exchange".r.findAllIn(plan).length <= 1, s"plan:\n$plan")
+  }
+
+  test("bpeApply tokenize pass: fold of literal replaces stays one no-shuffle scan") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      TextOps.bpeTokenCount(TextOps.bpeApply(
+        TextOps.bpeEncode(col("text")), Seq("e r", "er s", "l o"))).as("n_tok"))
+    val plan = executedPlan(out)
+    assert(!plan.contains("Exchange"), s"tokenizer apply must not shuffle:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    // the merge-fold replaces live in ONE codegen'd projection (the `*(1)`
+    // whole-stage marker) directly over the scan — only the encode UDF is
+    // opaque to codegen, and it rides inside the same stage
+    assert(plan.contains("*(1) Project"), s"plan:\n$plan")
+  }
+
   test("violations plan is lazy: building it launches no Spark job") {
     // (the parquet read itself runs a footer-inference job — do it first)
     val df = spark.read.parquet(li).withColumn("_rid", col("l_orderkey"))
