@@ -1725,7 +1725,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"), sum("nb").as("chars"), sum("nt").as("tokens"),
           (sum("nb").cast("double") / sum("nt").cast("double")).as("chars_per_token"))
         .orderBy("lang")
-    })
+    }),
+    // ---- leakage-safe holdout: the split is assigned per NEAR-DUP CLUSTER
+    // (multiplicative hash of the canonical component id), so near-copies
+    // can never straddle train/test — the contamination failure mode plain
+    // per-doc q84 hashSplit has whenever dedup is lossy or skipped
+    "q126_leakage_safe_split" -> ((s, dir) =>
+      graft.stats.Sampling.leakageSafeSplit(
+          t(s, dir, "documents"), col("doc_id"), minhashPairCache(s, dir),
+          col("id_a"), col("id_b"),
+          Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1),
+          c => pmod(c * lit(2654435761L), lit(4294967296L)))
+        .orderBy("id")),
+    // ---- exact length-decile card: every doc's decile by GLOBAL
+    // (n_tokens, doc_id) rank — the two-phase distributed rank, never the
+    // single-partition ntile window; bucket = 0-based-rank*10/n in pure
+    // long floor division, so the oracle's row_number window restates
+    // every assignment bit-for-bit
+    "q127_length_deciles" -> ((s, dir) =>
+      graft.stats.Quantiles.exactBuckets(
+          t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+          TextOps.tokenCount(col("text")), col("doc_id"), k = 10)
+        .select(col("id").as("doc_id"), col("v").as("n_tokens"), col("bucket"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -3547,7 +3569,29 @@ object SparkEntry {
         |      FROM a CROSS JOIN b)
         |SELECT bw AS bucket_w, bh AS bucket_h, count(*) AS cnt
         |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q125_tokenizer_fertility" -> bpeFertilityOracleSql(8)
+    "q125_tokenizer_fertility" -> bpeFertilityOracleSql(8),
+    // the q54 closure, then the q84 hash CASE taken of comp instead of
+    // doc_id — same-cluster rows provably share a split
+    "q126_leakage_safe_split" ->
+      s"""$minhashClosureSql,
+        |canon AS (SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
+        |          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+        |SELECT id, comp,
+        |  CASE WHEN (comp*2654435761) % 4294967296 < ${(0.8 * 4294967296.0).toLong} THEN 'train'
+        |       WHEN (comp*2654435761) % 4294967296 < ${((0.8 + 0.1) * 4294967296.0).toLong} THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM canon ORDER BY id""".stripMargin,
+    // exact global rank restated as a row_number window (fine in DuckDB at
+    // oracle scale; the engine refuses that single-partition plan) — DuckDB
+    // BIGINT // truncates exactly like Java long division (both sides >= 0)
+    "q127_length_deciles" ->
+      """WITH tc AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |            FROM documents WHERE trim(text) <> ''),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT) AS rk,
+        |        (SELECT count(*) FROM tc) AS n FROM tc)
+        |SELECT doc_id, n_tokens, CAST((rk * 10) // n AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -227,6 +227,37 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe holdout split — [[hashSplit]] assigned per NEAR-DUP
+    * CLUSTER instead of per document. Plain per-doc hash splitting has a
+    * silent failure mode every eval team eventually hits: two near-copies
+    * of the same document hash to different splits, so the model trains on
+    * (a paraphrase of) its own test set. Here the split hash is taken of
+    * the cluster's CANONICAL id (connected components over `pairs`,
+    * singletons keep their own id — [[graft.dedup.Dedup.components]]), so
+    * every member of a near-dup cluster lands in the SAME split by
+    * construction: cross-split leakage is zero, provably, not sampled-for.
+    * Output: the corpus ids with (id, comp, split).
+    *
+    * Scale shape: the CC label join is the only work beyond components
+    * itself; the split label is a codegen'd CASE projection of comp (no
+    * extra shuffle). Determinism is total — same pairs, same splits →
+    * same assignment on any partitioning, and membership is recomputable
+    * in ANSI SQL (recursive-CTE closure + the same multiplicative hash),
+    * which is how q126's oracle restates every row. */
+  def leakageSafeSplit(
+      corpus: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      a: Column,
+      b: Column,
+      splits: Seq[(String, Double)],
+      hashOf: Column => Column,
+      hashMax: Long = 1L << 32
+  ): DataFrame = {
+    val canon = graft.dedup.Dedup.components(corpus, id, pairs, a, b)
+    hashSplit(canon, hashOf(col("comp")), splits, hashMax)
+  }
+
   /** Weighted sample WITHOUT replacement, probability (approximately)
     * proportional to weight — sequential Poisson sampling (Ohlsson 1998),
     * the deterministic order-sampling scheme survey statisticians use and

@@ -171,6 +171,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; per-doc hashSplit provably leaks on the same graph") {
+    // 3000 docs; every consecutive triple (3k, 3k+1, 3k+2) is a near-dup
+    // chain — 1000 clusters of 3 covering the whole corpus
+    val docs = (0L until 3000L).map(Tuple1(_)).toDF("doc_id")
+    val chain = (0L until 3000L by 3).flatMap(a => Seq((a, a + 1), (a + 1, a + 2)))
+    val pairs = chain.toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val got = Sampling
+      .leakageSafeSplit(docs.repartition(7), col("doc_id"), pairs, col("id_a"), col("id_b"),
+        splits, c => mhash(c))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got.length == 3000)
+    val byComp = got.groupBy(_._2)
+    assert(byComp.size == 1000)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.length == 3, s"cluster $comp should have 3 members")
+      assert(ms.map(_._1).min == comp, s"canonical id must be the min member")
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $comp straddles splits: $ms")
+    }
+    // zero leaked near-dup pairs, by construction
+    val splitOf = got.map(t => t._1 -> t._3).toMap
+    assert(chain.count { case (a, b) => splitOf(a) != splitOf(b) } == 0)
+    // the contrast: the SAME corpus split per-doc leaks across pairs
+    val plain = Sampling.hashSplit(docs, mhash(col("doc_id")), splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chain.count { case (a, b) => plain(a) != plain(b) } > 0,
+      "fixture must demonstrate the per-doc leakage failure mode")
+  }
+
   test("Packing.assignBins: exact prefix-sum bins, partitioning-independent, no global window") {
     import graft.stats.Packing
     val n = 5000L
