@@ -1106,6 +1106,25 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, r.getLong(0))
   }
 
+  /** Scaling workload — exact quantile buckets (q127 shape): n synthetic
+    * rows with a heavy-tie integer value distribution (97 distinct values
+    * — the token-count-after-truncation regime where a windowed rank would
+    * hot-spot) pushed through the two-phase global rank into k=10 deciles,
+    * reduced by a bucket census. The timed region is the whole op: range
+    * exchange + two sorted passes + the P-long driver offsets. Returns
+    * (rows, seconds, buckets). */
+  def quantilesThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, n, 1, slices)
+      .select(col("id"), pmod(col("id") * lit(2654435761L), lit(97L)).as("v"))
+    val t0 = System.nanoTime()
+    val buckets = graft.stats.Quantiles.exactBuckets(df, col("v"), col("id"), k = 10)
+      .groupBy("bucket").count().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(buckets == 10L, s"expected 10 buckets, got $buckets")
+    (n, sec, buckets)
+  }
+
   /** Scaling workload — char-entropy quality scan + sequential-Poisson
     * weighted top-k in ONE pass over the synthetic docs: the entropy kernel
     * feeds the weight (favor high-entropy docs), the sample is the k

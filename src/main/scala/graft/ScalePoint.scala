@@ -67,6 +67,7 @@ object ScalePoint {
       case "htmltext"      => Bench.htmlTextThroughput(spark, rows)
       case "editdist"      => Bench.editDistThroughput(spark, rows)
       case "bpeapply"      => Bench.bpeApplyThroughput(spark, rows)
+      case "quantiles"     => Bench.quantilesThroughput(spark, rows)
       case "zipf"          => Bench.zipfThroughput(spark, rows)
       case "entropysample" => Bench.entropySampleThroughput(spark, rows)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

@@ -96,6 +96,8 @@ object ScalingBench {
         Bench.editDistThroughput(s, 500000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("bpeapply")))
         Bench.bpeApplyThroughput(s, 200000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("quantiles")))
+        Bench.quantilesThroughput(s, 2000000)
       s.stop()
     }
 
@@ -132,6 +134,7 @@ object ScalingBench {
         else if (mode == "dsir") Bench.dsirThroughput(s, n / 10)
         else if (mode == "editdist") Bench.editDistThroughput(s, n * 2)
         else if (mode == "bpeapply") Bench.bpeApplyThroughput(s, n / 2)
+        else if (mode == "quantiles") Bench.quantilesThroughput(s, n * 20)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -154,6 +157,7 @@ object ScalingBench {
         else if (mode == "dsir") n / 10
         else if (mode == "editdist") n * 2
         else if (mode == "bpeapply") n / 2
+        else if (mode == "quantiles") n * 20
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
         else if (mode == "hammingknn") n / 2

@@ -1747,6 +1747,28 @@ object SparkEntry {
           t(s, dir, "documents").filter(trim(col("text")) =!= ""),
           TextOps.tokenCount(col("text")), col("doc_id"), k = 10)
         .select(col("id").as("doc_id"), col("v").as("n_tokens"), col("bucket"))
+        .orderBy("doc_id")),
+    // ---- greedy token-budget fill (the FineWeb-style selection cut):
+    // best-first by lexical diversity (distinct-token count, ties -> lowest
+    // id), kept while the inclusive running token total stays within the
+    // budget — the two-phase prefix sum on the score order, never the
+    // single-partition running-sum window
+    "q128_budget_fill" -> ((s, dir) =>
+      graft.stats.Quantiles.budgetFill(
+          t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+          size(array_distinct(TextOps.tokens(col("text")))),
+          TextOps.tokenCount(col("text")), col("doc_id"), budget = 10000L)
+        .select(col("id").as("doc_id"), col("score").as("n_distinct"),
+          col("w").as("n_tokens"), col("cum").as("cum_tokens"))
+        .orderBy("doc_id")),
+    // ---- per-language length deciles: the stratified q127 — partitioned
+    // windows distribute across strata; a NULL stratum is a real partition
+    "q129_length_deciles_by_lang" -> ((s, dir) =>
+      graft.stats.Quantiles.exactBucketsBy(
+          t(s, dir, "documents").filter(trim(col("text")) =!= ""),
+          col("lang"), TextOps.tokenCount(col("text")), col("doc_id"), k = 10)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"),
+          col("v").as("n_tokens"), col("bucket"))
         .orderBy("doc_id"))
   )
 
@@ -3591,6 +3613,26 @@ object SparkEntry {
         |        CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT) AS rk,
         |        (SELECT count(*) FROM tc) AS n FROM tc)
         |SELECT doc_id, n_tokens, CAST((rk * 10) // n AS BIGINT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the greedy cut restated as a running-sum window (inclusive frame is
+    // the window default); sums re-cast to BIGINT (the HUGEINT dtype trap)
+    "q128_budget_fill" ->
+      """WITH sc AS (SELECT doc_id,
+        |       CAST(len(list_distinct(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS n_distinct,
+        |       CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |     FROM documents WHERE trim(text) <> ''),
+        |r AS (SELECT doc_id, n_distinct, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY n_distinct DESC, doc_id) AS BIGINT) AS cum_tokens
+        |      FROM sc)
+        |SELECT doc_id, n_distinct, n_tokens, cum_tokens FROM r
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    "q129_length_deciles_by_lang" ->
+      """WITH tc AS (SELECT lang, doc_id, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |            FROM documents WHERE trim(text) <> ''),
+        |r AS (SELECT lang, doc_id, n_tokens,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) - 1 AS BIGINT) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM tc)
+        |SELECT lang, doc_id, n_tokens, CAST((rk * 10) // n AS BIGINT) AS bucket
         |FROM r ORDER BY doc_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL

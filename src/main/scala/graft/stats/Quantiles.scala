@@ -75,4 +75,83 @@ object Quantiles {
         StructField("v", LongType, nullable = false),
         StructField("bucket", LongType, nullable = false))))
   }
+
+  /** Per-STRATUM exact quantile buckets — [[exactBuckets]] partitioned by a
+    * stratum key (per-language length deciles, per-source quality terciles:
+    * the stratified data card that decides per-stratum truncation and
+    * mixing policies). Output: (stratum, id, v, bucket).
+    *
+    * Scale shape: windows PARTITIONED BY stratum distribute across strata
+    * (the [[Drift.ksExactBy]] argument) — no single-partition global
+    * window. The caveat is a HOT stratum: one stratum holding most of the
+    * corpus degenerates to one window task, and that case is exactly what
+    * the two-phase [[exactBuckets]] is for — run it per hot stratum.
+    * A NULL stratum is a real partition and buckets like any other (the
+    * quotaSample lesson); null value/tie rows are dropped. */
+  def exactBucketsBy(df: DataFrame, stratum: Column, value: Column, tie: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stratum").orderBy(col("v").asc, col("id").asc)
+    df.select(stratum.as("stratum"), tie.cast("long").as("id"), value.cast("long").as("v"))
+      .na.drop("any", Seq("id", "v"))
+      .withColumn("_rk", row_number().over(w).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .select(col("stratum"), col("id"), col("v"),
+        expr(s"(_rk * ${k.toLong}L) DIV _n").as("bucket"))
+  }
+
+  /** Greedy token-budget fill — the corpus-assembly selection step ("take
+    * the best documents until the token budget is met", the FineWeb-style
+    * classifier-score cut): rows are ranked by (score DESC, tie ASC) and
+    * kept while the INCLUSIVE running weight (token count) stays within
+    * `budget`. Output: the kept rows as (id, score, w, cum) — `cum` is the
+    * running total, so max(cum) is the realized budget and the boundary
+    * doc is auditable. Deterministic on any partitioning (total order via
+    * the tie key; integer arithmetic only).
+    *
+    * Why not `sum(w) OVER (ORDER BY score DESC)`: the same unpartitioned-
+    * window trap as [[exactBuckets]] — one task holds the corpus. This is
+    * the two-phase distributed prefix sum of [[Packing.assignBins]] run on
+    * the score order: range-repartition by (-score, id), per-partition
+    * weight totals → driver offsets (P longs), then a second sorted pass
+    * accumulates and cuts. Partitions whose offset already exceeds the
+    * budget short-circuit per row (cum > budget → skip) — Catalyst cannot
+    * prune them without knowing the offsets, but the per-row work is two
+    * long adds.
+    *
+    * ROW CONTRACT below the .rdd drop: ordinals (id=0, score=1, w=2). */
+  def budgetFill(df: DataFrame, score: Column, weight: Column, tie: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val g = df
+      .select(tie.cast("long").as("id"), score.cast("long").as("score"), weight.cast("long").as("w"))
+      .na.drop
+      .repartitionByRange(p, col("score").desc, col("id").asc)
+      .sortWithinPartitions(col("score").desc, col("id").asc)
+    val rdd = g.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(2)
+      Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val off = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(off)
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      if (cum > budget) Iterator.empty // whole partition past the cut
+      else it.flatMap { row =>
+        cum += row.getLong(2)
+        if (cum <= budget) Some(Row(row.getLong(0), row.getLong(1), row.getLong(2), cum))
+        else None
+      }
+    }
+    spark.createDataFrame(
+      rows,
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("score", LongType, nullable = false),
+        StructField("w", LongType, nullable = false),
+        StructField("cum", LongType, nullable = false))))
+  }
 }
