@@ -1769,7 +1769,13 @@ object SparkEntry {
           col("lang"), TextOps.tokenCount(col("text")), col("doc_id"), k = 10)
         .select(col("stratum").as("lang"), col("id").as("doc_id"),
           col("v").as("n_tokens"), col("bucket"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // ---- cross-source vocabulary overlap card: exact pairwise vocab
+    // Jaccard per source pair — everything past the first aggregate is
+    // vocabulary-bounded; the one division is correctly-rounded IEEE
+    "q130_source_overlap" -> ((s, dir) =>
+      TextOps.sourceVocabOverlap(t(s, dir, "documents"), col("text"), col("source"))
+        .orderBy("src_a", "src_b"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -3633,7 +3639,21 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) - 1 AS BIGINT) AS rk,
         |        count(*) OVER (PARTITION BY lang) AS n FROM tc)
         |SELECT lang, doc_id, n_tokens, CAST((rk * 10) // n AS BIGINT) AS bucket
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q130_source_overlap" ->
+      """WITH ts AS (SELECT DISTINCT src, t FROM (
+        |       SELECT source AS src, unnest(string_split_regex(trim(text),'\s+')) AS t
+        |       FROM documents WHERE trim(text) <> '')),
+        |sz AS (SELECT src, count(*) AS v FROM ts GROUP BY 1),
+        |it AS (SELECT a.src AS ia, b.src AS ib, count(*) AS inter
+        |       FROM ts a JOIN ts b ON a.t = b.t AND a.src < b.src GROUP BY 1, 2)
+        |SELECT s1.src AS src_a, s2.src AS src_b, s1.v AS v_a, s2.v AS v_b,
+        |  CAST(coalesce(it.inter, 0) AS BIGINT) AS inter,
+        |  CAST(coalesce(it.inter, 0) AS DOUBLE)
+        |    / CAST(s1.v + s2.v - coalesce(it.inter, 0) AS DOUBLE) AS jaccard
+        |FROM sz s1 JOIN sz s2 ON s1.src < s2.src
+        |LEFT JOIN it ON it.ia = s1.src AND it.ib = s2.src
+        |ORDER BY 1, 2""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -783,6 +783,49 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "score")
   }
 
+  /** Cross-source vocabulary overlap card — exact pairwise Jaccard of the
+    * DISTINCT-token vocabularies of every pair of sources: the corpus-diff
+    * view a data-mixing team reads before weighting sources (two crawls
+    * with 0.9 vocab Jaccard are near-redundant; a 0.05 pair adds genuine
+    * diversity). Output one row per unordered source pair:
+    * (src_a, src_b, v_a, v_b, inter, jaccard) with
+    * jaccard = inter / (v_a + v_b − inter) — integer counts plus ONE
+    * correctly-rounded IEEE division, so a SQL oracle restates the card
+    * bit-for-bit. Pairs with zero overlap are kept (inter = 0).
+    *
+    * Scale shape: everything after the first aggregate is
+    * VOCABULARY-bounded, never corpus-bounded. One explode + distinct
+    * collapses the corpus to (token, source) membership (map-side
+    * combinable); per-token source sets then expand to at most
+    * |S|²/2 pairs per token (|S| = source count, small by premise — this
+    * is a per-PAIR card, quadratic in sources by definition); the final
+    * per-pair count and the |S|-sized size table broadcast-join. No
+    * all-pairs document work anywhere. */
+  def sourceVocabOverlap(corpus: DataFrame, text: Column, source: Column): DataFrame = {
+    val ts = corpus
+      .filter(trim(text) =!= "")
+      .select(source.as("src"), explode(tokens(text)).as("t"))
+      .distinct()
+    val sizes = ts.groupBy("src").agg(count(lit(1)).as("v"))
+    val inter = ts
+      .groupBy("t").agg(collect_set(col("src")).as("ss"))
+      .select(explode(col("ss")).as("a"), col("ss"))
+      .select(col("a"), explode(col("ss")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    sizes.as("s1")
+      .crossJoin(sizes.as("s2"))
+      .filter(col("s1.src") < col("s2.src"))
+      .join(inter, col("s1.src") === col("a") && col("s2.src") === col("b"), "left")
+      .select(
+        col("s1.src").as("src_a"), col("s2.src").as("src_b"),
+        col("s1.v").as("v_a"), col("s2.v").as("v_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("s1.v") + col("s2.v") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** One BPE-style merge-candidate counting round: corpus-wide counts of
     * adjacent CHARACTER pairs within words, weighted by word frequency —
     * the inner loop of byte-pair-encoding tokenizer training (Sennrich et

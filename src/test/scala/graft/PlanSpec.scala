@@ -411,6 +411,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 1, s"plan:\n$plan")
   }
 
+  test("sourceVocabOverlap plan: pair explodes sit ABOVE the per-token collect_set aggregate") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (s"s${i % 4}", s"tok${i % 11} tok${i % 7} tok${i % 11}"))
+      .toDF("source", "text")
+    val plan = executedPlan(
+      graft.text.TextOps.sourceVocabOverlap(docs, col("text"), col("source")))
+    // plan strings print top-down: both pair explodes (the two leading
+    // Generates) must appear above the per-token collect_set aggregate
+    // (EliminateDistinct folds the explicit (src, t) distinct into it —
+    // collect_set is duplicate-insensitive), which sits above the token
+    // explode (the last Generate) — i.e. pair expansion runs over the
+    // vocabulary-sized membership table, never over raw corpus tokens
+    val pairGen = plan.indexOf("Generate")
+    val vocabAgg = plan.indexOf("collect_set")
+    val tokGen = plan.lastIndexOf("Generate")
+    assert(pairGen >= 0 && vocabAgg >= 0 && tokGen > pairGen,
+      s"expected pair Generates above the collect_set aggregate:\n$plan")
+    assert(pairGen < vocabAgg && vocabAgg < tokGen,
+      s"pair explode must consume the per-token source-set table:\n$plan")
+  }
+
   test("bpeApply tokenize pass: fold of literal replaces stays one no-shuffle scan") {
     import graft.text.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1185,4 +1185,21 @@ class TextDedupSpec extends SparkSpec {
       .head().getString(0)
     assert(aa2 == " aa  aa ")
   }
+
+  test("sourceVocabOverlap: exact pairwise vocab Jaccard, zero-overlap pairs kept, duplicates collapse") {
+    // srcA vocab {w,x,y,z}, srcB {x,y,q} (shares x,y), srcC {m,n} disjoint;
+    // repeated tokens and a duplicate doc must not inflate any count
+    val corpus = Seq(
+      ("srcA", "w x y"), ("srcA", "y z w w"), ("srcA", "y z w w"),
+      ("srcB", "x x y q"), ("srcC", "m n n m"), ("srcC", "  ")
+    ).toDF("source", "text")
+    val got = TextOps.sourceVocabOverlap(corpus.repartition(5), col("text"), col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("srcA", "srcB", 4L, 3L, 2L, 2.0 / 5.0),
+      ("srcA", "srcC", 4L, 2L, 0L, 0.0),
+      ("srcB", "srcC", 3L, 2L, 0L, 0.0)))
+  }
 }
