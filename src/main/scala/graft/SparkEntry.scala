@@ -1775,7 +1775,25 @@ object SparkEntry {
     // vocabulary-bounded; the one division is correctly-rounded IEEE
     "q130_source_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(t(s, dir, "documents"), col("text"), col("source"))
-        .orderBy("src_a", "src_b"))
+        .orderBy("src_a", "src_b")),
+    // ---- CLIP-score-style image–text alignment card: captions planted as
+    // the image's own embedding (aligned, cosine ≈ 1) except every
+    // vec_id % 7 == 3 row, which takes its dense-id neighbor's embedding
+    // (misaligned — measured max neighbor cosine 0.36 at sf0.1, a ≥ 0.14
+    // margin to the 0.5 threshold, so the verdict is engine-robust)
+    "q131_alignment_card" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb
+        .crossJoin(emb.agg(count(lit(1)).as("_cnt")))
+        .withColumn("_capid",
+          when(col("vec_id") % 7 === 3, (col("vec_id") + 1) % col("_cnt"))
+            .otherwise(col("vec_id")))
+        .join(emb.select(col("vec_id").as("_cid"), col("embedding").as("_cap")),
+          col("_capid") === col("_cid"))
+      Ann.alignmentCard(pairs, col("label"), col("embedding"), col("_cap"),
+          threshold = 0.5)
+        .orderBy("label")
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -3653,7 +3671,20 @@ object SparkEntry {
         |    / CAST(s1.v + s2.v - coalesce(it.inter, 0) AS DOUBLE) AS jaccard
         |FROM sz s1 JOIN sz s2 ON s1.src < s2.src
         |LEFT JOIN it ON it.ia = s1.src AND it.ib = s2.src
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // the q131 planting restated: double-cast both sides before the cosine
+    // (the q89 protocol) — the verdict sits ≥ 0.14 from the threshold
+    "q131_alignment_card" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |p AS (SELECT e.label, e.embedding::DOUBLE[] AS img, c.embedding::DOUBLE[] AS cap
+        |      FROM embeddings e CROSS JOIN n
+        |      JOIN embeddings c ON c.vec_id =
+        |        CASE WHEN e.vec_id % 7 = 3 THEN (e.vec_id + 1) % n.cnt ELSE e.vec_id END)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) FILTER (WHERE list_cosine_similarity(img, cap) >= 0.5) AS BIGINT) AS n_aligned,
+        |  CAST(count(*) FILTER (WHERE list_cosine_similarity(img, cap) >= 0.5) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS align_rate
+        |FROM p GROUP BY label ORDER BY label""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -615,6 +615,38 @@ object Ann {
       .limit(k)
   }
 
+  /** CLIP-score-style image–text ALIGNMENT card — per-group pair counts
+    * and the fraction whose embedding cosine clears `threshold`: the
+    * LAION-family curation gate (Schuhmann et al. 2021 keep image–caption
+    * pairs with CLIP similarity ≥ 0.3; here the threshold is a parameter
+    * and the verdict rolls up into the per-group quality card a curation
+    * run reads before choosing a cut). `pairs` is the already-joined
+    * (image-embedding, caption-embedding) frame — pairing is the caller's
+    * id-keyed join, so at 100 TB it is ONE co-partitioned (or bucketed,
+    * shuffle-free) join, never recomputed here.
+    *
+    * Scale shape: one codegen'd cosine projection per pair (native
+    * dot/l2norm kernels — no HOFs, no UDF), then a map-side-combinable
+    * count/sum aggregate down to |groups| rows. The rate is ONE
+    * correctly-rounded IEEE division of two longs, so a SQL oracle
+    * restates the card exactly away from the threshold boundary.
+    * Output: (label, n_pairs, n_aligned, align_rate). */
+  def alignmentCard(
+      pairs: DataFrame,
+      group: Column,
+      imgEmb: Column,
+      capEmb: Column,
+      threshold: Double
+  ): DataFrame =
+    pairs
+      .groupBy(group.as("label"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(cosine(imgEmb, capEmb) >= lit(threshold), 1L).otherwise(0L))
+          .as("n_aligned"))
+      .withColumn("align_rate",
+        col("n_aligned").cast("double") / col("n_pairs").cast("double"))
+
   /** Embedding OUTLIER score — L2 distance of each vector to the CORPUS
     * CENTROID (per-dimension mean). The standard embedding-quality
     * prefilter: junk rows (corrupt encodes, off-distribution content)

@@ -330,4 +330,21 @@ class AnnStoreSpec extends SparkSpec {
       .select(Ann.int8Dot(col("q"), col("scale"), col("q"), col("scale"))).head().getDouble(0)
     assert(d == (1.0 / 127.0) * (1.0 / 127.0) * 21122.0)
   }
+
+  test("alignmentCard: per-label counts, orthogonal captions misalign, rate is an exact division") {
+    // label 0: two aligned pairs (identical vectors, cosine 1) + one
+    // orthogonal pair (cosine 0); label 1: one anti-parallel pair (-1)
+    val pairs = Seq(
+      (0, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (0, Array(0f, 2f, 0f), Array(0f, 5f, 0f)),
+      (0, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (1, Array(0f, 0f, 3f), Array(0f, 0f, -3f))
+    ).toDF("label", "img", "cap")
+    val got = Ann.alignmentCard(pairs, col("label"), col("img"), col("cap"), threshold = 0.5)
+      .orderBy("label")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((0, 3L, 2L, 2.0 / 3.0), (1, 1L, 0L, 0.0)))
+  }
 }
