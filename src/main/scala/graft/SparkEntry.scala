@@ -1793,6 +1793,17 @@ object SparkEntry {
       Ann.alignmentCard(pairs, col("label"), col("embedding"), col("_cap"),
           threshold = 0.5)
         .orderBy("label")
+    }),
+    // ---- dedup savings card: the q54 canonical ids rolled up to the
+    // per-cluster-size audit (n_chars as the weight; dropped = every
+    // non-representative member) — pure integer aggregation
+    "q132_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = Dedup
+        .components(docs, col("doc_id"), minhashPairCache(s, dir), col("id_a"), col("id_b"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      Dedup.savingsCard(labeled, col("id"), col("comp"), col("n_chars"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -3684,7 +3695,20 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE list_cosine_similarity(img, cap) >= 0.5) AS BIGINT) AS n_aligned,
         |  CAST(count(*) FILTER (WHERE list_cosine_similarity(img, cap) >= 0.5) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS align_rate
-        |FROM p GROUP BY label ORDER BY label""".stripMargin
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    // the q54 closure rolled up: per-component size/weight, then the
+    // per-size card (HUGEINT sums cast back to BIGINT)
+    "q132_dedup_savings" ->
+      s"""$minhashClosureSql,
+        |lab AS (SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp, d.n_chars AS w
+        |        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        |per AS (SELECT comp, count(*) AS sz, sum(w) AS wt,
+        |               sum(CASE WHEN id <> comp THEN w ELSE 0 END) AS wd
+        |        FROM lab GROUP BY comp)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS w_total,
+        |  CAST(sum(wd) AS BIGINT) AS w_dropped
+        |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -929,6 +929,42 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Dedup SAVINGS card — the audit a curation run reads after canonical
+    * ids land: per CLUSTER SIZE, how many clusters, how many documents
+    * they hold, their total weight (chars/bytes/tokens — caller's column),
+    * and how much of that weight dedup DROPS (every non-representative
+    * member, i.e. rows with `id != comp`). The size-1 row is the untouched
+    * corpus; the tail rows are the boilerplate families — a card like
+    * `{2: 14k clusters, 17: 3 clusters}` is the shape check that near-dup
+    * geometry behaved before anyone deletes 100 TB of data.
+    *
+    * Input is the [[components]] output joined with a weight column:
+    * (id, comp, weight). Output: (cluster_size, n_clusters, n_docs,
+    * w_total, w_dropped) — all pure integer aggregation, restated exactly
+    * by a SQL oracle.
+    *
+    * Scale shape: two map-side-combinable hash aggregates — corpus rows →
+    * one row per component (keyed on the 8-byte comp; the same shuffle
+    * geometry as the dedup keep-filter itself), then components → one row
+    * per distinct size (a handful). No join, no window, no driver state. */
+  def savingsCard(labeled: DataFrame, id: Column, comp: Column, weight: Column): DataFrame = {
+    val per = labeled
+      .select(id.cast("long").as("_id"), comp.cast("long").as("_comp"),
+        weight.cast("long").as("_w"))
+      .groupBy("_comp")
+      .agg(
+        count(lit(1)).as("_sz"),
+        sum(col("_w")).as("_wt"),
+        sum(when(col("_id") =!= col("_comp"), col("_w")).otherwise(0L)).as("_wd"))
+    per
+      .groupBy(col("_sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("_sz")).as("n_docs"),
+        sum(col("_wt")).as("w_total"),
+        sum(col("_wd")).as("w_dropped"))
+  }
+
   /** Strategy auto-selection: min-label propagation is the cheaper round
     * for the SHALLOW graphs dedup clusters usually are (each round is one
     * join + one agg on the symmetric edge list), but needs O(diameter)

@@ -1202,4 +1202,22 @@ class TextDedupSpec extends SparkSpec {
       ("srcA", "srcC", 4L, 2L, 0L, 0.0),
       ("srcB", "srcC", 3L, 2L, 0L, 0.0)))
   }
+
+  test("savingsCard: per-cluster-size counts and dropped weight of non-representatives") {
+    // components: {1,2,3} (comp 1), {5,6} (comp 5), singletons 8, 9
+    val labeled = Seq(
+      (1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (5L, 5L, 40L), (6L, 5L, 50L),
+      (8L, 8L, 60L), (9L, 9L, 70L)
+    ).toDF("id", "comp", "w")
+    val got = Dedup.savingsCard(labeled.repartition(4), col("id"), col("comp"), col("w"))
+      .orderBy("cluster_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 130L, 0L),   // two singletons, nothing dropped
+      (2L, 1L, 2L, 90L, 50L),   // {5,6}: 6 dropped (w=50)
+      (3L, 1L, 3L, 60L, 50L)))  // {1,2,3}: 2+3 dropped (20+30)
+  }
 }
