@@ -52,6 +52,19 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Z-ordered events store for q133, materialized ONCE per sf-dir
+    * (8×8 Morton grid over (user_id, value)). Same `_SUCCESS` cache
+    * discipline: if the layout DEFINITION changes, bump the path segment. */
+  private def zorderCache(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/zcache/${new java.io.File(dir).getName}/events_b3").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.sources.ZOrderStore.write(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("value")),
+        col("user_id"), col("value"), path, bitsPerDim = 3)
+    path
+  }
+
   /** q74's curated survivor set (the five pipeline stages at the oracle
     * geometry: bands=32, quota=50 over the planted corpus), materialized
     * ONCE per sf-dir and read back by the endpoint queries that PACK
@@ -1804,7 +1817,15 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
       Dedup.savingsCard(labeled, col("id"), col("comp"), col("n_chars"))
         .orderBy("cluster_size")
-    })
+    }),
+    // ---- z-order layout probe: rectangle query against the Morton-
+    // partitioned events store — correctness is the raw residual filter
+    // (the cell set only prunes), so the oracle is the plain range query
+    "q133_zorder_probe" -> ((s, dir) =>
+      graft.sources.ZOrderStore
+        .rangeProbe(s, zorderCache(s, dir), 10.0, 40.0, 5.0, 120.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id"))
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -3708,7 +3729,13 @@ object SparkEntry {
         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sum(sz) AS BIGINT) AS n_docs, CAST(sum(wt) AS BIGINT) AS w_total,
         |  CAST(sum(wd) AS BIGINT) AS w_dropped
-        |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
+        |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // the z-order store holds exactly the events rows; pruning never
+    // changes the result, so the oracle is the brute rectangle filter
+    "q133_zorder_probe" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 5.0 AND 120.0
+        |ORDER BY event_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
