@@ -1140,4 +1140,57 @@ object Bench {
       .weightedSample(docs, col("ent"), col("h"), col("doc_id"), k = 10000).count()
     (n, (System.nanoTime() - t0) / 1e9, kept)
   }
+
+  /** Scaling workload — CLIP-score-style alignment card over n synthetic
+    * 64-dim pairs (every 7th a mismatched caption): one codegen'd cosine
+    * projection + the 10-group rollup. Timed = card aggregation; vector
+    * synthesis is part of the scan as it would be reading parquet arrays.
+    * Returns (pairs, seconds, totalAligned). */
+  def alignmentThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    // xxhash64 mixing: adjacent seeds must yield UNCORRELATED vectors (a
+    // linear per-component shift leaves cosine ≈ 1 and no pair misaligns)
+    def vec(seed: org.apache.spark.sql.Column) = array((0 until 64).map(d =>
+      (pmod(xxhash64(seed, lit(d)), lit(2001L)) - 1000L).cast("double") / 1000.0): _*)
+    val pairs = spark.range(0, n, 1, slices).select(
+      (col("id") % 10).as("label"),
+      vec(col("id")).as("img"),
+      when(col("id") % 7 === 3, vec(col("id") + 1)).otherwise(vec(col("id"))).as("cap"))
+    val t0 = System.nanoTime()
+    val card = graft.ann.Ann
+      .alignmentCard(pairs, col("label"), col("img"), col("cap"), threshold = 0.5)
+      .agg(sum("n_aligned")).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, card)
+  }
+
+  /** Scaling workload — z-order rectangle probe vs brute scan: an n-row
+    * (user_id ∈ [0,10k), value ∈ [0,1k)) table laid out as an 8×8 Morton
+    * store (built once per size, cached on disk); the probe rectangle
+    * covers 6 of 64 cells (~2% of rows). brute=true times the identical
+    * rectangle on the UNPARTITIONED copy of the same data — the pair is
+    * the file-skipping speedup artifact. Returns (rows, seconds, hits). */
+  def zorderProbeThroughput(spark: SparkSession, n: Long, brute: Boolean = false,
+                            slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val base = new java.io.File(s"target/zbench/n$n").getAbsolutePath
+    val store = s"$base/store"
+    val flat = s"$base/flat"
+    val df = spark.range(0, n, 1, slices).select(
+      col("id").as("event_id"),
+      (col("id") % 10000L).as("user_id"),
+      ((col("id") * 2654435761L % 100000L).cast("double") / 100.0).as("value"))
+    if (!new java.io.File(s"$store/_SUCCESS").exists())
+      graft.sources.ZOrderStore.write(df, col("user_id"), col("value"), store, bitsPerDim = 3)
+    if (!new java.io.File(s"$flat/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(flat)
+    val t0 = System.nanoTime()
+    val hits =
+      if (brute)
+        spark.read.parquet(flat)
+          .filter(col("user_id").between(1000, 2000) && col("value").between(100.0, 300.0))
+          .count()
+      else
+        graft.sources.ZOrderStore.rangeProbe(spark, store, 1000.0, 2000.0, 100.0, 300.0).count()
+    (n, (System.nanoTime() - t0) / 1e9, hits)
+  }
 }

@@ -70,6 +70,9 @@ object ScalePoint {
       case "quantiles"     => Bench.quantilesThroughput(spark, rows)
       case "zipf"          => Bench.zipfThroughput(spark, rows)
       case "entropysample" => Bench.entropySampleThroughput(spark, rows)
+      case "alignment"     => Bench.alignmentThroughput(spark, rows)
+      case "zorder"        => Bench.zorderProbeThroughput(spark, rows)
+      case "zorderbrute"   => Bench.zorderProbeThroughput(spark, rows, brute = true)
       case _               => Bench.scaleThroughput(spark, rows, cpus)
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

@@ -1825,7 +1825,22 @@ object SparkEntry {
       graft.sources.ZOrderStore
         .rangeProbe(s, zorderCache(s, dir), 10.0, 40.0, 5.0, 120.0)
         .select("event_id", "user_id", "value")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // ---- as-of join: every non-decile event matched to the latest
+    // at-or-before reference row of its user (refs = decile events,
+    // pre-deduped per (user, ts) — the well-definedness contract);
+    // DuckDB's native ASOF LEFT JOIN restates it exactly
+    "q134_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val refs = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts").agg(max("value").as("rv"))
+      val probes = ev.filter(col("event_id") % 10 =!= 0)
+      graft.stats.AsOfJoin
+        .asOf(probes, col("user_id"), col("ts"), col("event_id"),
+          refs, col("user_id"), col("ts"), col("rv"))
+        .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    })
   )
 
   /** Deterministic PII planting shared by q60/q61: appended spans derived
@@ -3735,6 +3750,15 @@ object SparkEntry {
     "q133_zorder_probe" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 5.0 AND 120.0
+        |ORDER BY event_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN (greatest ref.ts <= probe.ts per
+    // user, inclusive) restates the union-and-sweep construction exactly
+    "q134_asof_join" ->
+      """WITH refs AS (SELECT user_id, ts, max(value) AS rv FROM events
+        |              WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id, r.rv AS asof_value
+        |FROM p ASOF LEFT JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.ts
         |ORDER BY event_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL

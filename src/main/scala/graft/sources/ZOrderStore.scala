@@ -80,8 +80,14 @@ object ZOrderStore {
     val (xlo, xhi, ylo, yhi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val xName = df.select(x).columns.head
     val yName = df.select(y).columns.head
+    // repartition ON z before the partitioned write: without it every
+    // input task writes a sliver into every cell directory (tasks × cells
+    // small files — measured SLOWER to probe than a brute scan of the
+    // compacted flat copy at 20M rows); with it each cell is one compact
+    // file and the probe reads exactly the overlapping cells
     df.withColumn("z",
         interleaveCol(cellCol(x, xlo, xhi, cells), cellCol(y, ylo, yhi, cells), bitsPerDim))
+      .repartition(col("z"))
       .write
       .mode("overwrite")
       .partitionBy("z")
