@@ -1840,6 +1840,23 @@ object SparkEntry {
           refs, col("user_id"), col("ts"), col("rv"))
         .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_value"))
         .orderBy("event_id")
+    }),
+    // ---- snapshot diff: recrawl delta vs the documents table — new
+    // snapshot drops %13==5 (removed), edits %9==2 (changed, unless also
+    // removed), adds shifted %10==7 copies (added); per-source card
+    "q135_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 2, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+        .union(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"), col("source")))
+      Dedup.snapshotDiff(docs, newSnap, col("doc_id"), col("text"), col("source"))
+        .withColumnRenamed("group", "source")
+        .orderBy("source")
     })
   )
 
@@ -3759,7 +3776,31 @@ object SparkEntry {
         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
         |SELECT p.event_id, p.user_id, r.rv AS asof_value
         |FROM p ASOF LEFT JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.ts
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // the q135 planting restated; content compare on raw text (equivalent
+    // to the engine's xxhash64 compare absent collisions, the q24/q28
+    // argument)
+    "q135_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, text, source FROM documents),
+        |n AS (SELECT doc_id AS id,
+        |             CASE WHEN doc_id % 9 = 2 THEN text || ' edited' ELSE text END AS text,
+        |             source
+        |      FROM documents WHERE doc_id % 13 <> 5
+        |      UNION ALL
+        |      SELECT doc_id + 3000000 AS id, 'fresh ' || text AS text, source
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |             CASE WHEN o.id IS NULL THEN 'added'
+        |                  WHEN n.id IS NULL THEN 'removed'
+        |                  WHEN o.text = n.text THEN 'unchanged'
+        |                  ELSE 'changed' END AS st
+        |      FROM o FULL JOIN n ON o.id = n.id)
+        |SELECT source,
+        |  CAST(count(*) FILTER (WHERE st = 'added') AS BIGINT) AS n_added,
+        |  CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT) AS n_changed,
+        |  CAST(count(*) FILTER (WHERE st = 'unchanged') AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

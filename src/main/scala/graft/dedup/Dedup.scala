@@ -965,6 +965,49 @@ object Dedup {
         sum(col("_wd")).as("w_dropped"))
   }
 
+  /** SNAPSHOT DIFF card — the recrawl delta a pipeline reads before
+    * re-running curation: per group (source/domain/shard), how many
+    * documents the new snapshot ADDED (id only in new), REMOVED (only in
+    * old), CHANGED (both, content differs) and left UNCHANGED. The card
+    * decides incremental work: only added+changed rows re-enter the
+    * fingerprint/dedup/quality stages (the [[MinHashStore]] incremental
+    * path), and a removed/changed spike on one source is the
+    * crawl-regression alarm.
+    *
+    * Scale shape: both snapshots project to (8-byte id, 8-byte content
+    * xxhash64, group) — the full outer join carries ~24 B/row and
+    * co-partitions on the id (ONE shuffle each side; at 100 TB both sides
+    * bucket-store on id and the join is shuffle-free), then a map-side
+    * combinable rollup to |groups| rows. Content equality via xxhash64
+    * carries the standard n²/2⁶⁴ collision trade of hash-keyed dedup
+    * (a colliding changed doc would count unchanged).
+    *
+    * Output: (group, n_added, n_removed, n_changed, n_unchanged). */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      id: Column,
+      content: Column,
+      group: Column
+  ): DataFrame = {
+    val o = oldSnap.select(id.cast("long").as("_id"), xxhash64(content).as("_oh"),
+      group.as("_og"))
+    val n = newSnap.select(id.cast("long").as("_nid"), xxhash64(content).as("_nh"),
+      group.as("_ng"))
+    val st = when(col("_id").isNull, "added")
+      .when(col("_nid").isNull, "removed")
+      .when(col("_oh") === col("_nh"), "unchanged")
+      .otherwise("changed")
+    o.join(n, col("_id") === col("_nid"), "full_outer")
+      .select(coalesce(col("_ng"), col("_og")).as("group"), st.as("_st"))
+      .groupBy("group")
+      .agg(
+        sum(when(col("_st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("_st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Strategy auto-selection: min-label propagation is the cheaper round
     * for the SHALLOW graphs dedup clusters usually are (each round is one
     * join + one agg on the symmetric edge list), but needs O(diameter)

@@ -1220,4 +1220,27 @@ class TextDedupSpec extends SparkSpec {
       (2L, 1L, 2L, 90L, 50L),   // {5,6}: 6 dropped (w=50)
       (3L, 1L, 3L, 60L, 50L)))  // {1,2,3}: 2+3 dropped (20+30)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged per group, group from the surviving side") {
+    val oldSnap = Seq(
+      (1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"), (4L, "d", "s2")
+    ).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (1L, "a", "s1"),        // unchanged
+      (2L, "B2", "s1"),       // changed
+      (4L, "d", "s2"),        // unchanged
+      (9L, "new", "s3")       // added (source only in new)
+    ).toDF("doc_id", "text", "source") // 3 removed (s2)
+    val got = Dedup
+      .snapshotDiff(oldSnap.repartition(3), newSnap.repartition(2),
+        col("doc_id"), col("text"), col("source"))
+      .orderBy("group")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s1", 0L, 0L, 1L, 1L),
+      ("s2", 0L, 1L, 0L, 1L),
+      ("s3", 1L, 0L, 0L, 0L)))
+  }
 }
