@@ -1857,6 +1857,25 @@ object SparkEntry {
       Dedup.snapshotDiff(docs, newSnap, col("doc_id"), col("text"), col("source"))
         .withColumnRenamed("group", "source")
         .orderBy("source")
+    }),
+    // ---- interval (range) join: every non-decile event matched to every
+    // decile-event window of its user that contains it — intervals are
+    // [ts, ts + (event_id%7+1)*1h] in epoch micros; bucketization makes
+    // it a hash join (never a per-key cartesian), the residual is exact
+    "q136_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.filter(col("event_id") % 10 =!= 0)
+      val ivs = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("iv_id"), col("user_id").as("iv_user"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + ((col("iv_id") % 7) + 1) * lit(3600000000L))
+      graft.stats.RangeJoin
+        .intervalJoin(probes, col("user_id"), unix_micros(col("ts").cast("timestamp")), col("event_id"),
+          ivs, col("iv_user"), col("s"), col("e"), col("iv_id"),
+          bucketWidth = 1800000000L)
+        .select(col("p_id").as("event_id"), col("i_id").as("interval_id"),
+          col("k").as("user_id"), col("t"))
+        .orderBy("event_id", "interval_id")
     })
   )
 
@@ -3800,7 +3819,19 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE st = 'removed') AS BIGINT) AS n_removed,
         |  CAST(count(*) FILTER (WHERE st = 'changed') AS BIGINT) AS n_changed,
         |  CAST(count(*) FILTER (WHERE st = 'unchanged') AS BIGINT) AS n_unchanged
-        |FROM j GROUP BY source ORDER BY source""".stripMargin
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // plain BETWEEN join — bucketization only bounds which pairs are
+    // examined, the residual predicate is the whole truth; pure integer
+    // (epoch-micro) arithmetic on both engines
+    "q136_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |           WHERE event_id % 10 <> 0),
+        |i AS (SELECT event_id AS iv_id, user_id, epoch_us(ts) AS s,
+        |             epoch_us(ts) + ((event_id % 7) + 1) * 3600000000 AS e
+        |      FROM events WHERE event_id % 10 = 0)
+        |SELECT p.event_id, i.iv_id AS interval_id, p.user_id, p.t
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
+        |ORDER BY p.event_id, interval_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
