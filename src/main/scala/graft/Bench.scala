@@ -1163,6 +1163,62 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, card)
   }
 
+  /** Scaling workload — as-of join (q134 shape): n probe events against
+    * n/10 refs spread over n/2000 keys, epoch-style long times. Ref times
+    * are per-key-unique by construction (sequence-index spacing + bounded
+    * jitter — the operator's well-definedness contract). Timed = the
+    * union-and-sweep join + a matched census. Returns (probes, sec, matched). */
+  def asOfThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val keys = math.max(n / 2000L, 16L)
+    val perKey = math.max(n / 10L / keys, 1L)
+    // per-key sequence index: (id - id%keys)/keys — exact multiple/divisor
+    def seqIdx(id: org.apache.spark.sql.Column) =
+      ((id - pmod(id, lit(keys))) / lit(keys)).cast("long")
+    val refs = spark.range(0, n / 10, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      (seqIdx(col("id")) * 1000L + pmod(xxhash64(col("id")), lit(997L))).as("t"),
+      col("id").as("v"))
+    val probes = spark.range(0, n, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(7)), lit(perKey * 1000L)).as("t"),
+      col("id").as("pid"))
+    val t0 = System.nanoTime()
+    val matched = graft.stats.AsOfJoin
+      .asOf(probes, col("k"), col("t"), col("pid"), refs, col("k"), col("t"), col("v"))
+      .agg(count(col("asof_value"))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, matched)
+  }
+
+  /** Scaling workload — interval (range) join (q136 shape): n points vs
+    * n/10 intervals over n/2000 keys; spans 100–500 on a per-key domain
+    * sized for ~0.5 expected containments per point (the sessionization
+    * regime, not a blow-up). Timed = bucketized join + pair census.
+    * Returns (points, sec, pairs). */
+  def rangeJoinThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val keys = math.max(n / 2000L, 16L)
+    val perKey = math.max(n / 10L / keys, 1L)
+    val domain = perKey * 1000L
+    def seqIdx(id: org.apache.spark.sql.Column) =
+      ((id - pmod(id, lit(keys))) / lit(keys)).cast("long")
+    val intervals = spark.range(0, n / 10, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      (seqIdx(col("id")) * 1000L + pmod(xxhash64(col("id")), lit(500L))).as("s"),
+      col("id").as("iid"))
+      .withColumn("e", col("s") + lit(100L) + pmod(col("iid"), lit(9L)) * 50L)
+    val points = spark.range(0, n, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(11)), lit(domain)).as("t"),
+      col("id").as("pid"))
+    val t0 = System.nanoTime()
+    val pairs = graft.stats.RangeJoin
+      .intervalJoin(points, col("k"), col("t"), col("pid"),
+        intervals, col("k"), col("s"), col("e"), col("iid"), bucketWidth = 1000L)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, pairs)
+  }
+
   /** Scaling workload — z-order rectangle probe vs brute scan: an n-row
     * (user_id ∈ [0,10k), value ∈ [0,1k)) table laid out as an 8×8 Morton
     * store (built once per size, cached on disk); the probe rectangle

@@ -71,6 +71,8 @@ object ScalePoint {
       case "zipf"          => Bench.zipfThroughput(spark, rows)
       case "entropysample" => Bench.entropySampleThroughput(spark, rows)
       case "alignment"     => Bench.alignmentThroughput(spark, rows)
+      case "asof"          => Bench.asOfThroughput(spark, rows)
+      case "rangejoin"     => Bench.rangeJoinThroughput(spark, rows)
       case "zorder"        => Bench.zorderProbeThroughput(spark, rows)
       case "zorderbrute"   => Bench.zorderProbeThroughput(spark, rows, brute = true)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

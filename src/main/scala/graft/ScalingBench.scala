@@ -98,6 +98,10 @@ object ScalingBench {
         Bench.bpeApplyThroughput(s, 200000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("quantiles")))
         Bench.quantilesThroughput(s, 2000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("asof")))
+        Bench.asOfThroughput(s, 1000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("rangejoin")))
+        Bench.rangeJoinThroughput(s, 1000000)
       s.stop()
     }
 
@@ -135,6 +139,8 @@ object ScalingBench {
         else if (mode == "editdist") Bench.editDistThroughput(s, n * 2)
         else if (mode == "bpeapply") Bench.bpeApplyThroughput(s, n / 2)
         else if (mode == "quantiles") Bench.quantilesThroughput(s, n * 20)
+        else if (mode == "asof") Bench.asOfThroughput(s, n)
+        else if (mode == "rangejoin") Bench.rangeJoinThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,

@@ -1876,6 +1876,17 @@ object SparkEntry {
         .select(col("p_id").as("event_id"), col("i_id").as("interval_id"),
           col("k").as("user_id"), col("t"))
         .orderBy("event_id", "interval_id")
+    }),
+    // ---- gap-based sessionization: per-user event streams cut at >1h
+    // gaps, rolled up to the per-session card — the two-window sweep runs
+    // inside ONE shuffle; (t, id) ordering makes assignment deterministic
+    "q137_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.stats.Sessionize
+        .card(ev, col("user_id"), unix_micros(col("ts").cast("timestamp")),
+          col("event_id"), gapMicros = 3600000000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "session")
     })
   )
 
@@ -3831,7 +3842,22 @@ object SparkEntry {
         |      FROM events WHERE event_id % 10 = 0)
         |SELECT p.event_id, i.iv_id AS interval_id, p.user_id, p.t
         |FROM p JOIN i ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
-        |ORDER BY p.event_id, interval_id""".stripMargin
+        |ORDER BY p.event_id, interval_id""".stripMargin,
+    // identical lag -> boundary -> running-sum sweep, pure integer epoch
+    // micros; session cast BIGINT (DuckDB sum() yields HUGEINT)
+    "q137_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS id FROM events),
+        |f AS (SELECT user_id, t, id,
+        |             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, id)
+        |                    > 3600000000 THEN 1 ELSE 0 END AS nw
+        |      FROM e),
+        |s AS (SELECT user_id, t,
+        |             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t, id) AS BIGINT)
+        |               AS session
+        |      FROM f)
+        |SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(t) AS t_start, max(t) AS t_end, max(t) - min(t) AS duration
+        |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
