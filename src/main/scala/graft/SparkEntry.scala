@@ -1887,6 +1887,18 @@ object SparkEntry {
           col("event_id"), gapMicros = 3600000000L)
         .withColumnRenamed("k", "user_id")
         .orderBy("user_id", "session")
+    }),
+    // ---- per-user trailing-5-event rolling stats over integer cents
+    // (value is 2-decimal — ×100 rounds to an exact integer on both
+    // engines, so sum/min/max are order-insensitive exact arithmetic)
+    "q138_rolling_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.stats.Rolling
+        .trailingAgg(ev, col("user_id"), unix_micros(col("ts").cast("timestamp")),
+          col("event_id"), round(col("value") * 100, 0).cast("long"), k = 5)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("roll_sum"), col("roll_min"), col("roll_max"), col("roll_n"))
+        .orderBy("event_id")
     })
   )
 
@@ -3857,7 +3869,22 @@ object SparkEntry {
         |      FROM f)
         |SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
         |       min(t) AS t_start, max(t) AS t_end, max(t) - min(t) AS duration
-        |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin
+        |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+    // identical ROWS-frame window; cents are exact ints (2-decimal source),
+    // sum cast BIGINT (DuckDB window sum yields HUGEINT)
+    "q138_rolling_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |                  CAST(round(value * 100, 0) AS BIGINT) AS v
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(v) OVER w AS BIGINT) AS roll_sum,
+        |  min(v) OVER w AS roll_min,
+        |  max(v) OVER w AS roll_max,
+        |  count(*) OVER w AS roll_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
