@@ -1219,6 +1219,47 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, pairs)
   }
 
+  /** Scaling workload — sessionization (q137 shape): n events over n/2000
+    * keys, inter-event gaps mixed so ~20% of events open a new session.
+    * Timed = two-window sweep + session-card rollup census.
+    * Returns (events, sec, sessions). */
+  def sessionizeThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val keys = math.max(n / 2000L, 16L)
+    def seqIdx(id: org.apache.spark.sql.Column) =
+      ((id - pmod(id, lit(keys))) / lit(keys)).cast("long")
+    // per-key event times: mostly 100-step gaps, every ~5th jumps 10000
+    val ev = spark.range(0, n, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      (seqIdx(col("id")) * 100L +
+        when(pmod(xxhash64(col("id")), lit(5L)) === 0, seqIdx(col("id")) * lit(10000L))
+          .otherwise(lit(0L))).as("t"),
+      col("id").as("eid"))
+    val t0 = System.nanoTime()
+    val sessions = graft.stats.Sessionize
+      .card(ev, col("k"), col("t"), col("eid"), gapMicros = 500L)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, sessions)
+  }
+
+  /** Scaling workload — trailing-5 rolling stats (q138 shape): same event
+    * table as sessionize, integer values; timed = one-Window pass + census.
+    * Returns (events, sec, rows). */
+  def rollingThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val keys = math.max(n / 2000L, 16L)
+    val ev = spark.range(0, n, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000L)).as("t"),
+      col("id").as("eid"),
+      pmod(col("id") * lit(2654435761L), lit(100000L)).as("v"))
+    val t0 = System.nanoTime()
+    val rows = graft.stats.Rolling
+      .trailingAgg(ev, col("k"), col("t"), col("eid"), col("v"), k = 5)
+      .agg(count(lit(1)), sum(col("roll_max"))).head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, rows)
+  }
+
   /** Scaling workload — z-order rectangle probe vs brute scan: an n-row
     * (user_id ∈ [0,10k), value ∈ [0,1k)) table laid out as an 8×8 Morton
     * store (built once per size, cached on disk); the probe rectangle

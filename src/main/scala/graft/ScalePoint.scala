@@ -72,6 +72,8 @@ object ScalePoint {
       case "entropysample" => Bench.entropySampleThroughput(spark, rows)
       case "alignment"     => Bench.alignmentThroughput(spark, rows)
       case "asof"          => Bench.asOfThroughput(spark, rows)
+      case "sessionize"    => Bench.sessionizeThroughput(spark, rows)
+      case "rolling"       => Bench.rollingThroughput(spark, rows)
       case "rangejoin"     => Bench.rangeJoinThroughput(spark, rows)
       case "zorder"        => Bench.zorderProbeThroughput(spark, rows)
       case "zorderbrute"   => Bench.zorderProbeThroughput(spark, rows, brute = true)

@@ -102,6 +102,10 @@ object ScalingBench {
         Bench.asOfThroughput(s, 1000000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("rangejoin")))
         Bench.rangeJoinThroughput(s, 1000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("sessionize")))
+        Bench.sessionizeThroughput(s, 1000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("rolling")))
+        Bench.rollingThroughput(s, 1000000)
       s.stop()
     }
 
@@ -141,6 +145,8 @@ object ScalingBench {
         else if (mode == "quantiles") Bench.quantilesThroughput(s, n * 20)
         else if (mode == "asof") Bench.asOfThroughput(s, n)
         else if (mode == "rangejoin") Bench.rangeJoinThroughput(s, n)
+        else if (mode == "sessionize") Bench.sessionizeThroughput(s, n)
+        else if (mode == "rolling") Bench.rollingThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
