@@ -1899,6 +1899,22 @@ object SparkEntry {
         .select(col("id").as("event_id"), col("k").as("user_id"),
           col("roll_sum"), col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("event_id")
+    }),
+    // ---- as-of join with a 6h staleness bound: the q134 shape, but a
+    // match older than the tolerance is NULLed (merge_asof tolerance
+    // semantics — "config must be fresher than X")
+    "q139_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val refs = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts").agg(max("value").as("rv"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rt"), col("rv"))
+      val probes = ev.filter(col("event_id") % 10 =!= 0)
+      graft.stats.AsOfJoin
+        .asOfTolerance(probes, col("user_id"), unix_micros(col("ts").cast("timestamp")),
+          col("event_id"), refs, col("user_id"), col("rt"), col("rv"),
+          toleranceMicros = 21600000000L)
+        .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -3884,6 +3900,17 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // ASOF LEFT JOIN still finds the latest at-or-before ref; the CASE
+    // nulls stale matches — match-then-filter is the operator's contract
+    "q139_asof_tolerance" ->
+      """WITH refs AS (SELECT user_id, epoch_us(ts) AS rt, max(value) AS rv FROM events
+        |              WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |      WHERE event_id % 10 <> 0)
+        |SELECT p.event_id, p.user_id,
+        |       CASE WHEN p.t - r.rt <= 21600000000 THEN r.rv END AS asof_value
+        |FROM p ASOF LEFT JOIN refs r ON p.user_id = r.user_id AND p.t >= r.rt
         |ORDER BY event_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL

@@ -61,4 +61,54 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(col("id"), col("k"), col("t"), col("asof_value"))
   }
+
+  /** As-of join with a staleness bound (pandas `merge_asof(tolerance=...)`
+    * semantics): the latest at-or-before reference still matches, but the
+    * match is NULLed when it is older than `toleranceMicros` — "the config
+    * must be fresher than X or treat the event as unconfigured". Matching
+    * first and filtering second is exactly what a SQL
+    * `ASOF LEFT JOIN ... CASE WHEN p.t - r.t <= tol THEN r.v END`
+    * computes, so the oracle restates it directly.
+    *
+    * The reference's (time, value) ride the sweep as ONE struct so the
+    * staleness compare always reads the time of the SAME row that supplied
+    * the value (two independent running-`last` columns would disagree when
+    * a reference value is NULL). Times are caller-provided longs (epoch
+    * micros) — the tolerance compare is exact integer arithmetic. Same
+    * single-shuffle-per-side shape and (key, t)-unique refs contract as
+    * [[asOf]]. */
+  def asOfTolerance(
+      probes: DataFrame,
+      pKey: Column,
+      pTime: Column,
+      pId: Column,
+      refs: DataFrame,
+      rKey: Column,
+      rTime: Column,
+      rValue: Column,
+      toleranceMicros: Long
+  ): DataFrame = {
+    require(toleranceMicros > 0, "toleranceMicros must be positive")
+    val refStruct = refs
+      .select(struct(rTime.cast("long").as("rt"), rValue.as("rv")).as("_r"))
+      .schema.head.dataType
+    val p = probes.select(
+      pKey.as("k"), pTime.cast("long").as("t"), pId.as("id"),
+      lit(null).cast(refStruct).as("_r"),
+      lit(1).as("_side"))
+    val r = refs.select(
+      rKey.as("k"), rTime.cast("long").as("t"),
+      lit(null).cast(probes.select(pId).schema.head.dataType).as("id"),
+      struct(rTime.cast("long").as("rt"), rValue.as("rv")).as("_r"),
+      lit(0).as("_side"))
+    val w = Window
+      .partitionBy("k")
+      .orderBy(col("t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("id"), col("k"), col("t"),
+        when(col("t") - col("_m.rt") <= toleranceMicros, col("_m.rv")).as("asof_value"))
+  }
 }

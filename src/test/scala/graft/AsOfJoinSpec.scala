@@ -37,6 +37,31 @@ class AsOfJoinSpec extends SparkSpec {
       (53L, Some(200.0)), (54L, Some(900.0)), (55L, None)))
   }
 
+  test("asOfTolerance: stale matches NULLed, fresh kept inclusive, value-NULL refs still anchor staleness") {
+    val refs = Seq(
+      (1L, 10L, Some(100.0)), (1L, 20L, None), // t=20 ref has NULL value
+      (2L, 15L, Some(900.0))
+    ).toDF("k", "rt", "v")
+    val probes = Seq(
+      (1L, 5L, 50L),   // before any ref -> NULL
+      (1L, 12L, 51L),  // gap 2 <= 5 -> 100
+      (1L, 16L, 52L),  // gap 6 > 5 -> stale NULL
+      (1L, 22L, 53L),  // latest ref is t=20 (NULL value), gap 2 -> NULL value kept as NULL
+      (2L, 20L, 54L),  // gap 5 == tolerance, inclusive -> 900
+      (2L, 21L, 55L)   // gap 6 -> NULL
+    ).toDF("k", "t", "id")
+    val got = AsOfJoin
+      .asOfTolerance(probes, col("k"), col("t"), col("id"),
+        refs, col("k"), col("rt"), col("v"), toleranceMicros = 5L)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got == Seq(
+      (50L, None), (51L, Some(100.0)), (52L, None),
+      (53L, None), (54L, Some(900.0)), (55L, None)))
+  }
+
   test("asOf plan: one shuffle per side feeding one window sort — no range cross-product") {
     val refs = (1 to 50).map(i => ((i % 5).toLong, ts(i.toLong), i.toDouble)).toDF("k", "t", "v")
     val probes = (1 to 200).map(i => ((i % 5).toLong, ts(i.toLong), i.toLong)).toDF("k", "t", "id")
