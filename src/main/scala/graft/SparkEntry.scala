@@ -1915,6 +1915,21 @@ object SparkEntry {
           toleranceMicros = 21600000000L)
         .select(col("id").as("event_id"), col("k").as("user_id"), col("asof_value"))
         .orderBy("event_id")
+    }),
+    // ---- sequential funnel: per user, first signup, first click at-or-
+    // after it, first HIGH-VALUE purchase (>190 — rare, so ~3/4 of users
+    // stall and the NULL branch is exercised) at-or-after that; pure
+    // integer epoch-micro conditional mins
+    "q140_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("_step",
+          when(col("event_type") === "purchase" && col("value") > 190, "bigpurchase")
+            .otherwise(col("event_type")))
+      graft.stats.Funnel
+        .firstTimes(ev, col("user_id"), unix_micros(col("ts").cast("timestamp")),
+          col("_step"), Seq("signup", "click", "bigpurchase"))
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id")
     })
   )
 
@@ -3911,7 +3926,23 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id,
         |       CASE WHEN p.t - r.rt <= 21600000000 THEN r.rv END AS asof_value
         |FROM p ASOF LEFT JOIN refs r ON p.user_id = r.user_id AND p.t >= r.rt
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // the same chain of conditional-min CTEs; >= keeps same-instant step
+    // pairs ordered (funnel convention) on both engines
+    "q140_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |                  CASE WHEN event_type = 'purchase' AND value > 190
+        |                       THEN 'bigpurchase' ELSE event_type END AS s
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.s = 'click' AND e.t >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.s = 'bigpurchase' AND e.t >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
