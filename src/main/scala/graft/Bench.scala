@@ -1260,6 +1260,25 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Scaling workload — 3-step sequential funnel (q140 shape): n events
+    * over n/2000 keys, 4 step types hash-assigned (~25% each, one a
+    * non-step distractor). Timed = the conditional-min chain + a census.
+    * Returns (events, sec, keysReached1). */
+  def funnelThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val keys = math.max(n / 2000L, 16L)
+    val ev = spark.range(0, n, 1, slices).select(
+      pmod(col("id"), lit(keys)).as("k"),
+      pmod(xxhash64(col("id"), lit(13)), lit(1000000L)).as("t"),
+      element_at(array(lit("a"), lit("b"), lit("c"), lit("x")),
+        (pmod(xxhash64(col("id"), lit(17)), lit(4L)) + 1).cast("int")).as("s"))
+    val t0 = System.nanoTime()
+    val reached = graft.stats.Funnel
+      .card(ev, col("k"), col("t"), col("s"), Seq("a", "b", "c"))
+      .head().getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, reached)
+  }
+
   /** Scaling workload — z-order rectangle probe vs brute scan: an n-row
     * (user_id ∈ [0,10k), value ∈ [0,1k)) table laid out as an 8×8 Morton
     * store (built once per size, cached on disk); the probe rectangle

@@ -74,6 +74,7 @@ object ScalePoint {
       case "asof"          => Bench.asOfThroughput(spark, rows)
       case "sessionize"    => Bench.sessionizeThroughput(spark, rows)
       case "rolling"       => Bench.rollingThroughput(spark, rows)
+      case "funnel"        => Bench.funnelThroughput(spark, rows)
       case "rangejoin"     => Bench.rangeJoinThroughput(spark, rows)
       case "zorder"        => Bench.zorderProbeThroughput(spark, rows)
       case "zorderbrute"   => Bench.zorderProbeThroughput(spark, rows, brute = true)

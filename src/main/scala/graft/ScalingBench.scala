@@ -106,6 +106,8 @@ object ScalingBench {
         Bench.sessionizeThroughput(s, 1000000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("rolling")))
         Bench.rollingThroughput(s, 1000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("funnel")))
+        Bench.funnelThroughput(s, 1000000)
       s.stop()
     }
 
@@ -147,6 +149,7 @@ object ScalingBench {
         else if (mode == "rangejoin") Bench.rangeJoinThroughput(s, n)
         else if (mode == "sessionize") Bench.sessionizeThroughput(s, n)
         else if (mode == "rolling") Bench.rollingThroughput(s, n)
+        else if (mode == "funnel") Bench.funnelThroughput(s, n)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
