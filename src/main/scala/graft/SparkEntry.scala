@@ -1930,6 +1930,17 @@ object SparkEntry {
           col("_step"), Seq("signup", "click", "bigpurchase"))
         .withColumnRenamed("k", "user_id")
         .orderBy("user_id")
+    }),
+    // ---- exact set-similarity join (prefix filter): even-id docs vs
+    // odd-id docs at token-set Jaccard >= 19/20 — the prefix geometry only
+    // prunes, the verify join is the whole truth; all-integer verdict
+    "q141_setsim_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.SetSimJoin.jaccardJoin(
+          docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+          tauNum = 19L, tauDen = 20L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3942,7 +3953,25 @@ object SparkEntry {
         |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin
+        |ORDER BY s1.user_id""".stripMargin,
+    // brute force over token-sharing pairs; J >= 19/20 as the all-integer
+    // 39*inter >= 19*(sa+sb) — identical arithmetic to the engine verdict
+    "q141_setsim_join" ->
+      """WITH ta AS (SELECT DISTINCT id, t FROM (
+        |      SELECT doc_id AS id, unnest(string_split_regex(trim(text),'\s+')) AS t
+        |      FROM documents WHERE doc_id % 2 = 0 AND trim(text) <> '')),
+        |tb AS (SELECT DISTINCT id, t FROM (
+        |      SELECT doc_id AS id, unnest(string_split_regex(trim(text),'\s+')) AS t
+        |      FROM documents WHERE doc_id % 2 = 1 AND trim(text) <> '')),
+        |sa AS (SELECT id, count(*) AS sz FROM ta GROUP BY 1),
+        |sb AS (SELECT id, count(*) AS sz FROM tb GROUP BY 1),
+        |it AS (SELECT ta.id AS id_a, tb.id AS id_b, count(*) AS inter
+        |       FROM ta JOIN tb ON ta.t = tb.t GROUP BY 1, 2)
+        |SELECT it.id_a, it.id_b, CAST(it.inter AS BIGINT) AS inter,
+        |       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
+        |FROM it JOIN sa ON sa.id = it.id_a JOIN sb ON sb.id = it.id_b
+        |WHERE 39 * it.inter >= 19 * (sa.sz + sb.sz)
+        |ORDER BY id_a, id_b""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.
