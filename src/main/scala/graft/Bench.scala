@@ -1309,4 +1309,48 @@ object Bench {
         graft.sources.ZOrderStore.rangeProbe(spark, store, 1000.0, 2000.0, 100.0, 300.0).count()
     (n, (System.nanoTime() - t0) / 1e9, hits)
   }
+
+  /** Scaling workload — prefix-filter set-similarity join (q141 shape):
+    * n docs of 20 tokens split even/odd. Default fixture is the REALISTIC
+    * Zipf-tail regime prefix filtering exploits: 15 common-tier tokens
+    * (fixed 50k vocab — stopword-like, df grows with n, never in a
+    * prefix) + 5 rare-tier tokens (vocab 20n — df ~1, the prefixes), so
+    * candidates ≈ true matches. dense=true is the adversarial uniform
+    * vocab (n/2, flat df ~40 — NO rare tail, candidate join dominates):
+    * the bracket's worst case. Every 10th even/odd pair is a planted
+    * near-dup differing in exactly 1 of 20 tokens (J = 19/21 ≥ τ = 9/10);
+    * the rest are unrelated draws. Timed = full jaccardJoin (df agg →
+    * set arrays → positional prefix join → exact verify) + census.
+    * Returns (docs, sec, pairs ≈ n/20). */
+  def setSimThroughput(spark: SparkSession, n: Long, dense: Boolean = false,
+                       slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    // seed: near-dup odds share the even sibling's seed; others draw fresh
+    val seed = when(col("id") % 2 === 0, (col("id") - pmod(col("id"), lit(2L))) / 2)
+      .otherwise(when(pmod((col("id") - 1) / 2, lit(10L)) === 0,
+        (col("id") - 1) / 2).otherwise((col("id") + lit(3L * n))))
+      .cast("long")
+    def vocabAt(j: Int): Long =
+      if (dense) math.max(n / 2, 1000L)
+      else if (j < 15) 50000L else math.max(20L * n, 1000L)
+    val toks = (0 until 20).map { j =>
+      val base = concat(lit(if (!dense && j >= 15) "r" else "w"),
+        pmod(xxhash64(col("_seed"), lit(j)), lit(vocabAt(j))))
+      // the planted near-dup's single differing token: position 7
+      if (j == 7)
+        when(col("id") % 2 === 1 && pmod((col("id") - 1) / 2, lit(10L)) === 0,
+          concat(lit("x"), col("id"))).otherwise(base)
+      else base
+    }
+    val docs = spark.range(0, n, 1, slices)
+      .withColumn("_seed", seed)
+      .select(col("id"), concat_ws(" ", toks: _*).as("txt"))
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.SetSimJoin.jaccardJoin(
+        docs.filter(col("id") % 2 === 0), col("id"), col("txt"),
+        docs.filter(col("id") % 2 === 1), col("id"), col("txt"),
+        tauNum = 9L, tauDen = 10L)
+      .count()
+    (n, (System.nanoTime() - t0) / 1e9, pairs)
+  }
 }

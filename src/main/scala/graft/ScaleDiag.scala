@@ -66,6 +66,7 @@ object ScaleDiag {
       case "imagecanonical" => Bench.imageCanonicalThroughput(spark, rows)
       case "contamination"  => Bench.contaminationThroughput(spark, rows)
       case "linededup"      => Bench.lineDedupThroughput(spark, rows)
+      case "setsim"         => Bench.setSimThroughput(spark, rows)
       case m                 => sys.error(s"unknown mode $m")
     }
     run(math.min(n / 100, 2000000L)) // codegen warmup

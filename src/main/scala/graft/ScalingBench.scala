@@ -108,6 +108,8 @@ object ScalingBench {
         Bench.rollingThroughput(s, 1000000)
       if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("funnel")))
         Bench.funnelThroughput(s, 1000000)
+      if (sys.env.get("GRAFT_SCALING_MODES").exists(_.contains("setsim")))
+        Bench.setSimThroughput(s, 200000)
       s.stop()
     }
 
@@ -150,6 +152,7 @@ object ScalingBench {
         else if (mode == "sessionize") Bench.sessionizeThroughput(s, n)
         else if (mode == "rolling") Bench.rollingThroughput(s, n)
         else if (mode == "funnel") Bench.funnelThroughput(s, n)
+        else if (mode == "setsim") Bench.setSimThroughput(s, n / 2)
         else if (mode == "text") Bench.textThroughput(s, nText)
         else if (mode == "image") Bench.imageThroughput(s, nImg)
         else Bench.scaleThroughput(s, n, cpus,
@@ -175,7 +178,7 @@ object ScalingBench {
         else if (mode == "quantiles") n * 20
         else if (mode == "image") nImg
         else if (mode == "embedding" || mode == "knnjoin") nEmb
-        else if (mode == "hammingknn") n / 2
+        else if (mode == "hammingknn" || mode == "setsim") n / 2
         else n
       val tLow = times((mode, low)).min
       val tHigh = times((mode, high)).min

@@ -1941,6 +1941,40 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
           tauNum = 19L, tauDen = 20L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // within-corpus exact near-dup pairs (the full-recall sibling of the
+    // q26 MinHash pass): every ordered doc pair with token-set Jaccard
+    // >= 19/20, via the shared-prefix self-join (one df agg, one set agg)
+    "q142_setsim_self" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.SetSimJoin.selfJaccardPairs(
+          docs, col("doc_id"), col("text"), tauNum = 19L, tauDen = 20L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // end-to-end EXACT-recall dedup: the q142 pair source feeds the CC
+    // labeler — canonical ids with no probabilistic recall caveat (the
+    // full-recall sibling of q54's minhash-derived canonical ids)
+    "q143_setsim_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.SetSimJoin.selfJaccardPairs(
+        docs, col("doc_id"), col("text"), tauNum = 19L, tauDen = 20L)
+      graft.dedup.Dedup.components(
+          docs, col("doc_id"), pairs, col("id_a"), col("id_b"))
+        .orderBy("id")
+    }),
+
+    // Tukey-fence outlier card per event_type over integer cents: exact
+    // rational-rank quartiles (4r >= n / 4r >= 3n), cross-multiplied
+    // 1.5-IQR fences — one raw scan, distinct-value-bounded downstream
+    "q144_outlier_card" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.stats.Outliers
+        .tukeyCard(ev, col("event_type"), round(col("value") * 100, 0))
+        .select(col("g").as("event_type"), col("n"), col("q1"), col("q3"),
+          col("n_low"), col("n_high"))
+        .orderBy("event_type")
     })
   )
 
@@ -3971,7 +4005,62 @@ object SparkEntry {
         |       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
         |FROM it JOIN sa ON sa.id = it.id_a JOIN sb ON sb.id = it.id_b
         |WHERE 39 * it.inter >= 19 * (sa.sz + sb.sz)
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // within-corpus brute force with id_a < id_b canonicalization; same
+    // all-integer verdict 39*inter >= 19*(sa+sb)
+    "q142_setsim_self" ->
+      """WITH ts AS (SELECT DISTINCT id, t FROM (
+        |      SELECT doc_id AS id, unnest(string_split_regex(trim(text),'\s+')) AS t
+        |      FROM documents WHERE trim(text) <> '')),
+        |sz AS (SELECT id, count(*) AS sz FROM ts GROUP BY 1),
+        |it AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |       FROM ts x JOIN ts y ON x.t = y.t AND x.id < y.id GROUP BY 1, 2)
+        |SELECT it.id_a, it.id_b, CAST(it.inter AS BIGINT) AS inter,
+        |       CAST(a.sz AS BIGINT) AS size_a, CAST(b.sz AS BIGINT) AS size_b
+        |FROM it JOIN sz a ON a.id = it.id_a JOIN sz b ON b.id = it.id_b
+        |WHERE 39 * it.inter >= 19 * (a.sz + b.sz)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q142's brute-force pairs closed transitively (recursive CTE), then
+    // LEFT-joined onto every document — singletons label themselves
+    "q143_setsim_canonical" ->
+      """WITH RECURSIVE ts AS (SELECT DISTINCT id, t FROM (
+        |      SELECT doc_id AS id, unnest(string_split_regex(trim(text),'\s+')) AS t
+        |      FROM documents WHERE trim(text) <> '')),
+        |sz AS (SELECT id, count(*) AS sz FROM ts GROUP BY 1),
+        |it AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |       FROM ts x JOIN ts y ON x.t = y.t AND x.id < y.id GROUP BY 1, 2),
+        |pairs AS (SELECT it.id_a, it.id_b
+        |          FROM it JOIN sz a ON a.id = it.id_a JOIN sz b ON b.id = it.id_b
+        |          WHERE 39 * it.inter >= 19 * (a.sz + b.sz)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |),
+        |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
+        |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY id""".stripMargin,
+    // rational-rank discrete quartiles (Q_p = min v with 4r >= p*4*n) and
+    // cross-multiplied 3/2-IQR fences — identical integer arithmetic to
+    // the engine; cents via round(value*100) on both sides (q138 idiom)
+    "q144_outlier_card" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e),
+        |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |             min(CASE WHEN 4*r >= n THEN v END) AS q1,
+        |             min(CASE WHEN 4*r >= 3*n THEN v END) AS q3
+        |      FROM r GROUP BY 1)
+        |SELECT q.event_type, q.n, q.q1, q.q3,
+        |       CAST(sum(CASE WHEN 2*e.v < 2*q.q1 - 3*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(sum(CASE WHEN 2*e.v > 2*q.q3 + 3*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM e JOIN q ON e.event_type = q.event_type
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL
     //       quantiles differ beyond any rounding that would still be a test.

@@ -1,16 +1,17 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.,
-  * ICDE 2006; PPJoin, Xiao et al., WWW 2008): all cross-corpus pairs whose
-  * token-set Jaccard meets a rational threshold n/d — exactly, never
-  * approximately. The cross-corpus sibling of the in-corpus MinHash pass:
-  * "which of OUR documents near-match THEIR corpus" (contamination
-  * attribution at document granularity, licensing audits, cross-crawl
-  * overlap).
+  * ICDE 2006; PPJoin, Xiao et al., WWW 2008): all pairs whose token-set
+  * Jaccard meets a rational threshold n/d — exactly, never approximately.
+  * Two entry points: [[jaccardJoin]] for cross-corpus pairs ("which of OUR
+  * documents near-match THEIR corpus" — contamination attribution at
+  * document granularity, licensing audits, cross-crawl overlap) and
+  * [[selfJaccardPairs]] for within-corpus dedup pairs (the exact sibling
+  * of the probabilistic MinHash pass — same output contract as
+  * `Dedup.minHashPairs`' verified pairs, but with guaranteed full recall).
   *
   * The classic pigeonhole does the pruning: order every set by one GLOBAL
   * (df, token) total order — rarest tokens first — and keep only each
@@ -26,12 +27,15 @@ import org.apache.spark.sql.functions._
   * (d+n)·|A∩B| ≥ n·(|A|+|B|) — equivalent to J ≥ n/d with no float in
   * sight, so a SQL oracle restates it hash-exactly.
   *
-  * Scale shape: token explode → one df aggregate → per-set rank window
-  * (sets are document-bounded) → prefix equi-join on token → candidate
-  * dedup + the τ·max ≤ min length filter → one verify join counting the
-  * true intersection. Cost is O(candidates), never |A|×|B|; the residual
-  * verify is exact, so prefix geometry only affects speed, not results.
-  * Tokenization is the repo's whitespace convention (TextOps.tokens). */
+  * Scale shape: token explode → one df aggregate → per-set df-sorted
+  * token array in ONE hash aggregation (sets are document-bounded; never
+  * a rank window, which would sort-shuffle every token row) → prefix
+  * equi-join on token with the PPJoin length + position filters applied
+  * BEFORE the pair-dedup shuffle → arrays join back by id and a codegen'd
+  * array_intersect counts the true intersection. Cost is O(candidates),
+  * never |A|×|B|; the residual verify is exact, so prefix geometry only
+  * affects speed, not results. Tokenization is the repo's whitespace
+  * convention (TextOps.tokens). */
 object SetSimJoin {
 
   private def ceilDiv(x: Column, d: Long): Column = {
@@ -39,10 +43,63 @@ object SetSimJoin {
     ((y - pmod(y, lit(d))) / d).cast("long")
   }
 
+  // per-doc token dedup is row-local (array_distinct before the explode)
+  // — never a (id, token) DISTINCT shuffle over every token row
   private def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
     df.filter(trim(text) =!= "")
-      .select(id.as("id"), explode(split(trim(text), "\\s+")).as("t"))
-      .distinct()
+      .select(id.as("id"), explode(array_distinct(split(trim(text), "\\s+"))).as("t"))
+
+  // Per-set df-sorted token array in ONE hash aggregation (a window
+  // row_number would sort-shuffle EVERY token row; collect+sort pays a
+  // document-bounded in-row sort instead), then slice the rarest-first
+  // prefix of length sz − ceil(τ·sz) + 1. `_arr.t` field extraction over
+  // the struct array is native — no HOF.
+  private def sets(ts: DataFrame, dfreq: DataFrame, tauNum: Long, tauDen: Long): DataFrame =
+    ts.join(dfreq, "t")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("t")))).as("_arr"))
+      .select(
+        col("id"),
+        col("_arr.t").as("toks"),
+        size(col("_arr")).cast("long").as("sz"))
+      .withColumn("pref",
+        slice(col("toks"), lit(1),
+          (col("sz") - ceilDiv(col("sz") * tauNum, tauDen) + 1).cast("int")))
+
+  // positional prefix rows: the token's 1-based rank in the full df-sorted
+  // array — feeds the PPJoin position filter below
+  private def prefRows(s: DataFrame, idAs: String, szAs: String, pAs: String): DataFrame =
+    s.select(col("id").as(idAs), col("sz").as(szAs),
+        posexplode(col("pref")).as(Seq("_p0", "t")))
+      .withColumn(pAs, col("_p0") + 1).drop("_p0")
+
+  // candidate pruning shared by both entry points. required overlap
+  // alpha = ceil(n*(sa+sb)/(n+d)); a qualifying pair's FIRST common token
+  // sits in both prefixes at positions (i, j) with overlap <=
+  // 1 + min(sz_a - i, sz_b - j), so filtering each collision by that bound
+  // never loses a qualifying pair (PPJoin, Xiao 2008). Both filters run
+  // BEFORE the pair-dedup shuffle, and the dedup carries ONLY
+  // (id_a, id_b) — sizes rejoin with the verify arrays.
+  private def candidates(pa: DataFrame, pb: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+    val alpha = ceilDiv((col("size_a") + col("size_b")) * tauNum, tauDen + tauNum)
+    pa.join(pb, "t")
+      // length filter: J >= tau forces tau*max <= min
+      .filter(greatest(col("size_a"), col("size_b")) * tauNum
+        <= least(col("size_a"), col("size_b")) * tauDen)
+      .filter(lit(1) + least(col("size_a") - col("_pA"), col("size_b") - col("_pB")) >= alpha)
+  }
+
+  // exact verify: join the token SETS back by id (arrays ride two hash
+  // joins, never a re-explode) and count the true intersection with the
+  // codegen'd array_intersect — the prefix geometry above only pruned
+  private def verify(cand: DataFrame, sa: DataFrame, sb: DataFrame,
+                     tauNum: Long, tauDen: Long): DataFrame =
+    cand
+      .join(sa.select(col("id").as("id_a"), col("toks").as("_ta"), col("sz").as("size_a")), "id_a")
+      .join(sb.select(col("id").as("id_b"), col("toks").as("_tb"), col("sz").as("size_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .filter(col("inter") * (tauDen + tauNum) >= (col("size_a") + col("size_b")) * tauNum)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
 
   /** (id_a, id_b, inter, size_a, size_b) for every cross pair with
     * Jaccard(tokens(a), tokens(b)) ≥ tauNum/tauDen. */
@@ -59,34 +116,43 @@ object SetSimJoin {
     require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
     val ta = tokenSet(a, aId, aText)
     val tb = tokenSet(b, bId, bText)
+    // ONE global order across both corpora — df over the union, so the
+    // same token ranks identically in an A-prefix and a B-prefix
     val dfreq = ta.union(tb).groupBy("t").agg(count(lit(1)).as("_df"))
-
-    // rarest-first global order (df, token); prefix = sz - ceil(tau*sz) + 1
-    def prefix(ts: DataFrame): DataFrame = {
-      val sz = ts.groupBy("id").agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("t"))
-      ts.join(dfreq, "t")
-        .withColumn("_rk", row_number().over(w))
-        .join(sz, "id")
-        .filter(col("_rk") <= col("sz") - ceilDiv(col("sz") * tauNum, tauDen) + 1)
-        .select(col("id"), col("t"), col("sz"))
-    }
-
-    val cand = prefix(ta).select(col("id").as("id_a"), col("t"), col("sz").as("size_a"))
-      .join(prefix(tb).select(col("id").as("id_b"), col("t"), col("sz").as("size_b")), "t")
-      .select("id_a", "id_b", "size_a", "size_b")
+    val sa = sets(ta, dfreq, tauNum, tauDen)
+    val sb = sets(tb, dfreq, tauNum, tauDen)
+    val cand = candidates(
+        prefRows(sa, "id_a", "size_a", "_pA"),
+        prefRows(sb, "id_b", "size_b", "_pB"), tauNum, tauDen)
+      .select("id_a", "id_b")
       .distinct()
-      // length filter: J >= tau forces tau*max <= min
-      .filter(greatest(col("size_a"), col("size_b")) * tauNum
-        <= least(col("size_a"), col("size_b")) * tauDen)
+    verify(cand, sa, sb, tauNum, tauDen)
+  }
 
-    cand
-      .join(ta.select(col("id").as("id_a"), col("t")), "id_a")
-      .join(tb.select(col("id").as("_ib"), col("t").as("_tb")),
-        col("id_b") === col("_ib") && col("t") === col("_tb"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") * (tauDen + tauNum) >= (col("size_a") + col("size_b")) * tauNum)
-      .select("id_a", "id_b", "inter", "size_a", "size_b")
+  /** Within-corpus variant: (id_a, id_b, inter, size_a, size_b) for every
+    * pair id_a < id_b with Jaccard ≥ tauNum/tauDen. The df aggregate and
+    * the per-set array aggregation run ONCE over the corpus (not twice as
+    * a self-call of [[jaccardJoin]] would); the prefix self-join halves
+    * its output with the id_a < id_b canonicalization before the
+    * pair-dedup shuffle. Feed the result to `Dedup.components` for
+    * exact-recall canonical ids. */
+  def selfJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      tauNum: Long,
+      tauDen: Long
+  ): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
+    val ts = tokenSet(df, id, text)
+    val dfreq = ts.groupBy("t").agg(count(lit(1)).as("_df"))
+    val s = sets(ts, dfreq, tauNum, tauDen)
+    val cand = candidates(
+        prefRows(s, "id_a", "size_a", "_pA"),
+        prefRows(s, "id_b", "size_b", "_pB"), tauNum, tauDen)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verify(cand, s, s, tauNum, tauDen)
   }
 }

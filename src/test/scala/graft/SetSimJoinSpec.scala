@@ -64,6 +64,22 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("selfJaccardPairs == brute force over ordered within-corpus pairs") {
+    val vocab = ('a' to 'r').map(_.toString)
+    def doc(i: Int, drop: Int) =
+      vocab.zipWithIndex.filter { case (_, j) => (j + i) % drop != 0 }.map(_._1).mkString(" ")
+    val corpus = (0 until 60).map(i => (i.toLong, doc(i, 4 + i % 6))) ++
+      Seq((100L, "a b c d e"), (101L, "a b c d e"), (102L, " ")) // exact dup + blank
+    val got = SetSimJoin.selfJaccardPairs(
+        corpus.toDF("id", "txt").repartition(4), col("id"), col("txt"), 4L, 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = brute(corpus, corpus, 4L, 5L)
+      .filter { case (ia, ib, _, _, _) => ia < ib }
+    assert(want.nonEmpty, "fixture must produce positives")
+    assert(got == want)
+    assert(got.contains((100L, 101L, 5L, 5L, 5L)), "exact dup pair must surface")
+  }
+
   test("plan: prefix equi-join + verify join only — no cartesian") {
     val a = (0 until 100).map(i => (i.toLong, s"t${i % 7} t${i % 11} t${i % 13}"))
     val b = (0 until 100).map(i => (i.toLong + 1000, s"t${i % 7} t${i % 11} t${i % 17}"))
