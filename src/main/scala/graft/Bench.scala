@@ -1322,6 +1322,32 @@ object Bench {
     * the rest are unrelated draws. Timed = full jaccardJoin (df agg →
     * set arrays → positional prefix join → exact verify) + census.
     * Returns (docs, sec, pairs ≈ n/20). */
+  /** Scaling workload — Tukey outlier card (q144 shape): n rows, 5
+    * groups, integer cents in 0..9999 with a planted heavy tail (every
+    * 1000th row spiked by +1 000 000 — far past any 3/2·IQR fence).
+    * Self-verifies: per-group n must sum to rows and the outlier census
+    * must equal the planted spike count, so a wrong rank or fence cannot
+    * post a number. Card cost is ONE raw scan + distinct-value-bounded
+    * (~20k values) downstream work. Returns (rows, sec, outliers). */
+  def outlierThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(0, n, 1, slices)
+      .select(
+        concat(lit("g"), pmod(col("id"), lit(5L))).as("g"),
+        (pmod(xxhash64(col("id")), lit(10000L)) +
+          when(pmod(col("id"), lit(1000L)) === 0, lit(1000000L))
+            .otherwise(lit(0L))).as("v"))
+    val t0 = System.nanoTime()
+    val card = graft.stats.Outliers.tukeyCard(rows, col("g"), col("v")).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val total = card.map(_.getLong(1)).sum
+    require(total == n, s"per-group n sums to $total, expected $n")
+    val outliers = card.map(r => r.getLong(4) + r.getLong(5)).sum
+    val spikes = (n + 999) / 1000
+    require(outliers == spikes, s"outlier census $outliers != planted $spikes")
+    (n, sec, outliers)
+  }
+
   def setSimThroughput(spark: SparkSession, n: Long, dense: Boolean = false,
                        slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._

@@ -78,6 +78,7 @@ object ScalePoint {
       case "rangejoin"     => Bench.rangeJoinThroughput(spark, rows)
       case "zorder"        => Bench.zorderProbeThroughput(spark, rows)
       case "setsim"        => Bench.setSimThroughput(spark, rows)
+      case "outliers"      => Bench.outlierThroughput(spark, rows)
       case "setsimdense"   => Bench.setSimThroughput(spark, rows, dense = true)
       case "zorderbrute"   => Bench.zorderProbeThroughput(spark, rows, brute = true)
       case _               => Bench.scaleThroughput(spark, rows, cpus)

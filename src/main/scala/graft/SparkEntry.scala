@@ -1955,9 +1955,14 @@ object SparkEntry {
 
     // end-to-end EXACT-recall dedup: the q142 pair source feeds the CC
     // labeler — canonical ids with no probabilistic recall caveat (the
-    // full-recall sibling of q54's minhash-derived canonical ids)
+    // full-recall sibling of q54's minhash-derived canonical ids). Runs on
+    // a doc_id%3 third of the corpus: the query pins the COMPOSITION
+    // (pairs → CC → corpus labels); q142 already pays the full-density
+    // pair derivation, and the tiny shared vocab makes exact-join cost
+    // quadratic-ish in docs on this fixture (the ScalePoint fixtures, not
+    // this one, are the throughput evidence)
     "q143_setsim_canonical" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
       val pairs = graft.dedup.SetSimJoin.selfJaccardPairs(
         docs, col("doc_id"), col("text"), tauNum = 19L, tauDen = 20L)
       graft.dedup.Dedup.components(
@@ -4025,7 +4030,7 @@ object SparkEntry {
     "q143_setsim_canonical" ->
       """WITH RECURSIVE ts AS (SELECT DISTINCT id, t FROM (
         |      SELECT doc_id AS id, unnest(string_split_regex(trim(text),'\s+')) AS t
-        |      FROM documents WHERE trim(text) <> '')),
+        |      FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 0)),
         |sz AS (SELECT id, count(*) AS sz FROM ts GROUP BY 1),
         |it AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
         |       FROM ts x JOIN ts y ON x.t = y.t AND x.id < y.id GROUP BY 1, 2),
@@ -4041,7 +4046,8 @@ object SparkEntry {
         |),
         |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
         |SELECT d.doc_id AS id, coalesce(l.comp, d.doc_id) AS comp
-        |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id ORDER BY id""".stripMargin,
+        |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        |WHERE d.doc_id % 3 = 0 ORDER BY id""".stripMargin,
     // rational-rank discrete quartiles (Q_p = min v with 4r >= p*4*n) and
     // cross-multiplied 3/2-IQR fences — identical integer arithmetic to
     // the engine; cents via round(value*100) on both sides (q138 idiom)
