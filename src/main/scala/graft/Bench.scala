@@ -1310,24 +1310,14 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9, hits)
   }
 
-  /** Scaling workload — prefix-filter set-similarity join (q141 shape):
-    * n docs of 20 tokens split even/odd. Default fixture is the REALISTIC
-    * Zipf-tail regime prefix filtering exploits: 15 common-tier tokens
-    * (fixed 50k vocab — stopword-like, df grows with n, never in a
-    * prefix) + 5 rare-tier tokens (vocab 20n — df ~1, the prefixes), so
-    * candidates ≈ true matches. dense=true is the adversarial uniform
-    * vocab (n/2, flat df ~40 — NO rare tail, candidate join dominates):
-    * the bracket's worst case. Every 10th even/odd pair is a planted
-    * near-dup differing in exactly 1 of 20 tokens (J = 19/21 ≥ τ = 9/10);
-    * the rest are unrelated draws. Timed = full jaccardJoin (df agg →
-    * set arrays → positional prefix join → exact verify) + census.
-    * Returns (docs, sec, pairs ≈ n/20). */
   /** Scaling workload — Tukey outlier card (q144 shape): n rows, 5
     * groups, integer cents in 0..9999 with a planted heavy tail (every
     * 1000th row spiked by +1 000 000 — far past any 3/2·IQR fence).
-    * Self-verifies: per-group n must sum to rows and the outlier census
-    * must equal the planted spike count, so a wrong rank or fence cannot
-    * post a number. Card cost is ONE raw scan + distinct-value-bounded
+    * Self-verifies: per-group n must sum to rows and (at sizes where the
+    * spikes are a negligible mass — the census check needs ≥100k rows, a
+    * tiny group's quartiles can BE the spike) the outlier census must
+    * equal the planted spike count, so a wrong rank or fence cannot post
+    * a number. Card cost is ONE raw scan + distinct-value-bounded
     * (~20k values) downstream work. Returns (rows, sec, outliers). */
   def outlierThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
@@ -1344,10 +1334,23 @@ object Bench {
     require(total == n, s"per-group n sums to $total, expected $n")
     val outliers = card.map(r => r.getLong(4) + r.getLong(5)).sum
     val spikes = (n + 999) / 1000
-    require(outliers == spikes, s"outlier census $outliers != planted $spikes")
+    if (n >= 100000)
+      require(outliers == spikes, s"outlier census $outliers != planted $spikes")
     (n, sec, outliers)
   }
 
+  /** Scaling workload — prefix-filter set-similarity join (q141 shape):
+    * n docs of 20 tokens split even/odd. Default fixture is the REALISTIC
+    * Zipf-tail regime prefix filtering exploits: 15 common-tier tokens
+    * (fixed 50k vocab — stopword-like, df grows with n, never in a
+    * prefix) + 5 rare-tier tokens (vocab 20n — df ~1, the prefixes), so
+    * candidates ≈ true matches. dense=true is the adversarial uniform
+    * vocab (n/2, flat df ~40 — NO rare tail, candidate join dominates):
+    * the bracket's worst case. Every 10th even/odd pair is a planted
+    * near-dup differing in exactly 1 of 20 tokens (J = 19/21 ≥ τ = 9/10);
+    * the rest are unrelated draws. Timed = full jaccardJoin (df agg →
+    * set arrays → positional prefix join → exact verify) + census.
+    * Returns (docs, sec, pairs ≈ n/20). */
   def setSimThroughput(spark: SparkSession, n: Long, dense: Boolean = false,
                        slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
@@ -1377,6 +1380,17 @@ object Bench {
         docs.filter(col("id") % 2 === 1), col("id"), col("txt"),
         tauNum = 9L, tauDen = 10L)
       .count()
-    (n, (System.nanoTime() - t0) / 1e9, pairs)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // census self-check: every planted pair must surface, minus the rare
+    // fixture double-collision (a doc drawing the same token twice in two
+    // positions drops its pair to J = 17/19 < 9/10 — measured ~1 in 500k);
+    // chance pairs above τ = 9/10 between unrelated 20-token draws are
+    // geometrically impossible at these vocab sizes, so planted is also
+    // the UPPER bound. A recall regression cannot post a timing.
+    val planted = if (n >= 2) (n - 2) / 20 + 1 else 0L
+    val slack = math.max(2L, planted / 100000L)
+    require(pairs <= planted && pairs >= planted - slack,
+      s"setsim census $pairs outside [${planted - slack}, $planted]")
+    (n, sec, pairs)
   }
 }

@@ -4065,7 +4065,7 @@ object SparkEntry {
         |SELECT q.event_type, q.n, q.q1, q.q3,
         |       CAST(sum(CASE WHEN 2*e.v < 2*q.q1 - 3*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |       CAST(sum(CASE WHEN 2*e.v > 2*q.q3 + 3*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-        |FROM e JOIN q ON e.event_type = q.event_type
+        |FROM e JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
     // Still rows-only — the ONE query genuinely not ANSI-SQL-expressible:
     //  q36: KLL sketch quantiles are approximate by construction — exact SQL

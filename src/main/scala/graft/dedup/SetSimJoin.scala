@@ -44,7 +44,10 @@ object SetSimJoin {
   }
 
   // per-doc token dedup is row-local (array_distinct before the explode)
-  // — never a (id, token) DISTINCT shuffle over every token row
+  // — never a (id, token) DISTINCT shuffle over every token row. An id
+  // split across MULTIPLE rows can still emit the same token twice; the
+  // collect_set in sets() below removes those, so multi-row ids keep
+  // exact set semantics without a pre-aggregation shuffle.
   private def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
     df.filter(trim(text) =!= "")
       .select(id.as("id"), explode(array_distinct(split(trim(text), "\\s+"))).as("t"))
@@ -52,12 +55,14 @@ object SetSimJoin {
   // Per-set df-sorted token array in ONE hash aggregation (a window
   // row_number would sort-shuffle EVERY token row; collect+sort pays a
   // document-bounded in-row sort instead), then slice the rarest-first
-  // prefix of length sz − ceil(τ·sz) + 1. `_arr.t` field extraction over
-  // the struct array is native — no HOF.
+  // prefix of length sz − ceil(τ·sz) + 1. collect_set (not _list): a
+  // duplicate (id, t) from a multi-row id carries the same _df after the
+  // join, so set-dedup restores exact global (id, token) distinctness.
+  // `_arr.t` field extraction over the struct array is native — no HOF.
   private def sets(ts: DataFrame, dfreq: DataFrame, tauNum: Long, tauDen: Long): DataFrame =
     ts.join(dfreq, "t")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("_df"), col("t")))).as("_arr"))
+      .agg(sort_array(collect_set(struct(col("_df"), col("t")))).as("_arr"))
       .select(
         col("id"),
         col("_arr.t").as("toks"),

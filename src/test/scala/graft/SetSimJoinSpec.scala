@@ -80,6 +80,19 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got.contains((100L, 101L, 5L, 5L, 5L)), "exact dup pair must surface")
   }
 
+  test("an id split across multiple rows keeps exact set semantics (cross-row dedup)") {
+    // id 0 arrives as two rows whose token lists overlap on "c": its set is
+    // {a,b,c,d,e} (size 5, "c" once) — identical to id 1's single row, so
+    // the pair must surface at J = 1 with sizes 5/5
+    val a = Seq((0L, "a b c"), (0L, "c d e"), (2L, "x y z"))
+    val b = Seq((1L, "a b c d e"), (3L, "x q"))
+    val got = SetSimJoin.jaccardJoin(
+        a.toDF("id", "txt").repartition(3), col("id"), col("txt"),
+        b.toDF("id", "txt").repartition(2), col("id"), col("txt"), 9L, 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 5L, 5L, 5L)))
+  }
+
   test("plan: prefix equi-join + verify join only — no cartesian") {
     val a = (0 until 100).map(i => (i.toLong, s"t${i % 7} t${i % 11} t${i % 13}"))
     val b = (0 until 100).map(i => (i.toLong + 1000, s"t${i % 7} t${i % 11} t${i % 17}"))
