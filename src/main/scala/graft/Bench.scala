@@ -1295,7 +1295,7 @@ object Bench {
       col("id").as("event_id"),
       (col("id") % 10000L).as("user_id"),
       ((col("id") * 2654435761L % 100000L).cast("double") / 100.0).as("value"))
-    if (!new java.io.File(s"$store/_SUCCESS").exists())
+    if (!new java.io.File(s"$store/_zmeta/_SUCCESS").exists())
       graft.sources.ZOrderStore.write(df, col("user_id"), col("value"), store, bitsPerDim = 3)
     if (!new java.io.File(s"$flat/_SUCCESS").exists())
       df.write.mode("overwrite").parquet(flat)

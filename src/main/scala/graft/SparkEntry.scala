@@ -58,7 +58,10 @@ object SparkEntry {
   private def zorderCache(s: SparkSession, dir: String): String = {
     val path = new java.io.File(
       s"target/zcache/${new java.io.File(dir).getName}/events_b3").getAbsolutePath
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    // gate on the LAST artifact write() produces (_zmeta/_SUCCESS, written
+    // after the data): gating on the data _SUCCESS would treat a store
+    // whose process died between the two writes as complete forever
+    if (!new java.io.File(s"$path/_zmeta/_SUCCESS").exists())
       graft.sources.ZOrderStore.write(
         t(s, dir, "events").select(col("event_id"), col("user_id"), col("value")),
         col("user_id"), col("value"), path, bitsPerDim = 3)

@@ -630,6 +630,9 @@ object Ann {
     * count/sum aggregate down to |groups| rows. The rate is ONE
     * correctly-rounded IEEE division of two longs, so a SQL oracle
     * restates the card exactly away from the threshold boundary.
+    * A NaN cosine (zero-norm/corrupt embedding) counts as NOT aligned —
+    * Spark orders NaN above every number, so a bare `>= threshold` would
+    * count exactly the rows a quality gate exists to reject.
     * Output: (label, n_pairs, n_aligned, align_rate). */
   def alignmentCard(
       pairs: DataFrame,
@@ -637,15 +640,17 @@ object Ann {
       imgEmb: Column,
       capEmb: Column,
       threshold: Double
-  ): DataFrame =
+  ): DataFrame = {
+    val cos = cosine(imgEmb, capEmb)
     pairs
       .groupBy(group.as("label"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(cosine(imgEmb, capEmb) >= lit(threshold), 1L).otherwise(0L))
+        sum(when(!isnan(cos) && cos >= lit(threshold), 1L).otherwise(0L))
           .as("n_aligned"))
       .withColumn("align_rate",
         col("n_aligned").cast("double") / col("n_pairs").cast("double"))
+  }
 
   /** Embedding OUTLIER score — L2 distance of each vector to the CORPUS
     * CENTROID (per-dimension mean). The standard embedding-quality

@@ -50,7 +50,7 @@ object SetSimJoin {
   // exact set semantics without a pre-aggregation shuffle.
   private def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
     df.filter(trim(text) =!= "")
-      .select(id.as("id"), explode(array_distinct(split(trim(text), "\\s+"))).as("t"))
+      .select(id.as("id"), explode(array_distinct(graft.text.TextOps.tokens(text))).as("t"))
 
   // Per-set df-sorted token array in ONE hash aggregation (a window
   // row_number would sort-shuffle EVERY token row; collect+sort pays a

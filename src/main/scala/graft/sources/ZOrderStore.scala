@@ -69,14 +69,23 @@ object ZOrderStore {
     * one min/max aggregate (4 doubles to the driver) and are persisted,
     * with the column names and grid size, in a 1-row parquet sidecar at
     * `<path>/_zmeta` (underscore-prefixed → invisible to the store scan's
-    * file listing, the `_SUCCESS` convention). */
+    * file listing, the `_SUCCESS` convention). The sidecar is written
+    * LAST (the data overwrite would delete it otherwise), so
+    * `<path>/_zmeta/_SUCCESS` is the store's completeness marker — cache
+    * gates must key on IT, not on the data `_SUCCESS`, or a crash between
+    * the two writes leaves a "complete" store every probe fails on. */
   def write(df: DataFrame, x: Column, y: Column, path: String, bitsPerDim: Int = 4): Unit = {
     require(bitsPerDim >= 1 && bitsPerDim <= 15, "1 <= bitsPerDim <= 15")
+    require(!df.columns.contains("z"),
+      "ZOrderStore.write: input already has a column named 'z' — the store " +
+        "uses it as the Morton partition column; rename the data column first")
     val cells = 1 << bitsPerDim
     val r = df
       .agg(min(x.cast("double")), max(x.cast("double")),
         min(y.cast("double")), max(y.cast("double")))
       .head()
+    require(!r.isNullAt(0),
+      "ZOrderStore.write: empty input (or all-null bounds columns) — nothing to lay out")
     val (xlo, xhi, ylo, yhi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val xName = df.select(x).columns.head
     val yName = df.select(y).columns.head

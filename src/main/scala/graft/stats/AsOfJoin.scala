@@ -56,10 +56,16 @@ object AsOfJoin {
       .partitionBy("k")
       .orderBy(col("t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the whole ref row rides the sweep as ONE struct (non-null even when
+    // its VALUE is null): a newer NULL-valued reference must win the match
+    // and yield NULL, exactly like SQL ASOF LEFT JOIN — a running
+    // last(_rv, ignoreNulls) would instead bleed an older value forward
+    // past it (the asOfTolerance mechanism, applied here too)
     p.unionByName(r)
-      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_ref", when(col("_side") === 0, struct(col("_rv").as("_v"))))
+      .withColumn("_m", last(col("_ref"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("id"), col("k"), col("t"), col("asof_value"))
+      .select(col("id"), col("k"), col("t"), col("_m._v").as("asof_value"))
   }
 
   /** As-of join with a staleness bound (pandas `merge_asof(tolerance=...)`

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * "At or after" (>=) makes a same-instant step pair count as ordered —
   * the standard funnel convention (a purchase logged the same microsecond
   * as the click counts); times are caller-provided longs so the compare
-  * is exact. */
+  * is exact. Corollary of that convention: with a REPEATED step name
+  * (`steps = Seq("click", "click")`), one event satisfies both
+  * occurrences (t2 = t1 = its own time) — a same-step retry funnel needs
+  * per-occurrence event identity (e.g. a strict `>` chain over distinct
+  * event ids), which this operator deliberately does not model. */
 object Funnel {
 
   /** (k, t1, t2, ..., tS) — one row per key that performed step 1;

@@ -37,6 +37,23 @@ class AsOfJoinSpec extends SparkSpec {
       (53L, Some(200.0)), (54L, Some(900.0)), (55L, None)))
   }
 
+  test("asOf: a newer NULL-valued ref WINS the match and yields NULL (no older-value bleed)") {
+    // SQL ASOF LEFT JOIN matches the ROW, then reads its (null) value; a
+    // running last(value, ignoreNulls) would wrongly return 100.0 here
+    val refs = Seq[(Long, java.sql.Timestamp, Option[Double])](
+      (1L, ts(10), Some(100.0)), (1L, ts(20), None)
+    ).toDF("k", "t", "v")
+    val probes = Seq((1L, ts(15), 60L), (1L, ts(25), 61L)).toDF("k", "t", "id")
+    val got = AsOfJoin
+      .asOf(probes.repartition(2), col("k"), col("t"), col("id"),
+        refs.repartition(2), col("k"), col("t"), col("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got == Seq((60L, Some(100.0)), (61L, None)))
+  }
+
   test("asOfTolerance: stale matches NULLed, fresh kept inclusive, value-NULL refs still anchor staleness") {
     val refs = Seq(
       (1L, 10L, Some(100.0)), (1L, 20L, None), // t=20 ref has NULL value
