@@ -169,7 +169,10 @@ object ScalingBench {
         else if (mode == "contamination" || mode == "streaming") nEmb
         else if (mode == "linededup") nEmb * 2
         else if (mode == "spandedup") nEmb / 2
-        else if (mode == "exactincr") n / 10
+        // batch sizing must mirror Bench.exactIncrementalThroughput's env
+        // knob or the published rows/sec mis-scales by the divisor
+        else if (mode == "exactincr")
+          math.max(n / sys.env.get("GRAFT_EXACTINCR_BATCH_DIV").map(_.toLong).getOrElse(10L), 1L)
         else if (mode == "semdedup") n / 4
         else if (mode == "kmeans") n / 2
         else if (mode == "dsir") n / 10

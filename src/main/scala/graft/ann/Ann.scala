@@ -672,7 +672,11 @@ object Ann {
       .sortBy(_.getInt(0))
       .map(_.getDouble(1))
     val c = centroid
-    val u = udf { (e: Seq[Float]) =>
+    // Seq[Double] + explicit cast: a Seq[Float]-typed kernel would make
+    // the analyzer float-round an array<double> input while the centroid
+    // pass above averaged unrounded doubles — two passes, two precisions.
+    // float inputs widen losslessly, so float-vector scores are unchanged.
+    val u = udf { (e: Seq[Double]) =>
       if (e == null) null.asInstanceOf[java.lang.Double]
       else {
         var s = 0.0
@@ -682,7 +686,7 @@ object Ann {
         java.lang.Double.valueOf(math.sqrt(s))
       }
     }
-    df.select(id.cast("long").as("id"), u(vec).as("dist"))
+    df.select(id.cast("long").as("id"), u(vec.cast("array<double>")).as("dist"))
   }
 
   /** Symmetric max-abs int8 quantization of an embedding column — the

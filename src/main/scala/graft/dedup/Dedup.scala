@@ -398,9 +398,12 @@ object Dedup {
     * past it the quadratic pair volume is the wrong tool and the call
     * raises, naming [[minHashPairs]] (the scale path). The guard costs one
     * extra aggregation pass over the shingled corpus; the baseline is for
-    * modest blocks by contract, where that pass is cheap. Opt out with
-    * `maxBlockDistinct = Int.MaxValue`.
-    * Output: (id_a, id_b, jaccard). */
+    * modest blocks by contract, where that pass is cheap. The guard makes
+    * CONSTRUCTION eager (building the frame runs that pass as a Spark job
+    * before the quadratic join can start — deliberate: a lazy in-job
+    * check could not abort the blow-up it exists to prevent). Opt out
+    * with `maxBlockDistinct = Int.MaxValue`, which restores a fully lazy
+    * frame. Output: (id_a, id_b, jaccard). */
   def ngramJaccardPairs(
       df: DataFrame,
       text: Column,
@@ -544,7 +547,9 @@ object Dedup {
     * so zero-norm vectors keep their NaN behaviour), and rep-level pairs
     * expand back through membership. Results identical to naive all-pairs.
     * Fail-fast scale guard: raises past `maxBlockDistinct` DISTINCT vectors
-    * in any block, naming [[embeddingCosinePairsLsh]] (the scale path). */
+    * in any block, naming [[embeddingCosinePairsLsh]] (the scale path);
+    * as in [[ngramJaccardPairs]], the guard makes construction EAGER by
+    * design — `maxBlockDistinct = Int.MaxValue` restores laziness. */
   def embeddingCosinePairs(
       df: DataFrame,
       vec: Column,
@@ -666,7 +671,10 @@ object Dedup {
       while (c < cents.length) {
         val cv = cents(c)
         var d = 0.0; var j = 0
-        while (j < cv.length) { d += arr(j) * cv(j); j += 1 }
+        // min-bound like embeddingOutliers: a truncated/corrupt row vector
+        // must not index past its end (shorter side zero-pads the dot)
+        val jn = math.min(arr.length, cv.length)
+        while (j < jn) { d += arr(j) * cv(j); j += 1 }
         val raw = d / (vn * cnorms(c))
         // half-away-from-zero at 9 dp in pure double math — the exact
         // arithmetic DuckDB's round(x, 9) runs (round(x·1e9)/1e9), and

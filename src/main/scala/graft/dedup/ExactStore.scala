@@ -37,9 +37,26 @@ object ExactStore {
     * first, so re-registering in a fresh process just works. */
   def write(corpus: DataFrame, text: Column, id: Column, table: String, buckets: Int = 64): Unit = {
     val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table.toLowerCase)
+    // quote each dot-separated part: one backtick pair around "db.tbl"
+    // would name a SINGLE identifier in the default database
+    val parts = table.split('.')
+    spark.sql(s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
+    // warehouse dir arrives as a URI (possibly percent-encoded); decode it
+    // before touching the filesystem, falling back to the raw string when
+    // it is not a parseable URI
+    val wh = {
+      val c = spark.conf.get("spark.sql.warehouse.dir")
+      if (c.startsWith("file:"))
+        try java.nio.file.Paths.get(java.net.URI.create(c)).toString
+        catch { case _: IllegalArgumentException => c.stripPrefix("file:") }
+      else c
+    }
+    // managed layout: default-db tables at <wh>/<tbl>, qualified at
+    // <wh>/<db>.db/<tbl>
+    val loc =
+      if (parts.length == 2)
+        new java.io.File(new java.io.File(wh, parts(0).toLowerCase + ".db"), parts(1).toLowerCase)
+      else new java.io.File(wh, table.toLowerCase)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()

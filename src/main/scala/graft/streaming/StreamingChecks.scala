@@ -215,17 +215,21 @@ object StreamingChecks {
       .select(explode(graft.text.TextOps.wordShingleHashes(btext, shingleWords)).as("_g"))
       .distinct()
     // fail FAST on an oversized benchmark instead of a driver OOM halfway
-    // through the collect: count the distinct shingle set first (one cheap
-    // aggregation over the small side) and name the batch path
-    val nShingles = bshingles.count()
+    // through the collect — in ONE job: collect at most limit+1 rows (the
+    // limit bounds driver memory even when the true set is huge), and if
+    // the sentinel extra row arrives, name the batch path. A separate
+    // count() would re-derive the whole shingle pipeline a second time.
+    val limited = bshingles
+      .limit(math.toIntExact(math.min(maxBenchmarkShingles, Int.MaxValue - 1L) + 1L))
+      .collect()
     require(
-      nShingles <= maxBenchmarkShingles,
-      s"benchmark has $nShingles distinct shingles (> $maxBenchmarkShingles): too large to " +
+      limited.length <= maxBenchmarkShingles,
+      s"benchmark has > $maxBenchmarkShingles distinct shingles: too large to " +
         "collect to the driver - use the batch operator graft.text.TextOps.contaminatedDocs " +
         "(distributed join, no driver set) or raise maxBenchmarkShingles")
     val bset: java.util.HashSet[Long] = {
       val s = new java.util.HashSet[Long]()
-      bshingles.collect().foreach(r => s.add(r.getLong(0)))
+      limited.foreach(r => s.add(r.getLong(0)))
       s
     }
     val overlapUdf = udf { (sh: Seq[Long]) =>

@@ -448,9 +448,13 @@ object TextOps {
         var i = 0
         while (i < lines.length) {
           val ln = lines(i)
-          totC += ln.length
+          // code POINTS, not UTF-16 units: SQL length() counts an emoji as
+          // 1 — ln.length would count 2 and diverge from the q94 oracle on
+          // any supplementary-plane text
+          val chars = ln.codePointCount(0, ln.length).toLong
+          totC += chars
           val c = seen.merge(ln, 1L, (a, b) => a + b)
-          if (c > 1L) { dupL += 1; dupC += ln.length }
+          if (c > 1L) { dupL += 1; dupC += chars }
           i += 1
         }
         (lines.length.toLong, dupL, totC, dupC)
