@@ -663,16 +663,11 @@ object Bench {
     * aggregation consumes the reassembled text (sum of lengths) so the
     * assemble kernel cannot be pruned away (count() would skip it).
     * Returns (docs, seconds, totalKeptChars). */
-  /** Scaling workload — BPE merge-pair counting (q108 machinery): n docs
-    * of 20 synthetic words drawn from a deterministic ~36k-word skewed
-    * vocabulary (quadratic rank map — head words orders of magnitude
-    * hotter, the natural-text shape). `naive = true` expands char pairs
-    * over EVERY token occurrence (20·n kernel invocations + a
-    * corpus-sized pair shuffle) instead of over the DISTINCT-word
-    * frequency table (vocab-sized kernel + shuffle) — the comparison the
-    * scaladoc claim rests on. Returns (tokens, seconds, distinctPairs). */
-  def bpeThroughput(spark: SparkSession, n: Long, naive: Boolean = false,
-      slices: Int = 64): (Long, Double, Long) = {
+  /** Shared synthetic corpus for the bpe/tokenids scale modes: n docs of
+    * 20 words over a ~36k-word vocabulary with a quadratic (Zipf-ish)
+    * rank skew — low ranks drawn far more often. ONE definition so both
+    * scale points measure the identical corpus. */
+  private def skewedVocabDocs(spark: SparkSession, n: Long, slices: Int) = {
     import org.apache.spark.sql.functions._
     val wordsPerDoc = 20
     val genU = udf { (id: Long) =>
@@ -689,8 +684,23 @@ object Bench {
       }
       sb.toString
     }
-    val docs = spark.range(0, n, 1, slices)
+    spark.range(0, n, 1, slices)
       .select(col("id").as("doc_id"), genU(col("id")).as("text"))
+  }
+
+  /** Scaling workload — BPE merge-pair counting (q108 machinery): n docs
+    * of 20 synthetic words drawn from a deterministic ~36k-word skewed
+    * vocabulary (quadratic rank map — head words orders of magnitude
+    * hotter, the natural-text shape). `naive = true` expands char pairs
+    * over EVERY token occurrence (20·n kernel invocations + a
+    * corpus-sized pair shuffle) instead of over the DISTINCT-word
+    * frequency table (vocab-sized kernel + shuffle) — the comparison the
+    * scaladoc claim rests on. Returns (tokens, seconds, distinctPairs). */
+  def bpeThroughput(spark: SparkSession, n: Long, naive: Boolean = false,
+      slices: Int = 64): (Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val wordsPerDoc = 20
+    val docs = skewedVocabDocs(spark, n, slices)
     val pairsU = udf { (s: String) =>
       if (s == null || s.length < 2) Seq.empty[String]
       else {
@@ -816,22 +826,7 @@ object Bench {
     * cannot be pruned. Returns (docs, seconds, totalOov). */
   def tokenIdsThroughput(spark: SparkSession, n: Long, slices: Int = 64): (Long, Double, Long) = {
     import org.apache.spark.sql.functions._
-    val wordsPerDoc = 20
-    val genU = udf { (id: Long) =>
-      val sb = new java.lang.StringBuilder(160)
-      var j = 0
-      while (j < wordsPerDoc) {
-        val h = java.lang.Long.rotateLeft(id * 2654435761L + j * 40503L, 17)
-        val r = java.lang.Math.floorMod(h, 6000000L)
-        val rank = r * r / 1000000000L
-        sb.append('w').append(java.lang.Long.toString(rank, 36))
-        if (j < wordsPerDoc - 1) sb.append(' ')
-        j += 1
-      }
-      sb.toString
-    }
-    val docs = spark.range(0, n, 1, slices)
-      .select(col("id").as("doc_id"), genU(col("id")).as("text"))
+    val docs = skewedVocabDocs(spark, n, slices)
     val t0 = System.nanoTime()
     val enc = graft.text.TextOps.tokenIds(docs, col("text"), col("doc_id"),
       docs, col("text"), vocabSize = 10000)

@@ -3786,6 +3786,7 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |       CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / (doc_id % 7 + 1) AS key
         |FROM documents
+        |WHERE doc_id % 7 + 1 > 0
         |ORDER BY key, doc_id LIMIT 500""".stripMargin,
     // the full 8-step training loop unrolled: each stage recounts pairs
     // over the word table, takes the (cnt DESC, pair ASC) argmax, and

@@ -103,7 +103,11 @@ object KMeans {
     require(iters >= 1, s"iters must be positive: $iters")
     require(init == "first" || init == "spread", s"unknown init: $init")
     val spark = df.sparkSession
+    // null vectors (fixedPoint passes nulls through by design) are
+    // dropped here: they can neither train a centroid nor be assigned —
+    // unguarded they NPE inside the update/assign kernels
     val pts = df.select(id.cast("long").as("id"), vec.as("v"))
+      .filter(col("v").isNotNull)
     var centroids: Array[Array[Long]] =
       if (init == "first")
         pts.orderBy("id").limit(k).collect().map(_.getSeq[Long](1).toArray)

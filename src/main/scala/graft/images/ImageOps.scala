@@ -338,22 +338,27 @@ object ImageOps {
     * bucket heights) makes the comparison a pure-long argmin — no float
     * rounding, bit-identical in any engine. Ties go to the earlier bucket
     * in the ladder. Returns a `struct(bucket_w, bucket_h)` column built
-    * from a codegen'd when-chain fold: per-row integer arithmetic only, no
-    * UDF, no shuffle — at 10^12 images this is a free rider on any
-    * metadata scan. */
+    * as `array_min` over one (metric, ladder_idx, w, h) struct per bucket
+    * — struct ordering compares fields in order, so the min IS the
+    * argmin with earlier-entry tie-break, and the expression tree is
+    * LINEAR in the ladder (a when-chain fold that reuses its accumulator
+    * twice per step doubles per entry — a 25-bucket real-world ladder
+    * would blow past the codegen method limit). Per-row integer
+    * arithmetic only, no UDF, no shuffle — at 10^12 images this is a
+    * free rider on any metadata scan. */
   def aspectBucket(w: Column, h: Column, buckets: Seq[(Int, Int)] = defaultAspectBuckets): Column = {
     require(buckets.nonEmpty, "empty bucket ladder")
     def lcm(a: Long, b: Long): Long = a / java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b)).longValue() * b
     val l = buckets.map(_._2.toLong).reduce(lcm)
     def metric(b: (Int, Int)): Column =
       abs(w.cast("long") * b._2 - h.cast("long") * b._1) * lit(l / b._2)
-    val init = (metric(buckets.head), struct(lit(buckets.head._1).as("bucket_w"), lit(buckets.head._2).as("bucket_h")))
-    val (_, best) = buckets.tail.foldLeft(init) { case ((bestM, bestB), b) =>
-      val m = metric(b)
-      (when(m < bestM, m).otherwise(bestM),
-        when(m < bestM, struct(lit(b._1).as("bucket_w"), lit(b._2).as("bucket_h"))).otherwise(bestB))
+    val entries = buckets.zipWithIndex.map { case (b, i) =>
+      struct(metric(b).as("m"), lit(i).as("i"),
+        lit(b._1).as("bucket_w"), lit(b._2).as("bucket_h"))
     }
-    best
+    val best = array_min(array(entries: _*))
+    struct(best.getField("bucket_w").as("bucket_w"),
+      best.getField("bucket_h").as("bucket_h"))
   }
 
   /** Per-bucket population counts over an image metadata table — the

@@ -130,11 +130,19 @@ object Quantiles {
       .repartitionByRange(p, col("score").desc, col("id").asc)
       .sortWithinPartitions(col("score").desc, col("id").asc)
     val rdd = g.rdd
+    // min rides the same pass for free: a NEGATIVE weight would make the
+    // whole-partition short-circuit below drop rows the cum <= budget rule
+    // keeps (and make the kept set partitioning-dependent) — fail fast
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      while (it.hasNext) s += it.next().getLong(2)
-      Iterator((i, s))
+      var mn = Long.MaxValue
+      while (it.hasNext) { val w = it.next().getLong(2); s += w; if (w < mn) mn = w }
+      Iterator((i, s, mn))
     }.collect().sortBy(_._1)
+    val minW = partSums.map(_._3).foldLeft(Long.MaxValue)(math.min)
+    require(partSums.isEmpty || minW >= 0L,
+      s"budgetFill: negative weight $minW — the greedy cum <= budget rule is only " +
+        "defined for non-negative weights")
     val off = partSums.map(_._2).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(off)
     val rows = rdd.mapPartitionsWithIndex { (i, it) =>

@@ -275,7 +275,14 @@ object Sampling {
     * TakeOrderedAndProject, a per-partition top-k heap reduced on the
     * driver: O(k) memory per partition, O(k·numPartitions) driver work,
     * the corpus is read once. Determinism is total: same input, same k →
-    * same rows on any partitioning. */
+    * same rows on any partitioning.
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED before keying: a
+    * zero weight means selection probability zero (πps semantics), a
+    * negative one is undefined — and unguarded they would hijack the
+    * sort (NULL keys sort FIRST ascending; negative weights produce the
+    * smallest keys), filling the "top k" with exactly the rows the
+    * weighting exists to deprioritize. */
   def weightedSample(
       df: DataFrame,
       weight: Column,
@@ -284,7 +291,8 @@ object Sampling {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    df.withColumn("_key", hashCol.cast("double") / weight.cast("double"))
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("_key", hashCol.cast("double") / weight.cast("double"))
       .orderBy(col("_key"), tie)
       .limit(k)
       .withColumnRenamed("_key", "key")

@@ -674,8 +674,11 @@ object TextOps {
     * list_intersect restates the distinct-match count exactly. */
   def blocklistFlags(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // fold the TERMS too: tokens come from lower(text), so an uppercase
+    // blocklist entry could otherwise never match (and 'Spam'/'spam'
+    // would survive distinct as a duplicate pair)
     size(array_intersect(
-      lit(terms.distinct.toArray),
+      lit(terms.map(_.toLowerCase).distinct.toArray),
       split(trim(lower(text)), "\\s+")))
   }
 
@@ -1310,6 +1313,8 @@ object TextOps {
     * (repo invariant: UDF over interpreted Catalyst HOFs). */
   def bpeEncode(text: Column): Column = {
     val enc = udf { (t: String) =>
+      if (t == null) null
+      else {
       val words = t.trim.split("\\s+")
       val sb = new java.lang.StringBuilder(t.length * 3 + 2)
       sb.append(' ')
@@ -1334,6 +1339,7 @@ object TextOps {
       }
       sb.append(' ')
       sb.toString
+      }
     }
     enc(trim(text))
   }
