@@ -340,15 +340,15 @@ object RowChecks {
       )
     }
     val rowArr = rowPayload(df.columns.toSeq)
-    // codegen'd pre-filter: interpreted array assembly only sees violators
+    // codegen'd pre-filter + codegen'd explode: the k-entry array is
+    // exploded directly and nulls dropped after the Generate — the
+    // higher-order filter(array(...)) was CodegenFallback and its pushed
+    // size(...)>0 predicate re-ran the interpreted assembly in the scan
+    // filter (see ValidationRunner.violationsWithPayload)
     val anyViolation = checks.map(ck => coalesce(ck.cond, lit(false))).reduce(_ || _)
     df.filter(anyViolation)
-      .select(
-        filter(array(entries: _*), _.isNotNull).as("_viols"),
-        rowArr.as("row")
-      )
-      .filter(size(col("_viols")) > 0)
-      .select(explode(col("_viols")).as("_v"), col("row"))
+      .select(explode(array(entries: _*)).as("_v"), rowArr.as("row"))
+      .filter(col("_v").isNotNull)
       .select(col("_v.*"), col("row"))
   }
 }

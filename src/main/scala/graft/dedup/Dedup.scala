@@ -801,6 +801,12 @@ object Dedup {
         .groupBy("src")
         .agg(min(col("_nc")).as("_nmin"))
         .withColumnRenamed("src", "id")
+      // the changed-label count rides the SAME job that materializes the
+      // round (an Observation below the projection — metrics fire on the
+      // eager truncate action), so each round is ONE job, not a
+      // materialize + a separate count scan (r6: halves per-round latency
+      // on tiny label frames; free at scale)
+      val obs = org.apache.spark.sql.Observation()
       val next = truncate(
         labels
           .join(neighborMin, Seq("id"), "left")
@@ -809,9 +815,11 @@ object Dedup {
             least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
             (col("comp") > coalesce(col("_nmin"), col("comp"))).cast("long").as("_chg")
           )
+          .observe(obs, coalesce(sum(col("_chg")), lit(0L)).as("_changed"))
+          .select(col("id"), col("comp"))
       )
-      val changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).head().getLong(0)
-      labels = next.select(col("id"), col("comp"))
+      val changed = obs.get("_changed").asInstanceOf[Long]
+      labels = next
       converged = changed == 0L
       iter += 1
     }
@@ -863,12 +871,16 @@ object Dedup {
     def sym(edges: DataFrame): DataFrame =
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .select(col("src").as("u"), col("dst").as("v"))
+    // NO distinct here (r6): each undirected edge contributes exactly one
+    // (v > u) row to the symmetric view, so the output is ≤ one row per
+    // input edge even with duplicates kept — smallStar's terminal distinct
+    // canonicalizes the round, and min-aggregates are duplicate-blind, so
+    // results are identical with one fewer Exchange+HashAggregate per round
     def largeStar(edges: DataFrame): DataFrame =
       sym(edges).join(minOfNbrs(edges), Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     def smallStar(edges: DataFrame): DataFrame = {
       val m = minOfNbrs(edges)
       sym(edges).join(m, Seq("u"))
@@ -888,10 +900,18 @@ object Dedup {
     var edges = init
     var sig = checksum(edges)
     var iter = 0
-    var converged = edges.isEmpty // an empty pair set is trivially done
+    var converged = sig._1 == 0L // an empty pair set is trivially done
     while (iter < maxIter && !converged) {
-      val next = truncate(smallStar(largeStar(edges)))
-      val nextSig = checksum(next)
+      // the fixpoint checksum rides the SAME job that materializes the
+      // round (Observation metrics fire on the eager truncate action) —
+      // one job per round instead of materialize + checksum scan (r6)
+      val obs = org.apache.spark.sql.Observation()
+      val next = truncate(
+        smallStar(largeStar(edges)).observe(obs,
+          count(lit(1)).as("_c"),
+          coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("_h")))
+      val m = obs.get
+      val nextSig = (m("_c").asInstanceOf[Long], m("_h").asInstanceOf[Long])
       converged = nextSig == sig
       edges = next
       sig = nextSig

@@ -116,16 +116,23 @@ object SetSimJoin {
       bId: Column,
       bText: Column,
       tauNum: Long,
-      tauDen: Long
+      tauDen: Long,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
     val ta = tokenSet(a, aId, aText)
     val tb = tokenSet(b, bId, bText)
     // ONE global order across both corpora — df over the union, so the
-    // same token ranks identically in an A-prefix and a B-prefix
-    val dfreq = ta.union(tb).groupBy("t").agg(count(lit(1)).as("_df"))
-    val sa = sets(ta, dfreq, tauNum, tauDen)
-    val sb = sets(tb, dfreq, tauNum, tauDen)
+    // same token ranks identically in an A-prefix and a B-prefix.
+    // MATERIALIZED ONCE (r6): dfreq feeds both sets() calls and each set
+    // frame feeds a prefix side AND a verify side — without the cut,
+    // Catalyst inlined the whole explode→df-join→collect_set chain into
+    // every consumer (the r6-before plan ran the ObjectHashAggregate chain
+    // 4× with 8 parquet scans). dfreq is vocabulary-bounded and the set
+    // frames are one row per doc, so the cut is cheap at any scale.
+    val dfreq = truncate(ta.union(tb).groupBy("t").agg(count(lit(1)).as("_df")))
+    val sa = truncate(sets(ta, dfreq, tauNum, tauDen))
+    val sb = truncate(sets(tb, dfreq, tauNum, tauDen))
     val cand = candidates(
         prefRows(sa, "id_a", "size_a", "_pA"),
         prefRows(sb, "id_b", "size_b", "_pB"), tauNum, tauDen)
@@ -146,12 +153,16 @@ object SetSimJoin {
       id: Column,
       text: Column,
       tauNum: Long,
-      tauDen: Long
+      tauDen: Long,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
     val ts = tokenSet(df, id, text)
     val dfreq = ts.groupBy("t").agg(count(lit(1)).as("_df"))
-    val s = sets(ts, dfreq, tauNum, tauDen)
+    // materialized ONCE (r6): s feeds both prefix sides and both verify
+    // sides — the r6-before plan re-ran the set aggregation 4× (see
+    // jaccardJoin's note); one row per doc, cheap cut at any scale
+    val s = truncate(sets(ts, dfreq, tauNum, tauDen))
     val cand = candidates(
         prefRows(s, "id_a", "size_a", "_pA"),
         prefRows(s, "id_b", "size_b", "_pB"), tauNum, tauDen)

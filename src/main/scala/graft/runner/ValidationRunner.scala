@@ -204,22 +204,29 @@ object ValidationRunner {
         )
       )
     }
-    // HOT-PATH DESIGN: functions.filter/array over structs are
-    // CodegenFallback (interpreted). Gate them behind a plain boolean OR of
-    // all check conditions — THAT disjunction is whole-stage-codegen'd, so
-    // the scan stays compiled and the interpreted violation assembly only
-    // ever sees the ~1% of rows that actually violate something.
-    // (measured: 775k rows/s -> multi-M rows/s on a 20M-row table)
+    // HOT-PATH DESIGN: every expression here must stay inside whole-stage
+    // codegen. The scan-side filter is a plain boolean OR of all check
+    // conditions; the k-entry violation array is exploded DIRECTLY
+    // (CreateArray/CaseWhen/Generate are all codegen'd) and the per-entry
+    // nulls are dropped AFTER the Generate. The earlier shape —
+    // functions.filter(array(...)) + size(...) > 0 — used the higher-order
+    // ArrayFilter, which is CodegenFallback (interpreted), and predicate
+    // pushdown merged the size(...) > 0 test into the scan filter, so the
+    // interpreted array assembly ran 2× in the scan filter plus 1× in the
+    // projection for every violating row (visible in the r6-before plans).
+    // Exploding nulls costs k generated rows per VIOLATING row only (the
+    // OR pre-filter still drops clean rows first), and `anyViolation` true
+    // guarantees ≥1 non-null entry, so no row is lost.
+    // (r3 measured the OR gate: 775k rows/s -> multi-M rows/s at 20M rows)
     val anyViolation = compiled.map(ck => coalesce(ck.cond, lit(false))).reduce(_ || _)
     val extra = passthrough.map(col) // typed columns carried verbatim
     df.filter(anyViolation)
       .select(Seq(
-        filter(array(entries: _*), _.isNotNull).as("_viols"),
+        explode(array(entries: _*)).as("_v"),
         RowChecks.rowPayload(dataCols).as("row"),
         pidCol.getOrElse(lit(null)).cast(IntegerType).as("partition_id")
       ) ++ extra: _*)
-      .filter(size(col("_viols")) > 0)
-      .select(Seq(explode(col("_viols")).as("_v"), col("row"), col("partition_id")) ++ extra: _*)
+      .filter(col("_v").isNotNull)
       .select(Seq(
         col("_v.code"),
         col("_v.row_number"),
