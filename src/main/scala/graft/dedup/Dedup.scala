@@ -73,6 +73,17 @@ object Dedup {
 
   private[dedup] val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLong(a, b))
 
+  /** Exact Jaccard of two SORTED distinct long-array columns as a fully
+    * codegen'd expression — same arithmetic as [[jaccardLong]] (int
+    * intersection / int union via exact double division, union 0 ⇒ 1.0),
+    * without the UDF's per-row Seq boxing (r6: the boxing dominated the
+    * candidate-verify projection at oracle scale). */
+  private[dedup] def jaccardCol(a: Column, b: Column): Column = {
+    val inter = graft.exprs.VectorExprs.sortedIntersectNative(a, b)
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
   /** (_id, _sh, _shkey): shingle sets + the 64-bit identical-set group key.
     * Shared by [[minHashPairs]] and the incremental [[MinHashStore]] so the
     * store and ad-hoc paths band identically. */
@@ -170,7 +181,8 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8,
       maxBucket: Int = 1000,
-      hotSample: Int = -1
+      hotSample: Int = -1,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
@@ -180,14 +192,15 @@ object Dedup {
     val hs = if (hotSample < 0) maxBucket else hotSample
     // _shkey: 64-bit hash of the sorted distinct shingle hashes — the
     // identical-set group key (xxhash64 over the array column is codegen'd).
-    // NOTE (measured, round 3): several consumer subtrees below re-derive
-    // this frame (group sizes, reps, same-key pairs, member expansion); an
-    // explicit repartition(_shkey) here would collapse them onto one
-    // ReusedExchange, but benchmarking the full pipeline at 1M docs showed
-    // NO wall-clock change (34.1 s vs 33.1 s) — the banding joins and
-    // exact-Jaccard verify dominate, not the shingle kernel recompute — so
-    // the shuffle-light shape (no full-width shingle exchange) stays.
-    val withSh = shingled(df, text, id, shingleWords)
+    // MATERIALIZED ONCE (r6): the frame feeds ~6 consumer subtrees (group
+    // sizes, reps, same-key pairs ×2, member expansion ×2), each of which
+    // used to re-run the scan + shingle kernel (an r3 repartition-based
+    // dedup of just the exchange was wall-clock neutral at 1M docs — 34.1 s
+    // vs 33.1 s — but the eager cut also de-duplicates the kernel and, with
+    // reps/banded cut below, the 32-hash minhash UDF, which the r6 oracle-
+    // scale profile showed dominating the composed pipeline: ~9 s of q74's
+    // 13 s were minHashPairs re-derivations).
+    val withSh = truncate(shingled(df, text, id, shingleWords))
 
     // 1. identical-set groups: intra-group pairs are jaccard 1.0 by identity
     val groupSizes = withSh.groupBy(col("_shkey")).agg(count(lit(1)).as("_cnt"))
@@ -200,12 +213,15 @@ object Dedup {
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     }
 
-    // representatives: one row (min id) per distinct shingle set
-    val reps = repsOf(withSh)
+    // representatives: one row (min id) per distinct shingle set.
+    // Both cut eagerly (r6): reps feeds the banding AND the verify-side
+    // shingle join; banded feeds counts/cold/hot/hotSampled — without the
+    // cuts each consumer re-ran the minhash-signature kernel chain.
+    val reps = truncate(repsOf(withSh))
     // 2. band the representatives (the banding shuffle carries NO shingle
     // arrays — just (key, id, band hashes), 40 B/row × bands; shingles are
     // joined back only for the tiny verified-candidate set)
-    val banded = bandedOf(reps, numHashes, bands)
+    val banded = truncate(bandedOf(reps, numHashes, bands))
 
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
@@ -255,7 +271,7 @@ object Dedup {
       .agg(bit_or(col("_src")).as("_src"))
       .join(shingleOf.select(col("_shkey").as("_ka"), col("_sh").as("_sh_a")), Seq("_ka"))
       .join(shingleOf.select(col("_shkey").as("_kb"), col("_sh").as("_sh_b")), Seq("_kb"))
-      .select(col("_ka"), col("_kb"), col("_src"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .select(col("_ka"), col("_kb"), col("_src"), jaccardCol(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .observe("graft.minhash.hotrecall",
         sum(when(col("_src") === 4, 1L).otherwise(0L)).as("hot_recovered"),
@@ -447,7 +463,7 @@ object Dedup {
     val b = reps.select(col("_blk"), col("_shkey").as("_kb"), col("_sh").as("_sh_b"))
     val repPairs = a.join(b, Seq("_blk"))
       .filter(col("_ka") < col("_kb"))
-      .select(col("_blk"), col("_ka"), col("_kb"), jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .select(col("_blk"), col("_ka"), col("_kb"), jaccardCol(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val crossPairs = repPairs
       .join(members.select(col("_blk"), col("_shkey").as("_ka"), col("_id").as("_ia")), Seq("_blk", "_ka"))
@@ -863,33 +879,37 @@ object Dedup {
         .distinct()
     )
     val init = base.filter(col("src") =!= col("dst"))
-    // m(u) = min(N(u) ∪ {u}) over the symmetric view of the edge set
-    def minOfNbrs(edges: DataFrame): DataFrame =
-      edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .groupBy(col("src")).agg(min(col("dst")).as("_mn"))
-        .select(col("src").as("u"), least(col("src"), col("_mn")).as("m"))
-    def sym(edges: DataFrame): DataFrame =
+    // Each half-star is ONE window shuffle (r6): the per-node neighborhood
+    // minimum rides a min() window over the symmetric view partitioned by
+    // the node, so every row carries its node's m directly — the earlier
+    // groupBy + join-back shape paid a second aggregation Exchange plus a
+    // broadcast (local) / co-partitioned join (at scale) per half-round.
+    // Window buffering per node is bounded by node degree, the same bound
+    // the join output already materialized per node. Duplicate rows are
+    // harmless to min() and smallStar's terminal distinct canonicalizes
+    // the round (largeStar's output stays ≤ one row per symmetric edge),
+    // so results are identical with roughly half the stages per round.
+    import org.apache.spark.sql.expressions.Window
+    def withM(edges: DataFrame): DataFrame =
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .select(col("src").as("u"), col("dst").as("v"))
-    // NO distinct here (r6): each undirected edge contributes exactly one
-    // (v > u) row to the symmetric view, so the output is ≤ one row per
-    // input edge even with duplicates kept — smallStar's terminal distinct
-    // canonicalizes the round, and min-aggregates are duplicate-blind, so
-    // results are identical with one fewer Exchange+HashAggregate per round
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy(col("u")))))
     def largeStar(edges: DataFrame): DataFrame =
-      sym(edges).join(minOfNbrs(edges), Seq("u"))
+      withM(edges)
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-    def smallStar(edges: DataFrame): DataFrame = {
-      val m = minOfNbrs(edges)
-      sym(edges).join(m, Seq("u"))
-        .filter(col("v") <= col("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .unionAll(m.select(col("u").as("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst"))
+    // both smallStar row families ((v, m) for v ≤ u, plus (u, m) for every
+    // node) come out of ONE pass over the windowed frame via a codegen'd
+    // explode — a unionAll of two selections would run the window twice
+    def smallStar(edges: DataFrame): DataFrame =
+      withM(edges)
+        .select(explode(array(
+          when(col("v") <= col("u"), struct(col("v").as("src"), col("m").as("dst"))),
+          struct(col("u").as("src"), col("m").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("src") =!= col("dst"))
         .distinct()
-    }
     def checksum(edges: DataFrame): (Long, Long) = {
       val r = edges
         .agg(count(lit(1)).as("c"), coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))

@@ -94,26 +94,30 @@ object MinHashStore {
       path: String,
       threshold: Double = 0.8,
       maxBucket: Int = 1000,
-      hotSample: Int = -1
+      hotSample: Int = -1,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     val g = readMeta(spark, path)
     val hs = if (hotSample < 0) maxBucket else hotSample
 
-    val batchSh = Dedup.shingled(batch, text, id, g.shingleWords)
-    val batchReps = Dedup.repsOf(batchSh)
+    // each derived frame below feeds 2-4 consumer subtrees; materialize
+    // once (r6) so the batch shingle kernel and the store parquet scans run
+    // once instead of per consumer (same cut pattern as Dedup.minHashPairs)
+    val batchSh = truncate(Dedup.shingled(batch, text, id, g.shingleWords))
+    val batchReps = truncate(Dedup.repsOf(batchSh))
     // members carry the origin flag — a pair qualifies iff EITHER side is new
-    val members = spark.read.parquet(s"$path/members")
+    val members = truncate(spark.read.parquet(s"$path/members")
       .select(col("_shkey"), col("_id"), lit(false).as("_new"))
-      .unionAll(batchSh.select(col("_shkey"), col("_id"), lit(true).as("_new")))
+      .unionAll(batchSh.select(col("_shkey"), col("_id"), lit(true).as("_new"))))
     // store reps win ties on shared keys (either side's _sh is the same set)
     val storeReps = spark.read.parquet(s"$path/reps")
-    val reps = storeReps
+    val reps = truncate(storeReps
       .unionAll(batchReps.select(col("_shkey"), col("_sh"))
-        .join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti"))
-    val banded = spark.read.parquet(s"$path/banded")
+        .join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti")))
+    val banded = truncate(spark.read.parquet(s"$path/banded")
       .unionAll(Dedup.bandedOf(
         batchReps.join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti"),
-        g.numHashes, g.bands))
+        g.numHashes, g.bands)))
     // keys that have ≥ 1 batch member: rep-pair candidates must touch one
     val batchKeys = batchSh.select(col("_shkey")).distinct()
 
@@ -156,7 +160,7 @@ object MinHashStore {
       .filter(col("_fa").isNotNull || col("_fb").isNotNull)
       .join(shingleOf.select(col("_shkey").as("_ka"), col("_sh").as("_sh_a")), Seq("_ka"))
       .join(shingleOf.select(col("_shkey").as("_kb"), col("_sh").as("_sh_b")), Seq("_kb"))
-      .select(col("_ka"), col("_kb"), Dedup.jaccardUdf(col("_sh_a"), col("_sh_b")).as("jaccard"))
+      .select(col("_ka"), col("_kb"), Dedup.jaccardCol(col("_sh_a"), col("_sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     // 5. expand through membership, keep pairs with ≥ 1 new side

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the hot vector kernels (dot product and
   * L2 norm) with FULL whole-stage-codegen support (`doGenCode`): the
@@ -203,6 +203,63 @@ object VectorExprs {
     * projection; division and null propagation stay native). */
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (l2normNative(a) * l2normNative(b))
+
+  /** |a ∩ b| of two SORTED DISTINCT array<bigint> columns — the codegen'd
+    * merge loop the MinHash/ngram verify steps run per candidate pair.
+    * Replaces a Scala UDF whose CatalystTypeConverters boxed every long of
+    * both arrays per row (r6: the verify projection was the largest single
+    * cost of minHashPairs at oracle scale). Caller contract (same as the
+    * UDF it replaces): arrays sorted ascending, distinct, no null elements
+    * — everything [[graft.text.TextOps.wordShingleHashes]] produces. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_intersect"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements(); val nb = y.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u == v) { inter += 1; i += 1; j += 1 }
+        else if (u < v) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val u = ctx.freshName("u"); val v = ctx.freshName("v")
+        val inter = ctx.freshName("inter")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $u = $a.getLong($i);
+           |  long $v = $b.getLong($j);
+           |  if ($u == $v) { $inter++; $i++; $j++; }
+           |  else if ($u < $v) { $i++; }
+           |  else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Native codegen'd |a ∩ b| for sorted distinct long arrays. */
+  def sortedIntersectNative(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(toExpr(a), toExpr(b)))
 
   // ---- SQL function registration ----
 
