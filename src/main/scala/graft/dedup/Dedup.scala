@@ -331,13 +331,15 @@ object Dedup {
       id: Column,
       maxHamming: Int,
       bands: Int = 8,
-      maxBucket: Int = 10000
+      maxBucket: Int = 10000,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(bands > maxHamming, s"need bands > maxHamming for full recall (pigeonhole): $bands <= $maxHamming")
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val base = df.select(id.as("_id"), sig.cast("long").as("_sig"))
+    // 16 B/row, feeds five consumer subtrees — materialized once (r6)
+    val base = truncate(df.select(id.as("_id"), sig.cast("long").as("_sig")))
 
     // 1. identical-signature groups (map-side combine soaks up skew)
     val groups = base.groupBy(col("_sig")).agg(count(lit(1)).as("_cnt"))
@@ -356,9 +358,10 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), shiftrightunsigned(col("_sig"), b * width).bitwiseAND(mask).as("bv"))
     }
-    val banded = sigs
+    // distinct-sig × bands rows, feeds counts/cold/hot — materialized once
+    val banded = truncate(sigs
       .select(col("_sig"), explode(array(bandCols: _*)).as("_b"))
-      .select(col("_sig"), col("_b.band"), col("_b.bv"))
+      .select(col("_sig"), col("_b.band"), col("_b.bv")))
     val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bv"))
 
@@ -427,11 +430,14 @@ object Dedup {
       block: Column,
       shingleWords: Int = 3,
       threshold: Double = 0.5,
-      maxBlockDistinct: Int = 20000
+      maxBlockDistinct: Int = 20000,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
-    val base = df
+    // materialized ONCE (r6): six consumer subtrees used to re-run the
+    // shingle kernel (guard, groups, same-key pairs ×2, members ×2, reps)
+    val base = truncate(df
       .select(block.as("_blk"), id.as("_id"), TextOps.wordShingleHashes(text, shingleWords).as("_sh"))
-      .withColumn("_shkey", xxhash64(col("_sh")))
+      .withColumn("_shkey", xxhash64(col("_sh"))))
     val members = base.select(col("_blk"), col("_shkey"), col("_id"))
     val groups = members.groupBy(col("_blk"), col("_shkey")).agg(count(lit(1)).as("_cnt"))
     if (maxBlockDistinct != Int.MaxValue) {
@@ -572,16 +578,20 @@ object Dedup {
       id: Column,
       block: Column,
       threshold: Double = 0.95,
-      maxBlockDistinct: Int = 20000
+      maxBlockDistinct: Int = 20000,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     import graft.ann.Ann
-    // pre-normalise once per row (UDF kernel), pair score is then a pure dot
-    val base = df.select(
+    // pre-normalise once per row (UDF kernel), pair score is then a pure
+    // dot. Materialized ONCE (r6): the frame feeds six consumer subtrees
+    // (guard, groups, same-key pairs ×2, member expansion ×2, reps) which
+    // each re-ran the norm kernel and the input scan.
+    val base = truncate(df.select(
       block.as("_blk"),
       id.as("_id"),
       vec.cast("array<double>").as("_v"),
       Ann.l2norm(vec).as("_n")
-    ).withColumn("_vkey", xxhash64(col("_v")))
+    ).withColumn("_vkey", xxhash64(col("_v"))))
     val members = base.select(col("_blk"), col("_vkey"), col("_id"))
     val groups = members.groupBy(col("_blk"), col("_vkey")).agg(count(lit(1)).as("_cnt"))
     // fail-fast scale guard (same contract as ngramJaccardPairs): quadratic

@@ -43,8 +43,13 @@ object ShardedSink {
   ): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
     val bins = Packing.assignBins(df, id, order, weight, budget)
+    // materialized once (r6): the range-repartitioned write SAMPLES its
+    // input before shuffling it, so without the cut the two-phase
+    // prefix-sum plan under the join executed twice (sampling pass + real
+    // pass); 24 B/row, the same assignment a manifest records anyway
     val assignment = bins.select(
       col("id"), col("bin"), pmod(col("bin"), lit(shards.toLong)).as("shard"))
+      .localCheckpoint(true)
     // caller contract: df must not already carry `bin`/`shard` columns
     df.withColumn("id", id.cast("long"))
       .join(assignment, Seq("id"))

@@ -1296,7 +1296,12 @@ object TextOps {
         words = words
           .select(replace(col("sym"),
             lit(" " + p1 + "  " + p2 + " "), lit(" " + p1 + p2 + " ")).as("sym"), col("c"))
-          .localCheckpoint()
+        // cut the replace chain every 8 merges instead of every merge (r6):
+        // one job per merge (the top-pair collect) instead of two, with the
+        // re-executed chain bounded at 8 codegen'd literal replaces over
+        // the vocab-bounded word table — at the documented 1000-merge cap
+        // the chain work stays O(8·vocab) per round, not O(merges·vocab)
+        if ((step + 1) % 8 == 0 && step + 1 < merges) words = words.localCheckpoint()
       }
       step += 1
     }
