@@ -223,6 +223,9 @@ object Dedup {
     // joined back only for the tiny verified-candidate set)
     val banded = truncate(bandedOf(reps, numHashes, bands))
 
+    // counts/cold re-derive from the CHECKPOINTED banded per consumer —
+    // measured cheaper than materializing them too (r6: the extra cut jobs
+    // cost more than the re-run of one join over in-memory blocks)
     val counts = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bh"))
     // 3. hot buckets: extend the prefix with the following band's hash.

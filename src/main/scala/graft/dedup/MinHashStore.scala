@@ -100,24 +100,27 @@ object MinHashStore {
     val g = readMeta(spark, path)
     val hs = if (hotSample < 0) maxBucket else hotSample
 
-    // each derived frame below feeds 2-4 consumer subtrees; materialize
-    // once (r6) so the batch shingle kernel and the store parquet scans run
-    // once instead of per consumer (same cut pattern as Dedup.minHashPairs)
+    // ONLY the BATCH-derived frames are materialized (r6): they feed 2-4
+    // consumer subtrees each and carry the shingle/minhash kernel cost.
+    // The store-side halves of the unions below stay bare parquet reads —
+    // the store IS a materialization already, and checkpointing a
+    // corpus-sized union (measured at a 10M-doc store) halved incremental
+    // throughput from re-buffering gigabytes that disk already holds.
     val batchSh = truncate(Dedup.shingled(batch, text, id, g.shingleWords))
     val batchReps = truncate(Dedup.repsOf(batchSh))
     // members carry the origin flag — a pair qualifies iff EITHER side is new
-    val members = truncate(spark.read.parquet(s"$path/members")
+    val members = spark.read.parquet(s"$path/members")
       .select(col("_shkey"), col("_id"), lit(false).as("_new"))
-      .unionAll(batchSh.select(col("_shkey"), col("_id"), lit(true).as("_new"))))
+      .unionAll(batchSh.select(col("_shkey"), col("_id"), lit(true).as("_new")))
     // store reps win ties on shared keys (either side's _sh is the same set)
     val storeReps = spark.read.parquet(s"$path/reps")
-    val reps = truncate(storeReps
-      .unionAll(batchReps.select(col("_shkey"), col("_sh"))
-        .join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti")))
-    val banded = truncate(spark.read.parquet(s"$path/banded")
-      .unionAll(Dedup.bandedOf(
-        batchReps.join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti"),
-        g.numHashes, g.bands)))
+    // the anti-join + banding of NEW reps runs the minhash kernel — cut it
+    // once (batch-sized); the union with the store stays lazy
+    val newReps = truncate(
+      batchReps.join(storeReps.select(col("_shkey")), Seq("_shkey"), "left_anti"))
+    val reps = storeReps.unionAll(newReps.select(col("_shkey"), col("_sh")))
+    val banded = spark.read.parquet(s"$path/banded")
+      .unionAll(truncate(Dedup.bandedOf(newReps, g.numHashes, g.bands)))
     // keys that have ≥ 1 batch member: rep-pair candidates must touch one
     val batchKeys = batchSh.select(col("_shkey")).distinct()
 
