@@ -825,25 +825,26 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), Seq("dst"))
-        .groupBy("src")
-        .agg(min(col("_nc")).as("_nmin"))
-        .withColumnRenamed("src", "id")
-      // the changed-label count rides the SAME job that materializes the
-      // round (an Observation below the projection — metrics fire on the
-      // eager truncate action), so each round is ONE job, not a
-      // materialize + a separate count scan (r6: halves per-round latency
-      // on tiny label frames; free at scale)
+      // ONE join + ONE aggregation per round (r6): the node's own label
+      // rides the join as a flagged SELF edge, so the update
+      // comp'(u) = min over comp(v), v ∈ N(u) ∪ {u} comes straight out of
+      // the groupBy — the earlier shape joined the neighbor minima back
+      // onto the label frame (a second join per round). The changed-label
+      // count rides the SAME job that materializes the round (Observation
+      // metrics fire on the eager truncate action), so each round is ONE
+      // job: join → agg → cut.
       val obs = org.apache.spark.sql.Observation()
+      val withSelf = sym.select(col("src"), col("dst"), lit(false).as("_self"))
+        .unionAll(labels.select(col("id").as("src"), col("id").as("dst"), lit(true).as("_self")))
       val next = truncate(
-        labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(
-            col("id"),
-            least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
-            (col("comp") > coalesce(col("_nmin"), col("comp"))).cast("long").as("_chg")
-          )
+        withSelf
+          .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), Seq("dst"))
+          .groupBy("src")
+          .agg(
+            min(col("_nc")).as("comp"),
+            min(when(col("_self"), col("_nc"))).as("_oldc"))
+          .select(col("src").as("id"), col("comp"),
+            (col("comp") < col("_oldc")).cast("long").as("_chg"))
           .observe(obs, coalesce(sum(col("_chg")), lit(0L)).as("_changed"))
           .select(col("id"), col("comp"))
       )
