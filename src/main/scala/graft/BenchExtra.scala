@@ -59,15 +59,21 @@ object BenchExtra {
           try out.write(plan) finally out.close()
         }
         def time(action: org.apache.spark.sql.DataFrame => Unit, label: String): Unit = {
+          var failed: Option[Throwable] = None
           val xs = (1 to samples).map { i =>
             spark.sparkContext.setJobDescription(s"$name/$label/$i")
             val t0 = System.nanoTime()
             try action(fn(spark, sfDir))
-            catch { case _: Throwable => () }
+            catch { case e: Throwable => failed = Some(e) }
             (System.nanoTime() - t0) / 1e9
           }
           spark.sparkContext.setJobDescription(null)
-          println(f"[extra] $name $label min=${xs.min}%.3f samples=${xs.map(x => f"$x%.3f").mkString(",")}")
+          // a failing query must never masquerade as a fast one
+          failed match {
+            case Some(e) => println(s"[extra] $name $label FAILED: $e")
+            case None =>
+              println(f"[extra] $name $label min=${xs.min}%.3f samples=${xs.map(x => f"$x%.3f").mkString(",")}")
+          }
         }
         time(_.write.format("noop").mode("overwrite").save(), "noop")
         time(_.count(): Unit, "count")

@@ -71,7 +71,9 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  private[dedup] val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLong(a, b))
+  // (the former jaccardUdf was removed in r6 — every verify path now uses
+  // the codegen'd jaccardCol below; jaccardLong stays as the reference
+  // implementation its specs pin the arithmetic against)
 
   /** Exact Jaccard of two SORTED distinct long-array columns as a fully
     * codegen'd expression — same arithmetic as [[jaccardLong]] (int
@@ -774,6 +776,11 @@ object Dedup {
     * A driver loop with one action per round is inherent to iterative
     * fixpoints (the reference point is GraphX/GraphFrames CC, same shape);
     * `truncate` cuts lineage each round so the plan stays constant-size.
+    * CONTRACT (r6): `truncate` must EAGERLY execute the frame as a Spark
+    * action (localCheckpoint(true), checkpoint(true), or a write +
+    * read-back) — the per-round convergence count rides the frame as an
+    * Observation whose metrics only arrive when that action runs; a lazy
+    * cut would block the round loop indefinitely.
     * The default `localCheckpoint` stores blocks on executors — fast, but
     * lost with an executor; long cluster runs should pass
     * `_.checkpoint(true)` (reliable storage via spark.checkpoint.dir) or a
@@ -868,11 +875,13 @@ object Dedup {
     *    of its neighborhood (incl. itself);
     *  - small-star: every node links its smaller-or-equal neighbors and
     *    itself to that minimum.
-    * Each half-round is ONE groupBy (min neighbor) + ONE equi-join on the
-    * node id — the same per-round cost shape as label propagation, so the
-    * win is purely the round count. Fixpoint = the edge set is unchanged
-    * by a small-star round (stars are fixpoints of both operations);
-    * detected by (count, hash-sum) equality, no driver-side edge collect.
+    * Each half-round is ONE min() window over the symmetric edge view —
+    * the same per-round cost shape as label propagation, so the win is
+    * purely the round count. Fixpoint = the edge set is unchanged by a
+    * small-star round (stars are fixpoints of both operations); detected
+    * by (count, hash-sum) equality riding the round's materialization as
+    * an Observation — `truncate` must therefore EAGERLY execute an action
+    * (see [[connectedComponentsStats]]'s contract note).
     *
     * Output/semantics identical to [[connectedComponentsStats]]: (id, comp)
     * for every node appearing in a pair, comp = component minimum. */
@@ -1204,9 +1213,11 @@ object Dedup {
       score: Column,
       pairs: DataFrame,
       pairA: Column,
-      pairB: Column
+      pairB: Column,
+      truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
-    val labeled = components(corpus.select(id.as("_id0")), col("_id0"), pairs, pairA, pairB)
+    val labeled = components(corpus.select(id.as("_id0")), col("_id0"), pairs, pairA, pairB,
+      truncate = truncate)
     val scored = corpus.select(id.cast("long").as("id"), score.as("_score"))
     val withScore = labeled.join(scored, Seq("id"))
     val best = withScore

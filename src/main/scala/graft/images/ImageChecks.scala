@@ -184,10 +184,17 @@ object ImageChecks {
             )
           else Nil)
 
+    // codegen'd explode of the fixed-length entry array with nulls dropped
+    // AFTER the Generate (r6): the earlier filter(array(...)) + size > 0
+    // shape used the interpreted ArrayFilter and its pushed size predicate
+    // re-ran the assembly in the filter (see ValidationRunner). No
+    // anyViolation pre-filter here: the conditions reference the decode
+    // UDF's output, and a pushed filter would substitute the alias and
+    // evaluate the DECODE twice per row (guide §4.4) — the k null entries
+    // per clean row are far cheaper than a second decode.
     dec
-      .select(filter(array(entries: _*), _.isNotNull).as("_viols"), rowArr.as("row"))
-      .filter(size(col("_viols")) > 0)
-      .select(explode(col("_viols")).as("_v"), col("row"))
+      .select(explode(array(entries: _*)).as("_v"), rowArr.as("row"))
+      .filter(col("_v").isNotNull)
       .select(col("_v.code"), col("_v.row_number"), col("_v.column_number"), col("_v.message"), col("row"))
   }
 
@@ -221,10 +228,10 @@ object ImageChecks {
           Map("constraint" -> lit("caption-equality"), "row_number" -> rn))
       )
     )
+    // same codegen'd explode shape as violations() above (r6)
     base
-      .select(filter(array(entries: _*), _.isNotNull).as("_viols"))
-      .filter(size(col("_viols")) > 0)
-      .select(explode(col("_viols")).as("_v"))
+      .select(explode(array(entries: _*)).as("_v"))
+      .filter(col("_v").isNotNull)
       .select(col("_v.code").as("code"), col("_v.row_number").as("row_number"),
         col("_v.column_number").as("column_number"), col("_v.message").as("message"))
   }

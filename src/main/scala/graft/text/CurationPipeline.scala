@@ -144,16 +144,22 @@ object CurationPipeline {
         .join(stage1.select(col("id"), col("_st")), Seq("id")))
 
     // stage 3: near-dup canonical ids over the REBUILT texts; keep one doc
-    // per component (the id == comp representative)
-    val pairs = Dedup.minHashPairs(stage2, col("text"), col("id"), bands = bands, threshold = threshold)
+    // per component (the id == comp representative). The caller's truncate
+    // contract is forwarded into the pair/CC internals (r6) so a
+    // reliable-storage cut governs EVERY materialization in the pipeline,
+    // not just the stage boundaries.
+    val pairs = Dedup.minHashPairs(stage2, col("text"), col("id"), bands = bands,
+      threshold = threshold, truncate = truncate)
     val keepers =
       if (keepBest)
         Dedup.componentsKeepBest(stage2, col("id"),
-            TextOps.tokenCount(col("text")).cast("long"), pairs, col("id_a"), col("id_b"))
+            TextOps.tokenCount(col("text")).cast("long"), pairs, col("id_a"), col("id_b"),
+            truncate = truncate)
           .filter(col("id") === col("keep_id"))
           .select(col("id"))
       else
-        Dedup.components(stage2, col("id"), pairs, col("id_a"), col("id_b"))
+        Dedup.components(stage2, col("id"), pairs, col("id_a"), col("id_b"),
+          truncate = truncate)
           .filter(col("id") === col("comp"))
           .select(col("id"))
     val stage3 = truncate(stage2.join(keepers, Seq("id"), "left_semi"))
