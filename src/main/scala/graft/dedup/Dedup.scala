@@ -248,6 +248,15 @@ object Dedup {
     //    job as `hot_recovered` in the `graft.minhash.hotrecall`
     //    observation — a direct measurement of what prefix-extension alone
     //    would have lost.
+    // hot-machinery short-circuit (r6): one cheap aggregation over the
+    // CHECKPOINTED banded frame decides whether any bucket exceeds the
+    // cap; when none does, the hot join + window + two extra pair
+    // self-joins contribute provably nothing (their inputs are empty) and
+    // are omitted from the plan. Beacon semantics are unchanged — the
+    // `graft.minhash.hot` observation's absence means exactly what
+    // hot_rows == 0 meant ("the fast path was exact"), the contract
+    // PipelineWarnings already renders by.
+    val hasHot = counts.filter(col("_bc") > maxBucket).limit(1).count() > 0
     val hotBase = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bh"))
     val hot = hotBase.observe("graft.minhash.hot", count(lit(1)).as("hot_rows"))
     import org.apache.spark.sql.expressions.Window
@@ -269,9 +278,13 @@ object Dedup {
     // 2 = hot prefix-extension, 4 = hot sample), so _src == 4 after the
     // verify is exactly "recovered: sample-only"
     val shingleOf = reps.select(col("_shkey"), col("_sh"))
-    val repPairs = pairsOf(cold, Seq("band", "bh"), 1)
-      .unionAll(pairsOf(hot, Seq("band", "bh", "bh2"), 2))
-      .unionAll(pairsOf(hotSampled, Seq("band", "bh"), 4))
+    val coldPairs = pairsOf(cold, Seq("band", "bh"), 1)
+    val allPairs =
+      if (!hasHot) coldPairs
+      else coldPairs
+        .unionAll(pairsOf(hot, Seq("band", "bh", "bh2"), 2))
+        .unionAll(pairsOf(hotSampled, Seq("band", "bh"), 4))
+    val repPairs = allPairs
       .groupBy(col("_ka"), col("_kb"))
       .agg(bit_or(col("_src")).as("_src"))
       .join(shingleOf.select(col("_shkey").as("_ka"), col("_sh").as("_sh_a")), Seq("_ka"))
@@ -370,7 +383,11 @@ object Dedup {
     val counts = banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("_bc"))
     val cold = banded.join(counts.filter(col("_bc").between(2, maxBucket)), Seq("band", "bv"))
 
-    // 3. hot buckets: second-level interleaved split (recall-preserving)
+    // 3. hot buckets: second-level interleaved split (recall-preserving).
+    // Short-circuited when no bucket exceeds the cap (r6): one cheap
+    // aggregation over the checkpointed banded frame — the hot subtree's
+    // inputs are provably empty then, so omitting it changes nothing.
+    val hasHot = counts.filter(col("_bc") > maxBucket).limit(1).count() > 0
     val m2 = maxHamming + 1
     val subUdf = udf((s: Long, k: Int) => interleavedBand(s, k, m2))
     val hot = banded.join(counts.filter(col("_bc") > maxBucket), Seq("band", "bv"))
@@ -385,8 +402,9 @@ object Dedup {
         .filter(col("_sa") < col("_sb"))
         .select(col("_sa"), col("_sb"))
 
-    val sigPairs = pairsOf(cold, Seq("band", "bv"))
-      .unionAll(pairsOf(hotSub, Seq("band", "bv", "sub", "sbv")))
+    val coldSigPairs = pairsOf(cold, Seq("band", "bv"))
+    val sigPairs = (if (!hasHot) coldSigPairs
+                    else coldSigPairs.unionAll(pairsOf(hotSub, Seq("band", "bv", "sub", "sbv"))))
       .distinct()
       .select(col("_sa"), col("_sb"), bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
       .filter(col("hamming").between(1, maxHamming))
