@@ -65,10 +65,10 @@ object SetSimJoin {
       .agg(sort_array(collect_set(struct(col("_df"), col("t")))).as("_arr"))
       .select(
         col("id"),
-        col("_arr.t").as("toks"),
+        col("_arr"),
         size(col("_arr")).cast("long").as("sz"))
       .withColumn("pref",
-        slice(col("toks"), lit(1),
+        slice(col("_arr.t"), lit(1),
           (col("sz") - ceilDiv(col("sz") * tauNum, tauDen) + 1).cast("int")))
 
   // positional prefix rows: the token's 1-based rank in the full df-sorted
@@ -95,14 +95,19 @@ object SetSimJoin {
   }
 
   // exact verify: join the token SETS back by id (arrays ride two hash
-  // joins, never a re-explode) and count the true intersection with the
-  // codegen'd array_intersect — the prefix geometry above only pruned
+  // joins, never a re-explode) and count the true intersection with a
+  // codegen'd SORTED-MERGE over the (df, token) struct arrays — both
+  // sides are sorted by the same global (df, token-binary) order
+  // sort_array produced, and a token determines its df, so the struct
+  // intersection count IS |tokens_a ∩ tokens_b|. (array_intersect built
+  // a per-row hash set per candidate pair — r6.)
   private def verify(cand: DataFrame, sa: DataFrame, sb: DataFrame,
                      tauNum: Long, tauDen: Long): DataFrame =
     cand
-      .join(sa.select(col("id").as("id_a"), col("toks").as("_ta"), col("sz").as("size_a")), "id_a")
-      .join(sb.select(col("id").as("id_b"), col("toks").as("_tb"), col("sz").as("size_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .join(sa.select(col("id").as("id_a"), col("_arr").as("_ta"), col("sz").as("size_a")), "id_a")
+      .join(sb.select(col("id").as("id_b"), col("_arr").as("_tb"), col("sz").as("size_b")), "id_b")
+      .withColumn("inter",
+        graft.exprs.VectorExprs.sortedStructIntersectNative(col("_ta"), col("_tb")).cast("long"))
       .filter(col("inter") * (tauDen + tauNum) >= (col("size_a") + col("size_b")) * tauNum)
       .select("id_a", "id_b", "inter", "size_a", "size_b")
 

@@ -261,6 +261,92 @@ object VectorExprs {
   def sortedIntersectNative(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectCount(toExpr(a), toExpr(b)))
 
+  /** |a ∩ b| of two arrays of struct<long, string> SORTED by (long,
+    * string-binary) — the order `sort_array` produces for that struct
+    * shape. A codegen'd merge loop over in-place ArrayData/InternalRow
+    * reads; replaces `array_intersect`, which builds a per-row hash set
+    * (r6: the SetSimJoin verify ran it per candidate pair). Caller
+    * contract: arrays sorted ascending by (field0, field1-binary),
+    * distinct, no null elements/fields — what
+    * `sort_array(collect_set(struct(df, token)))` produces. */
+  case class SortedStructIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType): Boolean = t match {
+        case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+          s.fields.length == 2 && s.fields(0).dataType == LongType &&
+            s.fields(1).dataType == org.apache.spark.sql.types.StringType
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two array<struct<bigint,string>> inputs, " +
+            s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_struct_intersect"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements(); val nb = y.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val ra = x.getStruct(i, 2); val rb = y.getStruct(j, 2)
+        val da = ra.getLong(0); val db = rb.getLong(0)
+        if (da < db) i += 1
+        else if (da > db) j += 1
+        else {
+          val c = ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+      }
+      inter
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val ra = ctx.freshName("ra"); val rb = ctx.freshName("rb")
+        val da = ctx.freshName("da"); val db = ctx.freshName("db")
+        val c = ctx.freshName("c")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  InternalRow $ra = $a.getStruct($i, 2);
+           |  InternalRow $rb = $b.getStruct($j, 2);
+           |  long $da = $ra.getLong(0);
+           |  long $db = $rb.getLong(0);
+           |  if ($da < $db) { $i++; }
+           |  else if ($da > $db) { $j++; }
+           |  else {
+           |    int $c = $ra.getUTF8String(1).compareTo($rb.getUTF8String(1));
+           |    if ($c == 0) { $inter++; $i++; $j++; }
+           |    else if ($c < 0) { $i++; }
+           |    else { $j++; }
+           |  }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Native codegen'd |a ∩ b| for (long, string)-sorted struct arrays. */
+  def sortedStructIntersectNative(a: Column, b: Column): Column =
+    GraftBridge.column(SortedStructIntersectCount(toExpr(a), toExpr(b)))
+
   // ---- SQL function registration ----
 
   private def info(name: String, usage: String) =
