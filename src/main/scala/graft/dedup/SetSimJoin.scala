@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   * convention (TextOps.tokens). */
 object SetSimJoin {
 
+  // MAGNITUDE CONTRACT: tauNum/tauDen ≤ ~1e6 (enforced at the entry
+  // points) keeps every long product below 2^53, where the exact-multiple
+  // double division below is correctly rounded — a ~1e18-scale rational
+  // would silently overflow the filters' long multiplications instead of
+  // failing fast
   private def ceilDiv(x: Column, d: Long): Column = {
     val y = x + lit(d - 1)
     ((y - pmod(y, lit(d))) / d).cast("long")
@@ -125,6 +130,7 @@ object SetSimJoin {
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
+    require(tauDen <= 1000000L, s"tauDen must be <= 1e6 (magnitude contract, see ceilDiv): $tauDen")
     val ta = tokenSet(a, aId, aText)
     val tb = tokenSet(b, bId, bText)
     // ONE global order across both corpora — df over the union, so the
@@ -162,6 +168,7 @@ object SetSimJoin {
       truncate: DataFrame => DataFrame = _.localCheckpoint(true)
   ): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "threshold must be in (0, 1]")
+    require(tauDen <= 1000000L, s"tauDen must be <= 1e6 (magnitude contract, see ceilDiv): $tauDen")
     val ts = tokenSet(df, id, text)
     val dfreq = ts.groupBy("t").agg(count(lit(1)).as("_df"))
     // materialized ONCE (r6): s feeds both prefix sides and both verify

@@ -64,7 +64,12 @@ object Outliers {
       .agg(count(lit(1)).as("c"))
     val iqr = col("q3") - col("q1")
     counts
-      .join(broadcast(fences(counts)), "_gk") // one row per group — always tiny
+      // no broadcast HINT (r6): one fences row per group, but group
+      // cardinality is caller-controlled — a forced broadcast of a
+      // high-cardinality group column (an id, say) would build an
+      // unbounded driver-side relation; AQE broadcasts it anyway whenever
+      // the runtime size is actually small
+      .join(fences(counts), "_gk")
       .groupBy("_gk", "n", "q1", "q3")
       .agg(
         sum(when(col("v") * kDen < col("q1") * kDen - iqr * kNum, col("c"))
